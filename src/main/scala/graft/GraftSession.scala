@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Local mode is a stand-in for a multi-executor cluster: every knob
+  * here is chosen so the SAME plan shapes (broadcast joins, partial
+  * aggregation, AQE coalescing / skew splitting) appear at cluster
+  * scale. `shufflePartitions` tracks local cores here; on a real
+  * cluster it would be ~2-3x total executor cores (or left to AQE).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // μs timestamps in written parquet (matches the DuckDB oracle's
+      // precision; avoids legacy INT96).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = builder(master, shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB correctness compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <outDir>
+  (run graft.Verify first to populate <outDir>)
+
+For each query in <outDir>/oracle_sql.json: load the Spark result
+parquet, run the oracle SQL against views over <sfDir>, sort columns
+by name, sort rows, compare cell-by-cell (exact; floats must be
+bit-identical — the engine's exact-sum discipline makes that hold).
+"""
+import duckdb, json, sys, glob, os, math
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.sql(f"select * from read_parquet({files!r})").df())
+            exp = canon(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols got={list(got.columns)} exp={list(exp.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
+            n_fail += 1; continue
+        bad = None
+        for c in got.columns:
+            g, e = got[c].tolist(), exp[c].tolist()
+            for i, (a, b) in enumerate(zip(g, e)):
+                if a != b and not (isinstance(a, float) and isinstance(b, float)
+                                   and math.isnan(a) and math.isnan(b)):
+                    d = abs(a - b) if isinstance(a, (int, float)) and isinstance(b, (int, float)) else None
+                    bad = (c, i, a, b, d); break
+            if bad: break
+        if bad:
+            c, i, a, b, d = bad
+            print(f"FAIL {name}: col={c} row={i} got={a!r} exp={b!r} absdiff={d}")
+            n_fail += 1
+        else:
+            print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols")
+    rows_only = [f for f in sorted(os.listdir(outdir))
+                 if os.path.isdir(os.path.join(outdir, f)) and f not in oracle]
+    for name in rows_only:
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        n = con.sql(f"select count(*) from read_parquet({files!r})").fetchone()[0] if files else 0
+        print(f"ROWS {name}: {n} rows (no SQL oracle)")
+    print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
