@@ -25,6 +25,9 @@ object GraftSession {
       // μs timestamps in written parquet (matches the DuckDB oracle's
       // precision; avoids legacy INT96).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+      // rejects; read as raw Long and let Tables.events convert to μs.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {

@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries
+    RelationalOps.queries ++ EtlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check
     * (those operators are ScalaTest-verified instead). */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracle
+    RelationalOps.oracle ++ EtlOps.oracle
 }

@@ -24,7 +24,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a Long that
+    * we truncate to μs (`div`, not `/` — nanosecond epochs exceed
+    * 2^53 so double division would corrupt them), then take as
+    * TIMESTAMP_NTZ: the other parquet tables infer NTZ (naive), and
+    * DuckDB's ns→μs cast is naive too, so oracle timestamps compare
+    * equal with no timezone adjustment on either side. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.OracleDsl._
+import graft.functions.exact._
+
+/** §2.A — the reference pipeline's ETL semantics, distributed.
+  *
+  * The reference (`/root/reference/etl_job.py`) validates, dedups and
+  * aggregates one telemetry row per hour; here the same semantics run
+  * as whole-table Spark operators over `events` (ts/user_id/
+  * event_type/value standing in for timestamp/status/measurement).
+  * Every operator is a single scan + narrow transforms or one keyed
+  * shuffle — nothing global except deliberate top-N (k rows).
+  */
+object EtlOps {
+
+  private val knownTypes = Seq("view", "click", "purchase", "signup", "error")
+  private val knownTypesSql = knownTypes.map(t => s"'$t'").mkString("(", ",", ")")
+
+  /** Data-quality flags per row — null/range/type-domain checks
+    * (etl_job.py:51-72: validate_intensity 0..1000,
+    * validate_fuel_percentage 0..100, null checks). Pure narrow map:
+    * no shuffle, fully codegen'd, scales linearly. */
+  def validate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val valuePresent = col("value").isNotNull
+    val valueInRange = col("value") >= 0.0 && col("value") <= 1000.0
+    val typeKnown = col("event_type").isin(knownTypes: _*)
+    val tsPresent = col("ts").isNotNull
+    ev.select(
+      col("event_id"), col("event_type"), col("value"),
+      valuePresent.as("value_present"),
+      (valuePresent && valueInRange).as("value_in_range"),
+      typeKnown.as("type_known"),
+      tsPresent.as("ts_present"),
+      (valuePresent && valueInRange && typeKnown && tsPresent).as("is_valid"))
+  }
+
+  private val validateSql =
+    s"""SELECT event_id, event_type, value,
+       |  value IS NOT NULL AS value_present,
+       |  (value IS NOT NULL AND value >= 0.0 AND value <= 1000.0) AS value_in_range,
+       |  event_type IN $knownTypesSql AS type_known,
+       |  ts IS NOT NULL AS ts_present,
+       |  (value IS NOT NULL AND value >= 0.0 AND value <= 1000.0
+       |   AND event_type IN $knownTypesSql AND ts IS NOT NULL) AS is_valid
+       |FROM events""".stripMargin
+
+  /** Keep-first-per-hour duplicate prevention (etl_job.py:227-237:
+    * skip insert when DATE_TRUNC('hour', ts) already present).
+    * One shuffle on the hour key; row_number + filter, no collect. */
+  def dedupHour(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("hour_ts")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      // date_trunc yields tz-aware TIMESTAMP even for NTZ input; cast
+      // back so written parquet stays naive like the oracle's
+      .withColumn("hour_ts", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("hour_ts", "event_id", "ts", "event_type", "value")
+  }
+
+  private val dedupHourSql =
+    """SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+      |       event_id, cast(ts as timestamp) AS ts, event_type, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY date_trunc('hour', ts)
+      |                           ORDER BY ts, event_id) = 1""".stripMargin
+
+  /** Per-hour per-type rollup — grid_telemetry as an aggregate time
+    * series. Map-side partial agg then one shuffle on (hour, type). */
+  def hourlyRollup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        xsum(col("value"), 2).as("sum_value"),
+        xavg(col("value"), 2).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  private val hourlyRollupSql =
+    s"""SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_ts, event_type,
+       |  $oCount AS n_events,
+       |  ${oSum("value", 2)} AS sum_value,
+       |  ${oAvg("value", 2)} AS avg_value,
+       |  min(value) AS min_value,
+       |  max(value) AS max_value
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Daily cleanliness view (README.md:393-404): per-day averages and
+    * the "renewable share" ratio re-expressed as the share of
+    * view/click events. */
+  def dailyCleanliness(s: SparkSession, d: String): DataFrame = {
+    val clean = when(col("event_type").isin("view", "click"), 1L).otherwise(0L)
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        xavg(col("value"), 2).as("avg_value"),
+        (sum(clean).cast("double") * 100.0 / count(lit(1))).as("clean_pct"),
+        count(lit(1)).as("samples"))
+  }
+
+  private val dailyCleanlinessSql =
+    s"""SELECT cast(ts as date) AS day,
+       |  ${oAvg("value", 2)} AS avg_value,
+       |  cast(cast(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) as bigint) as double) * 100.0
+       |    / cast(count(*) as bigint) AS clean_pct,
+       |  $oCount AS samples
+       |FROM events
+       |GROUP BY 1""".stripMargin
+
+  /** Per-day success-rate report (README.md:553-563): conditional
+    * aggregation with 'error' events as failures. */
+  def successRate(s: SparkSession, d: String): DataFrame = {
+    val ok = when(col("event_type") =!= "error", 1L).otherwise(0L)
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("total_runs"),
+        sum(ok).as("successful_runs"),
+        (sum(ok).cast("double") * 100.0 / count(lit(1))).as("success_pct"),
+        xavg(col("value"), 2).as("avg_value"))
+  }
+
+  private val successRateSql =
+    s"""SELECT cast(ts as date) AS day,
+       |  $oCount AS total_runs,
+       |  cast(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) as bigint) AS successful_runs,
+       |  cast(cast(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) as bigint) as double) * 100.0
+       |    / cast(count(*) as bigint) AS success_pct,
+       |  ${oAvg("value", 2)} AS avg_value
+       |FROM events
+       |GROUP BY 1""".stripMargin
+
+  /** Latest-N monitor (README.md:184-189) with a total-order tiebreak
+    * so the result set is deterministic. TakeOrdered: only k rows ever
+    * leave the executors. */
+  def recentRuns(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(10)
+
+  private val recentRunsSql =
+    """SELECT event_id, cast(ts as timestamp) AS ts, event_type, value
+      |FROM events
+      |ORDER BY ts DESC, event_id DESC
+      |LIMIT 10""".stripMargin
+
+  /** Freshness check (etl_job.py:74-83: warn when data older than 2h).
+    * "now" is the dataset max ts for determinism; computed as a 1-row
+    * broadcast joined against the scan — no second pass over the data
+    * per row, scales to any table size. */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(mx))
+      .select(
+        col("event_id"), col("ts"),
+        (col("ts") < col("max_ts") - expr("INTERVAL 2 HOURS")).as("is_stale"))
+  }
+
+  private val freshnessSql =
+    """SELECT event_id, cast(ts as timestamp) AS ts,
+      |       ts < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR AS is_stale
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_validate" -> (validate _),
+    "etl_dedup_hour" -> (dedupHour _),
+    "etl_hourly_rollup" -> (hourlyRollup _),
+    "etl_daily_cleanliness" -> (dailyCleanliness _),
+    "etl_success_rate" -> (successRate _),
+    "etl_recent_runs" -> (recentRuns _),
+    "etl_freshness" -> (freshness _))
+
+  val oracle: Map[String, String] = Map(
+    "etl_validate" -> validateSql,
+    "etl_dedup_hour" -> dedupHourSql,
+    "etl_hourly_rollup" -> hourlyRollupSql,
+    "etl_daily_cleanliness" -> dailyCleanlinessSql,
+    "etl_success_rate" -> successRateSql,
+    "etl_recent_runs" -> recentRunsSql,
+    "etl_freshness" -> freshnessSql)
+}

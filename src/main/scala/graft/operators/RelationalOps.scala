@@ -13,11 +13,15 @@ import graft.functions.exact._
   * series (README.md:171-195, 391-404); at 100 TB the same warehouse
   * needs the full relational surface. All queries are declarative
   * DataFrame plans: Catalyst pushes filters/projections into the
-  * parquet scans, broadcasts the dimension sides of joins
-  * (region/nation/supplier/part stay KBs–MBs even at SF100k), and
-  * AQE re-plans skew at runtime.
+  * parquet scans, dimension sides of joins (region/nation/supplier/
+  * part — KBs–MBs even at SF100k) broadcast, and AQE re-plans skew
+  * at runtime. Exact-sum discipline (graft.functions.exact) keeps
+  * every double aggregate order-independent, which also means the
+  * answers are stable across cluster re-partitioning.
   */
 object RelationalOps {
+
+  // ---------------------------------------------------------------- q1
 
   /** TPC-H Q1-style pricing summary: single scan, 8 aggregates,
     * map-side partial agg then 6-group final — no skew possible. */
@@ -39,7 +43,7 @@ object RelationalOps {
 
   private val q1Sql: String = {
     val disc = "l_extendedprice*(1.0 - l_discount)"
-    val charge = s"(l_extendedprice*(1.0 - l_discount))*(1.0 + l_tax)"
+    val charge = "(l_extendedprice*(1.0 - l_discount))*(1.0 + l_tax)"
     s"""SELECT l_returnflag, l_linestatus,
        |  ${oSum("l_quantity", 2)} AS sum_qty,
        |  ${oSum("l_extendedprice", 2)} AS sum_base_price,
@@ -54,11 +58,410 @@ object RelationalOps {
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q3
+
+  /** TPC-H Q3-style shipping priority: two fact joins shuffled on the
+    * order key, BUILDING-segment filter pushed to the customer scan,
+    * top-10 via TakeOrdered (k rows to the driver, never a global
+    * sort). */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-03-15").cast("timestamp")
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${oSum("l_extendedprice*(1.0 - l_discount)", 4)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < timestamp '1998-03-15 00:00:00'
+       |  AND l_shipdate > timestamp '1998-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join. The dimension
+    * chain region→nation→supplier is broadcast; only the
+    * customer⋈orders⋈lineitem fact joins shuffle. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name,
+       |  ${oSum("l_extendedprice*(1.0 - l_discount)", 4)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+       |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
+       |GROUP BY n_name""".stripMargin
+
+  // ------------------------------------------------------------ top-k
+
+  /** Top-k with a total-order tiebreak; physical plan is TakeOrdered,
+    * so only k rows cross the wire regardless of table size. */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+
+  private val topkOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 15""".stripMargin
+
+  // ----------------------------------------------------------- window
+
+  /** Rank + exact running spend per customer. Single shuffle on the
+    * partition key; the running sum is over scaled longs so it is
+    * bit-exact (the unique (date, key) sort order makes ROWS and
+    * RANGE frames equivalent — DuckDB defaults to RANGE). */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend",
+        sum(round(col("o_totalprice") * 100.0).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / 100.0)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "order_seq", "running_spend")
+  }
+
+  private val windowRunningSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  row_number() OVER w AS order_seq,
+      |  cast(sum(cast(round(o_totalprice*1e2) as bigint)) OVER w as double)/1e2
+      |    AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  // ------------------------------------------------------- semi / anti
+
+  /** EXISTS → left_semi: customers with at least one completed ('F')
+    * order. No fact columns are materialized past the join. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
+
+  /** NOT EXISTS → left_anti: customers that never ordered. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ----------------------------------------------------------- rollup
+
+  /** GROUP BY ROLLUP(region, nation) over broadcast-joined dims:
+    * customer counts + exact balance totals at three grain levels. */
+  def rollupNation(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        xsum(col("c_acctbal"), 2).as("total_acctbal"))
+
+  private val rollupNationSql =
+    s"""SELECT r_name, n_name, $oCount AS n_customers,
+       |  ${oSum("c_acctbal", 2)} AS total_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  // ------------------------------------------------------- case pivot
+
+  /** Pivot-style conditional aggregation: order counts per priority
+    * bucket by status — the reference's success-rate CASE WHEN pattern
+    * (README.md:172-180) widened to a matrix. */
+  def casePivot(s: SparkSession, d: String): DataFrame = {
+    def bucket(p: String) =
+      sum(when(col("o_orderpriority") === p, 1L).otherwise(0L))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bucket("1-URGENT").as("n_urgent"),
+        bucket("2-HIGH").as("n_high"),
+        bucket("3-MEDIUM").as("n_medium"),
+        bucket("4-NOT SPECIFIED").as("n_notspec"),
+        bucket("5-LOW").as("n_low"),
+        count(lit(1)).as("n_total"))
+  }
+
+  private val casePivotSql = {
+    def b(p: String, a: String) =
+      s"cast(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) as bigint) AS $a"
+    s"""SELECT o_orderstatus,
+       |  ${b("1-URGENT", "n_urgent")},
+       |  ${b("2-HIGH", "n_high")},
+       |  ${b("3-MEDIUM", "n_medium")},
+       |  ${b("4-NOT SPECIFIED", "n_notspec")},
+       |  ${b("5-LOW", "n_low")},
+       |  $oCount AS n_total
+       |FROM orders
+       |GROUP BY o_orderstatus""".stripMargin
+  }
+
+  // ----------------------------------------------------------- having
+
+  /** HAVING over a broadcast dim join: nations with more than three
+    * customers. */
+  def havingNations(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        xavg(col("c_acctbal"), 2).as("avg_acctbal"))
+      .filter(col("n_customers") > 3)
+
+  private val havingNationsSql =
+    s"""SELECT n_name, $oCount AS n_customers,
+       |  ${oAvg("c_acctbal", 2)} AS avg_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |HAVING count(*) > 3""".stripMargin
+
+  // ---------------------------------------------------------- set ops
+
+  /** UNION ALL / INTERSECT / EXCEPT: urgent orders split by whether
+    * they contain a near-full-quantity line item. */
+  def unionSet(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("okey"))
+    val bigQty = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 48.0)
+      .select(col("l_orderkey").as("okey"))
+    urgent.intersect(bigQty).withColumn("src", lit("both"))
+      .unionAll(urgent.except(bigQty).withColumn("src", lit("orders_only")))
+  }
+
+  private val unionSetSql =
+    """SELECT okey, 'both' AS src FROM (
+      |  SELECT o_orderkey AS okey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT
+      |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48.0)
+      |UNION ALL
+      |SELECT okey, 'orders_only' AS src FROM (
+      |  SELECT o_orderkey AS okey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT
+      |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48.0)""".stripMargin
+
+  // ----------------------------------------------------- string funcs
+
+  /** String-function surface over part (all codegen'd builtins). */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      length(col("p_name")).as("name_len"),
+      col("p_brand").like("%1%").as("brand_has_1"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  substring(p_type, 1, 5) AS type_prefix,
+      |  cast(length(p_name) as int) AS name_len,
+      |  p_brand LIKE '%1%' AS brand_has_1,
+      |  concat_ws('/', p_brand, p_type) AS brand_type
+      |FROM part""".stripMargin
+
+  // ------------------------------------------------------- date funcs
+
+  /** Date-part extraction + aggregation by (year, quarter). */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        xsum(col("o_totalprice"), 2).as("total_price"))
+
+  private val dateFuncsSql =
+    s"""SELECT cast(year(o_orderdate) as int) AS o_year,
+       |  cast(quarter(o_orderdate) as int) AS o_quarter,
+       |  $oCount AS n_orders,
+       |  ${oSum("o_totalprice", 2)} AS total_price
+       |FROM orders
+       |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------- distinct agg
+
+  /** Exact multi-column distinct counts (Catalyst expands to a
+    * two-stage expand+agg; at 100 TB switch to approx_count_distinct
+    * when ±2% is acceptable — kept exact here for the oracle). */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  private val distinctAggSql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------- json extract
+
+  /** Semi-structured extraction: pull `k` out of the JSON props
+    * column with a codegen'd regexp (the reference parses JSON API
+    * payloads, etl_job.py:101-137), then aggregate per bucket. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k_val",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .filter(col("k_val").isNotNull)
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        xsum(col("value"), 2).as("sum_value"))
+
+  private val jsonExtractSql =
+    s"""SELECT cast(try_cast(regexp_extract(props, '"k": (\\d+)', 1) as int) % 10 as int) AS k_bucket,
+       |  $oCount AS n,
+       |  ${oSum("value", 2)} AS sum_value
+       |FROM events
+       |WHERE try_cast(regexp_extract(props, '"k": (\\d+)', 1) as int) IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------- correlated subquery (join)
+
+  /** "Orders above their customer's average" — the correlated
+    * subquery decorrelated the way a distributed engine wants it: one
+    * aggregate pass + a key join, with the average computed exactly so
+    * the > boundary is deterministic across engines/partitionings. */
+  def corrSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg(xavg(col("o_totalprice"), 2).as("cust_avg"))
+    o.join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  private val corrSubquerySql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice
+       |FROM orders
+       |JOIN (SELECT o_custkey AS ck, ${oAvg("o_totalprice", 2)} AS cust_avg
+       |      FROM orders GROUP BY o_custkey) a
+       |  ON o_custkey = ck
+       |WHERE o_totalprice > cust_avg""".stripMargin
+
+  // ------------------------------------------------------- salted agg
+
+  /** Skew-resistant aggregation: pre-aggregate on (key, salt) so one
+    * hot user_id spreads over 8 reducers, then combine the (already
+    * integer-scaled, hence exact) partials. Oracle is the plain
+    * aggregate — same answer by construction. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val partial = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(sum(round(col("value") * 100.0).cast("long")).as("pv"),
+        count(lit(1)).as("pc"))
+    partial.groupBy(col("user_id"))
+      .agg((sum(col("pv")).cast("double") / 100.0).as("total_value"),
+        sum(col("pc")).as("n_events"))
+  }
+
+  private val saltedAggSql =
+    s"""SELECT user_id,
+       |  ${oSum("value", 2)} AS total_value,
+       |  $oCount AS n_events
+       |FROM events
+       |GROUP BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- maps
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _)
-  )
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_topk_orders" -> (topkOrders _),
+    "q_window_running" -> (windowRunning _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_rollup_nation" -> (rollupNation _),
+    "q_case_pivot" -> (casePivot _),
+    "q_having" -> (havingNations _),
+    "q_union_set" -> (unionSet _),
+    "q_string_funcs" -> (stringFuncs _),
+    "q_date_funcs" -> (dateFuncs _),
+    "q_distinct_agg" -> (distinctAgg _),
+    "q_json_extract" -> (jsonExtract _),
+    "q_corr_subquery" -> (corrSubquery _),
+    "q_salted_agg" -> (saltedAgg _))
 
   val oracle: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1Sql
-  )
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q_topk_orders" -> topkOrdersSql,
+    "q_window_running" -> windowRunningSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_rollup_nation" -> rollupNationSql,
+    "q_case_pivot" -> casePivotSql,
+    "q_having" -> havingNationsSql,
+    "q_union_set" -> unionSetSql,
+    "q_string_funcs" -> stringFuncsSql,
+    "q_date_funcs" -> dateFuncsSql,
+    "q_distinct_agg" -> distinctAggSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_corr_subquery" -> corrSubquerySql,
+    "q_salted_agg" -> saltedAggSql)
 }
