@@ -18,11 +18,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries ++ EtlOps.queries
+    RelationalOps.queries ++ EtlOps.queries ++ DedupOps.queries ++
+      AnnOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check
     * (those operators are ScalaTest-verified instead). */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracle ++ EtlOps.oracle
+    RelationalOps.oracle ++ EtlOps.oracle ++ DedupOps.oracle ++
+      AnnOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{text, vector}
+
+/** §2.C — deduplication suite over `documents` / `embeddings`.
+  *
+  * The reference dedups one telemetry row per hour by key lookup
+  * (etl_job.py:227-237); a 100 TB training-data pipeline needs the
+  * content-level generalizations. Every pairwise operator here is
+  * BLOCKED — candidate pairs only form inside a bucket (shared
+  * shingle, LSH band, SimHash chunk, hyperplane cell), so the shuffle
+  * is O(n·buckets) and per-bucket fan-out is bounded by a document-
+  * frequency cap, never O(n²) global.
+  */
+object DedupOps {
+
+  // ------------------------------------------------------ exact dedup
+
+  /** Exact dedup on whitespace-normalized text: hash-groupBy keeping
+    * the smallest doc_id. One shuffle on the normalized text (at
+    * 100 TB: on xxhash64(text) with the text kept only for the
+    * in-group min — identical result). */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  private[operators] val exactSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin
+
+  // ------------------------------------------------ shingle machinery
+
+  private val NGram = 2
+  private val JaccardTau = 0.2
+  /** df cap: shingles seen in more than this many docs are dropped
+    * from candidate generation AND from the jaccard universe (both
+    * sides of the oracle apply it) — bounds per-bucket pair fan-out. */
+  private val MaxDf = 100
+
+  /** (doc_id, shingle) exploded, distinct, df-capped. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select("sh")
+    sh.join(rare, "sh")
+  }
+
+  private def shingleSetsSqlCte: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, len(t) - ${NGram - 2}), i -> t[i] || ' ' || t[i+1])) AS sh
+       |  FROM toks WHERE len(t) >= $NGram),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MaxDf),
+       |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh))""".stripMargin
+
+  // ----------------------------------------------- n-gram jaccard
+
+  /** Token-bigram Jaccard dedup: candidates via shared-shingle join
+    * (bucket-local), exact |∩|/|∪| ≥ τ verification. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+  }
+
+  private[operators] val ngramJaccardSql =
+    s"""WITH $shingleSetsSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $oCountAlias AS n_shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau""".stripMargin
+
+  private def oCountAlias = "cast(count(*) as bigint)"
+
+  // ------------------------------------------------------- minhash lsh
+
+  private val MinHashK = 64
+  private val Bands = 16 // r = 4 rows per band
+
+  /** 64-perm MinHash → 16-band LSH → bucket-join candidates → exact
+    * Jaccard ≥ τ verification. The signature is computed in one
+    * narrow pass (array_min over per-seed xxhash64 of the shingle
+    * array); only (band, hash) pairs shuffle. Verification re-joins
+    * the shingle sets for the surviving candidates only. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docsSh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        text.shingles(text.tokens(col("text")), NGram).as("shs"))
+      .filter(size(col("shs")) > 0)
+
+    // signature[i] = min over shingles of xxhash64(shingle, i)
+    val sigCols: Seq[Column] = (0 until MinHashK).map { i =>
+      array_min(transform(col("shs"), sh => xxhash64(sh, lit(i))))
+    }
+    val withSig = docsSh.select(col("doc_id"), array(sigCols: _*).as("sig"))
+
+    // band hash j = xxhash64 over the r rows of band j
+    val r = MinHashK / Bands
+    val bandCols: Seq[Column] = (0 until Bands).map { j =>
+      val rows = (0 until r).map(k => col("sig").getItem(j * r + k))
+      struct(lit(j).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+    val banded = withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    // exact verification on the candidate set only
+    val sh = shingleSets(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------- simhash
+
+  private val HammingMax = 3
+  private val SimHashChunks = 4 // pigeonhole: ham<=3 ⇒ ≥1 of 4 16-bit chunks equal
+
+  /** 64-bit SimHash over token hashes; near-dup pairs with hamming
+    * distance ≤ 3 found exactly via the 4-chunk pigeonhole blocking
+    * (a pair within distance 3 MUST agree on one chunk, so recall is
+    * 100% — no approximation). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per-bit signed counts in ONE aggregation
+    val bitSums: Seq[Column] = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _)
+    val signed = agg.select(col("doc_id"), sig.as("sig"))
+
+    val chunks = (0 until SimHashChunks).map { j =>
+      struct(lit(j).as("ci"), shiftright(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("cv"))
+    }
+    val blocked = signed
+      .select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+
+    blocked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("ci"), col("cv"))
+      .join(blocked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("ci"), col("cv")), Seq("ci", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= HammingMax)
+  }
+
+  // ------------------------------------------------ embedding near-dup
+
+  private val CosTau = 0.4
+  private val NPlanes = 16
+  private val EmbBands = 8 // 2 planes per band
+
+  /** Deterministic random hyperplanes (seeded, generated at plan
+    * build — the plan itself is the same on every run/executor). */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private[operators] def planeSignBit(emb: Column, plane: Array[Double], dim: Int): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    when(vector.dot(emb, planeCol) >= 0.0, 1L).otherwise(0L)
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ τ via random-hyperplane LSH
+    * banding (8 bands × 2 bits), exact cosine verification inside
+    * buckets. Approximate by design: recall is 1-(1-p^r)^b with
+    * p = 1 - θ/π; ScalaTest measures it against brute force. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val dim = 64
+    val planes = hyperplanes(NPlanes, dim)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      (planeSignBit(col("embedding"), p, dim) * lit(1L << i)).as(s"bit$i")
+    }
+    val sig = e.select(col("vec_id"), col("embedding"),
+      bits.toSeq.reduce[Column](_ + _).as("sig"))
+
+    val perBand = NPlanes / EmbBands
+    val bandCols = (0 until EmbBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), j * perBand).bitwiseAND((1L << perBand) - 1).as("bv"))
+    }
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("embedding"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+
+    banded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("band"), col("bv"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "ea", "eb").distinct()
+      .withColumn("cosine", vector.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= CosTau)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  // ------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding" -> (embeddingNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql)
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** §2.F — multimodal column plumbing.
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` payload
+  * column plus a typed metadata struct — the layout a 100 TB
+  * multimodal corpus uses. The decode/feature-extract stage runs as a
+  * per-partition batch pass (`mapPartitions` over a typed Dataset:
+  * the Scala analogue of `mapInPandas` — one iterator per partition,
+  * arbitrary native code per batch). The decoder itself is a
+  * clearly-marked deterministic FAKE (no media libs in this
+  * environment); everything around it — schema, binary payloads,
+  * partitioning, batch iteration — is real and oracle-checked.
+  */
+object MultimodalOps {
+
+  /** Typed rows crossing the decode boundary. */
+  case class MediaIn(doc_id: Long, payload: Array[Byte], lang: String, n_chars: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                           n_frames: Int, format: String)
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic
+    * pure function of the payload bytes so the DuckDB oracle can
+    * reproduce it; a real deployment swaps only this function. */
+  private def fakeDecode(m: MediaIn): MediaFeatures = {
+    val n = m.payload.length
+    MediaFeatures(m.doc_id, n,
+      width = n % 640, height = (n * 3) % 480, n_frames = n % 24 + 1,
+      format = "fake")
+  }
+
+  /** documents → binary payload + metadata → per-partition batch
+    * decode → feature table. Repartitioned on doc_id so decode
+    * parallelism is even regardless of source file layout. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("lang"), col("n_chars"))
+      .repartition(col("doc_id"))
+      .as[MediaIn]
+    media.mapPartitions(_.map(fakeDecode)).toDF()
+  }
+
+  private val binaryMetaSql =
+    """SELECT doc_id,
+      |  cast(octet_length(encode(text)) as int) AS n_bytes,
+      |  cast(octet_length(encode(text)) % 640 as int) AS width,
+      |  cast((octet_length(encode(text)) * 3) % 480 as int) AS height,
+      |  cast(octet_length(encode(text)) % 24 + 1 as int) AS n_frames,
+      |  'fake' AS format
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (binaryMeta _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" -> binaryMetaSql)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.text
+
+/** §2.E — text analysis over `documents`.
+  *
+  * All four operators are narrow maps (no shuffle at all): at 100 TB
+  * they stream through the corpus at scan speed, fully inside
+  * whole-stage codegen. Tokenization/scoring shapes are mirrored in
+  * the DuckDB oracles where SQL can express them.
+  */
+object TextOps {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single other
+    * non-space chars — the standard regex shape used before byte-pair
+    * merges. */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  // ------------------------------------------------------ token count
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(text.tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .as("n_bpe_tokens"),
+      length(col("text")).as("text_len"))
+
+  private val tokenCountSql =
+    s"""SELECT doc_id,
+       |  cast(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) as int) AS n_ws_tokens,
+       |  cast(len(regexp_extract_all(lower(text), '$BpePattern')) as int) AS n_bpe_tokens,
+       |  cast(length(text) as int) AS text_len
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------- quality
+
+  /** Quality score: length saturation, stopword ratio, type-token
+    * ratio — the reference's 0-1000/0-100 range-check idea
+    * (etl_job.py:51-72) generalized to content quality. All integer
+    * counts divided once at the end, so both engines agree exactly. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(text.stopwords: _*))).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    val ttr = when(nTok > 0, nUniq / nTok).otherwise(0.0)
+    val lenSat = least(nTok / 20.0, lit(1.0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("int").as("n_tokens"),
+      stopRatio.as("stop_ratio"),
+      ttr.as("type_token_ratio"),
+      (lenSat * 0.4 + stopRatio * 0.3 + ttr * 0.3).as("quality"))
+  }
+
+  private val qualitySql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val stopList = text.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    cast(len(toks) as double) AS n_tok,
+       |    cast(len(list_filter(toks, x -> list_contains($stopList, x))) as double) AS n_stop,
+       |    cast(len(list_distinct(toks)) as double) AS n_uniq
+       |  FROM t)
+       |SELECT doc_id,
+       |  cast(n_tok as int) AS n_tokens,
+       |  CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END AS type_token_ratio,
+       |  (least(n_tok / 20.0, 1.0) * 0.4
+       |   + (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 0.3
+       |   + (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END) * 0.3) AS quality
+       |FROM m""".stripMargin
+  }
+
+  // ---------------------------------------------------------- lang id
+
+  /** Stopword-profile language ID (n-gram heuristic): score each
+    * candidate language by profile-token hits, argmax with a
+    * deterministic tiebreak. Rows-only oracle (the scoring tables
+    * aren't worth expressing in SQL); TextSpec pins golden outputs. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "on"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit"),
+      "es" -> Seq("el", "la", "de", "y", "es", "en", "los", "con"),
+      "fr" -> Seq("le", "la", "de", "et", "est", "en", "les", "avec"),
+      "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "人"))
+    val toks = text.tokens(col("text"))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max score, lexicographically
+    // larger lang on ties — deterministic
+    val best = array_max(array(scored: _*))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("pred_score"))
+  }
+
+  // ------------------------------------------------------ fingerprint
+
+  /** Polynomial rolling-hash fingerprint of the full text (mod 1e9+7)
+    * — the content-identity primitive the exact-dedup path builds on. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      text.rollingHash(col("text")).as("fp"),
+      length(col("text")).as("text_len"))
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(cast(0 as bigint),
+      |      list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+      |  cast(length(text) as int) AS text_len
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (tokenCount _),
+    "text_quality" -> (quality _),
+    "text_lang_id" -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  val oracle: Map[String, String] = Map(
+    "text_token_count" -> tokenCountSql,
+    "text_quality" -> qualitySql,
+    "text_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.OracleDsl._
+import graft.functions.exact._
+
+/** §2.G — streaming semantics (the reference ingests a live feed
+  * hourly; etl_job.py:96-137). Each operator here has a batch
+  * evaluation (below — what Verify/the oracle check: Structured
+  * Streaming's mantra is that a streaming query returns what the
+  * batch query would) and a true `readStream` path exercised in
+  * StreamingSpec with MemoryStream + watermarks/state.
+  */
+object StreamingOps {
+
+  // -------------------------------------------------- tumbling window
+
+  /** 6h tumbling-window counts/sums per event type — the streaming
+    * rollup of the reference's hourly telemetry. Batch form uses the
+    * same `window()` expression the streaming query runs with a
+    * watermark; the oracle reproduces the epoch-aligned bucket
+    * arithmetic explicitly. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  private val tumblingSql =
+    s"""SELECT date_trunc('day', ts) + cast(floor(hour(ts) / 6) * 6 as bigint) * INTERVAL 1 HOUR
+       |    AS window_start,
+       |  event_type, $oCount AS n_events, ${oSum("value", 2)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------ sessionize
+
+  private val GapMinutes = 30
+
+  /** Gap-based sessionization: a session break is a ≥30-min silence
+    * per user. Batch form = lag + running sum of breaks (one shuffle
+    * on user_id); the streaming form in StreamingSpec keeps the same
+    * session state in flatMapGroupsWithState. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wSeq))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr(s"INTERVAL $GapMinutes MINUTES"), 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        xsum(col("value"), 2).as("sum_value"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts > lag(ts) OVER w + INTERVAL $GapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_id
+       |  FROM marked)
+       |SELECT user_id, cast(session_id as bigint) AS session_id,
+       |  $oCount AS n_events,
+       |  cast(min(ts) as timestamp) AS session_start,
+       |  cast(max(ts) as timestamp) AS session_end,
+       |  ${oSum("value", 2)} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (tumbling _),
+    "stream_sessionize" -> (sessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" -> tumblingSql,
+    "stream_sessionize" -> sessionizeSql)
+}
