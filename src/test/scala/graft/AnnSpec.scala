@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AnnOps
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.orderBy("query_id", "rank").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+
+  private lazy val exact = asMap(AnnOps.bruteForce(spark, sf))
+
+  test("brute force returns k ranked neighbors per query, no self-matches") {
+    val bf = AnnOps.bruteForce(spark, sf)
+    assert(bf.count() == 5 * 10)
+    assert(bf.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // ranks are 1..10 per query
+    val ranks = bf.groupBy("query_id").agg(collect_list("rank")).collect()
+    ranks.foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 10)))
+  }
+
+  test("lsh results rank true neighbors consistently and recall is reasonable") {
+    val got = asMap(AnnOps.lsh(spark, sf))
+    assert(got.keySet == exact.keySet)
+    val recalls = exact.map { case (q, nbrs) =>
+      got(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean lsh recall@10 = $mean")
+  }
+
+  test("ivf probe-4-of-16 recall is reasonable") {
+    val got = asMap(AnnOps.ivf(spark, sf))
+    assert(got.keySet == exact.keySet)
+    val recalls = exact.map { case (q, nbrs) =>
+      got(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean ivf recall@10 = $mean")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
+
+class EtlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("validate marks every event row with consistent flags") {
+    val v = EtlOps.validate(spark, sf)
+    val n = Tables.events(spark, sf).count()
+    assert(v.count() == n)
+    // is_valid must equal the conjunction of the individual flags
+    val bad = v.filter(col("is_valid") =!= (col("value_present") &&
+      col("value_in_range") && col("type_known") && col("ts_present"))).count()
+    assert(bad == 0)
+  }
+
+  test("dedup_hour keeps exactly one earliest row per hour") {
+    val d = EtlOps.dedupHour(spark, sf)
+    assert(d.groupBy("hour_ts").count().filter(col("count") > 1).count() == 0)
+    // kept row's ts is the minimum of its hour
+    val ev = Tables.events(spark, sf)
+      .withColumn("hour_ts", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      .groupBy("hour_ts").agg(min("ts").as("min_ts"))
+    val mismatch = d.join(ev, "hour_ts").filter(col("ts") =!= col("min_ts")).count()
+    assert(mismatch == 0)
+  }
+
+  test("recent_runs returns 10 rows in strictly descending order") {
+    val rows = EtlOps.recentRuns(spark, sf).collect()
+    assert(rows.length == 10)
+    val ts = rows.map(_.getAs[java.time.LocalDateTime]("ts"))
+    assert(ts.sliding(2).forall { case Array(a, b) => !a.isBefore(b) })
+  }
+
+  test("freshness: exactly the rows older than max-2h are stale") {
+    val f = EtlOps.freshness(spark, sf)
+    val total = f.count()
+    val stale = f.filter(col("is_stale")).count()
+    assert(total > 0 && stale > 0 && stale < total)
+  }
+}

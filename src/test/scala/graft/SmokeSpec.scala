@@ -16,13 +16,13 @@ class SmokeSpec extends AnyFunSuite {
     }
   }
 
-  test("events nanosecond timestamps read as microsecond TimestampType") {
+  test("events nanosecond timestamps read as microsecond TIMESTAMP_NTZ") {
     val s = TestSession.spark
     val ev = Tables.events(s, TestSession.sf)
     val f = ev.schema("ts").dataType
-    assert(f == org.apache.spark.sql.types.TimestampType, s"got $f")
-    val mx = ev.selectExpr("max(ts)").collect()(0).getTimestamp(0)
-    assert(mx.toString.startsWith("2024-01-"), s"got $mx")
+    assert(f == org.apache.spark.sql.types.TimestampNTZType, s"got $f")
+    val mx = ev.selectExpr("max(ts)").collect()(0).get(0).toString
+    assert(mx.startsWith("2024-01-"), s"got $mx")
   }
 
   test("entry returns rows") {

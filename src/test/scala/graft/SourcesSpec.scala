@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** §2.H — source/sink coverage: parquet (primary), csv, json,
+  * partitioned writes. Round-trips preserve row counts and values. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  test("csv round-trip preserves orders") {
+    val o = Tables.orders(spark, sf)
+    val dir = tmp("csv")
+    o.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() == o.count())
+    val sumA = o.agg(sum(round(col("o_totalprice") * 100).cast("long"))).first.getLong(0)
+    val sumB = back.agg(sum(round(col("o_totalprice") * 100).cast("long"))).first.getLong(0)
+    assert(sumA == sumB)
+  }
+
+  test("json round-trip preserves documents") {
+    val d = Tables.documents(spark, sf)
+    val dir = tmp("json")
+    d.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == d.count())
+    assert(back.agg(sum("n_chars")).first.getLong(0) ==
+      d.agg(sum("n_chars")).first.getLong(0))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val e = Tables.events(spark, sf).withColumn("etype", col("event_type"))
+    val dir = tmp("part")
+    e.write.mode("overwrite").partitionBy("etype").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("etype") === "error")
+    assert(one.count() == e.filter(col("event_type") === "error").count())
+    // partition pruning visible in the plan: no other partitions scanned
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || one.inputFiles.forall(_.contains("etype=error")))
+  }
+
+  test("parquet writes round-trip timestamps losslessly") {
+    val e = Tables.events(spark, sf).select("event_id", "ts")
+    val dir = tmp("ts")
+    e.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.join(e.withColumnRenamed("ts", "ts0"), "event_id")
+      .filter(col("ts") =!= col("ts0")).count() == 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{StreamSessionize, StreamingOps}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = TestSession.sf
+
+  test("streaming tumbling-window agg equals the batch operator (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = streamDf.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n_events"))
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingOps.tumbling(spark, sf)
+        .select(col("window_start"), col("event_type"), col("n_events"))
+        .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches the batch window-function form") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"), col("value"))
+      .as[StreamSessionize.EvIn].collect().toSeq
+    val mem = MemoryStream[StreamSessionize.EvIn]
+    val sessions = StreamSessionize(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select("user_id", "session_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // the stream emits CLOSED sessions; batch ground truth = all
+      // sessions minus each user's final (still-open) one
+      val batch = StreamingOps.sessionize(spark, sf)
+      val lastPerUser = batch.groupBy("user_id")
+        .agg(max("session_id").as("last_sid"))
+      val closedBatch = batch.join(lastPerUser, "user_id")
+        .filter(col("session_id") < col("last_sid"))
+        .select("user_id", "session_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == closedBatch)
+    } finally q.stop()
+  }
+}
