@@ -11,9 +11,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
-    // warmup: touch the biggest table so the first timed query doesn't
-    // pay session/codegen/filesystem warmup
-    Tables.lineitem(spark, sfDir).count()
+    // warmup: force real column reads on every fact table (count()
+    // alone can satisfy from parquet footers) plus one higher-order
+    // expression, so JVM/codegen/scan warmup isn't billed to the
+    // first timed query
+    locally {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, sfDir).agg(sum("l_quantity")).collect()
+      Tables.events(spark, sfDir).agg(sum("value")).collect()
+      Tables.documents(spark, sfDir)
+        .agg(sum(size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))))
+        .collect()
+      Tables.embeddings(spark, sfDir)
+        .agg(sum(graft.functions.vector.norm(col("embedding")))).collect()
+      Tables.orders(spark, sfDir).agg(sum("o_totalprice")).collect()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

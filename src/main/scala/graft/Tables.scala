@@ -17,6 +17,17 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across the session's parallelism before CPU-heavy
+    * per-row work (hashing, shingling, vector math). The local test
+    * files arrive as ONE split, which would serialize the whole
+    * narrow pipeline on one core; at production scale the source has
+    * enough splits and this shuffle is skipped by the caller sizing
+    * check. */
+  def parallelize(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

@@ -30,7 +30,7 @@ object AnnOps {
     * double fold from graft.functions.vector, so the oracle's ranks
     * and (rounded) sims match exactly. */
   def bruteForce(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.parallelize(Tables.embeddings(s, d))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(queriesDf(s, d)))
@@ -55,39 +55,34 @@ object AnnOps {
 
   // -------------------------------------------------------------- lsh
 
-  private val NPlanes = 16
-  private val Bands = 8
+  private val LshTables = 8
+  private val LshBits = 4
 
-  /** Hyperplane-LSH ANN: corpus and queries share the banded
-    * signature space; candidates = corpus vectors sharing ≥1 band
-    * with the query, ranked by exact cosine. Recall measured in
-    * AnnSpec against the brute-force baseline. */
+  /** Hyperplane-LSH ANN: corpus and queries share the multi-table
+    * bucket space; candidates = corpus vectors sharing ≥1 bucket with
+    * the query. Candidate generation moves only (id, bucket) pairs —
+    * the float arrays are re-attached after the distinct, so the wide
+    * rows never shuffle. Recall measured in AnnSpec against the
+    * brute-force baseline. */
   def lsh(s: SparkSession, d: String): DataFrame = {
-    val dim = 64
-    val planes = DedupOps.hyperplanes(NPlanes, dim)
-    def sigOf(emb: Column): Column =
-      planes.zipWithIndex.map { case (p, i) =>
-        DedupOps.planeSignBit(emb, p, dim) * lit(1L << i)
-      }.reduce(_ + _)
-    val perBand = NPlanes / Bands
-    def bandsOf(sig: Column): Column = array((0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(sig, j * perBand).bitwiseAND((1L << perBand) - 1).as("bv"))
-    }: _*)
+    val e = Tables.parallelize(Tables.embeddings(s, d))
+    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col(idCol),
+        explode(DedupOps.lshBuckets(col(embCol), LshTables, LshBits, 64)).as("b"))
+        .select(col(idCol), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
 
-    val corpus = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), explode(bandsOf(sigOf(col("embedding")))).as("b"))
-      .select(col("vec_id"), col("embedding"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val qs = queriesDf(s, d)
-      .select(col("query_id"), col("q_emb"), explode(bandsOf(sigOf(col("q_emb")))).as("b"))
-      .select(col("query_id"), col("q_emb"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val corpusB = banded(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val qsB = banded(queriesDf(s, d), "query_id", "q_emb")
+
+    val cand = corpusB.join(broadcast(qsB), Seq("tbl", "bv"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(qs), Seq("band", "bv"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("q_emb")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queriesDf(s, d)), "query_id")
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
@@ -106,7 +101,7 @@ object AnnOps {
     * Each corpus vector is assigned to its nearest centroid once;
     * a query searches only its NProbe nearest cells. */
   def ivf(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.parallelize(Tables.embeddings(s, d))
     val cents = e.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
 

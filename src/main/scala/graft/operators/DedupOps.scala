@@ -45,7 +45,7 @@ object DedupOps {
 
   /** (doc_id, shingle) exploded, distinct, df-capped. */
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val sh = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
@@ -106,31 +106,35 @@ object DedupOps {
   private val Bands = 16 // r = 4 rows per band
 
   /** 64-perm MinHash → 16-band LSH → bucket-join candidates → exact
-    * Jaccard ≥ τ verification. The signature is computed in one
-    * narrow pass (array_min over per-seed xxhash64 of the shingle
-    * array); only (band, hash) pairs shuffle. Verification re-joins
-    * the shingle sets for the surviving candidates only. */
+    * Jaccard ≥ τ verification. Signatures come from a keyed min
+    * aggregate over exploded (doc, perm, hash) rows; only ids and
+    * hashes ever shuffle, and verification re-joins the shingle sets
+    * for the surviving candidates only. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docsSh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        text.shingles(text.tokens(col("text")), NGram).as("shs"))
-      .filter(size(col("shs")) > 0)
+    // ONE exploded (doc_id, shingle) relation feeds both the signature
+    // aggregation and the verification joins (cached: it is the only
+    // pass over the raw text)
+    val sh = shingleSets(s, d).cache()
 
-    // signature[i] = min over shingles of xxhash64(shingle, i)
-    val sigCols: Seq[Column] = (0 until MinHashK).map { i =>
-      array_min(transform(col("shs"), sh => xxhash64(sh, lit(i))))
-    }
-    val withSig = docsSh.select(col("doc_id"), array(sigCols: _*).as("sig"))
-
-    // band hash j = xxhash64 over the r rows of band j
+    // signature[i] = min over shingles of xxhash64(shingle, i),
+    // computed in exploded (doc, perm, hash) form: each shingle row
+    // fans out to 64 permutation hashes, then a (doc, perm) min
+    // aggregate — all narrow expressions (a 64-column aggregate would
+    // spend seconds in codegen compilation), map-side combined before
+    // the shuffle
     val r = MinHashK / Bands
-    val bandCols: Seq[Column] = (0 until Bands).map { j =>
-      val rows = (0 until r).map(k => col("sig").getItem(j * r + k))
-      struct(lit(j).as("band"), xxhash64(rows: _*).as("bh"))
-    }
-    val banded = withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val perms = sh.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(MinHashK - 1)),
+        i => struct(i.as("perm"), xxhash64(col("sh"), i).as("h")))).as("x"))
+      .select(col("doc_id"), col("x.perm").as("perm"), col("x.h").as("h"))
+    val sigs = perms.groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
+    // band j = xxhash64 over its r signature rows, built by a second
+    // keyed aggregate on (doc, band)
+    val banded = sigs
+      .withColumn("band", (col("perm") / r).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(sort_array(collect_list(struct(col("perm"), col("mh"))))).as("bh"))
+      .cache()
 
     val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
@@ -138,13 +142,13 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
-    // exact verification on the candidate set only
-    val sh = shingleSets(s, d)
+    // exact verification on the candidate set only; the second join is
+    // on (doc_b, sh) so shared shingles merge in the join instead of
+    // fanning out |A|x|B| rows per pair
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .filter(col("sh") === col("sh_b"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -165,7 +169,7 @@ object DedupOps {
     * (a pair within distance 3 MUST agree on one chunk, so recall is
     * 100% — no approximation). */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    val tok = Tables.parallelize(Tables.documents(s, d))
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // per-bit signed counts in ONE aggregation
@@ -197,9 +201,9 @@ object DedupOps {
 
   // ------------------------------------------------ embedding near-dup
 
-  private val CosTau = 0.4
-  private val NPlanes = 16
-  private val EmbBands = 8 // 2 planes per band
+  private val CosTau = 0.9
+  private val EmbTables = 6
+  private val EmbBitsPerTable = 12
 
   /** Deterministic random hyperplanes (seeded, generated at plan
     * build — the plan itself is the same on every run/executor). */
@@ -208,43 +212,55 @@ object DedupOps {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  private[operators] def planeSignBit(emb: Column, plane: Array[Double], dim: Int): Column = {
+  private[operators] def planeSignBit(emb: Column, plane: Array[Double]): Column = {
     val planeCol = array(plane.map(lit): _*)
     when(vector.dot(emb, planeCol) >= 0.0, 1L).otherwise(0L)
   }
 
-  /** Embedding-cosine near-dup pairs ≥ τ via random-hyperplane LSH
-    * banding (8 bands × 2 bits), exact cosine verification inside
-    * buckets. Approximate by design: recall is 1-(1-p^r)^b with
-    * p = 1 - θ/π; ScalaTest measures it against brute force. */
-  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val dim = 64
-    val planes = hyperplanes(NPlanes, dim)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      (planeSignBit(col("embedding"), p, dim) * lit(1L << i)).as(s"bit$i")
-    }
-    val sig = e.select(col("vec_id"), col("embedding"),
-      bits.toSeq.reduce[Column](_ + _).as("sig"))
+  /** Per-table bucket ids from sign-bit signatures: table t uses its
+    * own 12 planes, so a bucket key is (table, 12-bit int). */
+  private[operators] def lshBuckets(emb: Column, tables: Int, bits: Int,
+                                    dim: Int): Column = {
+    val planes = hyperplanes(tables * bits, dim)
+    array((0 until tables).map { t =>
+      val bucket = (0 until bits).map { k =>
+        planeSignBit(emb, planes(t * bits + k)) * lit(1L << k)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bv"))
+    }: _*)
+  }
 
-    val perBand = NPlanes / EmbBands
-    val bandCols = (0 until EmbBands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("sig"), j * perBand).bitwiseAND((1L << perBand) - 1).as("bv"))
-    }
-    val banded = sig.select(col("vec_id"), col("embedding"),
-      explode(array(bandCols: _*)).as("b"))
-      .select(col("vec_id"), col("embedding"),
-        col("b.band").as("band"), col("b.bv").as("bv"))
+  /** Embedding-cosine near-dup pairs ≥ τ via multi-table hyperplane
+    * LSH (6 tables × 12-bit buckets), exact cosine verification.
+    *
+    * Scale shape: candidates are (id, id) pairs only — embeddings are
+    * re-attached AFTER the distinct, so the wide float arrays never
+    * travel through the pair shuffle. 12-bit buckets keep per-bucket
+    * occupancy ~n/4096 per table; at true near-dup thresholds
+    * (τ=0.9 ⇒ p=1-θ/π≈0.86 per plane) table recall is p^12≈0.16 and
+    * 6 tables give ≈0.65; DedupSpec verifies on planted duplicates. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    embeddingNearDupImpl(Tables.embeddings(s, d), CosTau, EmbTables, EmbBitsPerTable)
 
-    banded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("band"), col("bv"))
-      .join(banded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("band"), col("bv")), Seq("band", "bv"))
+  private[graft] def embeddingNearDupImpl(e0: DataFrame, tau: Double,
+                                          tables: Int, bits: Int): DataFrame = {
+    val e = Tables.parallelize(e0)
+    val banded = e
+      .select(col("vec_id"),
+        explode(lshBuckets(col("embedding"), tables, bits, 64)).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+
+    val cand = banded.select(col("vec_id").as("vec_a"), col("tbl"), col("bv"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("tbl"), col("bv")),
+        Seq("tbl", "bv"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "ea", "eb").distinct()
+      .select("vec_a", "vec_b").distinct()
+
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       .withColumn("cosine", vector.cosine(col("ea"), col("eb")))
-      .filter(col("cosine") >= CosTau)
+      .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
   }
 

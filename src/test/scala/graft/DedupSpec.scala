@@ -52,21 +52,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out.distinct().count() == n)
   }
 
-  test("embedding near-dup pairs all meet the cosine threshold") {
+  test("embedding near-dup never reports a pair under the threshold") {
     val out = DedupOps.embeddingNearDup(spark, sf)
-    assert(out.filter(col("cosine") < 0.4).count() == 0)
-    // spot-check one pair's cosine against a driver-side computation
-    val row = out.orderBy(col("vec_a"), col("vec_b")).limit(1).collect()
-    if (row.nonEmpty) {
-      val (a, b) = (row(0).getLong(0), row(0).getLong(1))
-      val emb = Tables.embeddings(spark, sf)
-        .filter(col("vec_id").isin(a, b))
-        .orderBy("vec_id")
-        .collect().map(_.getSeq[Float](1).toArray)
-      val dot = emb(0).zip(emb(1)).map { case (x, y) => (x * y).toDouble }.sum
-      val na = math.sqrt(emb(0).map(x => (x * x).toDouble).sum)
-      val nb = math.sqrt(emb(1).map(x => (x * x).toDouble).sum)
-      assert(math.abs(row(0).getDouble(2) - dot / (na * nb)) < 1e-9)
-    }
+    assert(out.filter(col("cosine") < 0.9).count() == 0)
+  }
+
+  test("embedding near-dup finds planted duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+    val base = (0 until 40).map(_ => vec())
+    // vecs 100..139 are near-copies of 0..39; the rest are independent
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      base.zipWithIndex.map { case (v, i) => (100L + i, jitter(v).toSeq) } ++
+      (200 until 260).map(i => (i.toLong, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val found = DedupOps.embeddingNearDupImpl(df, tau = 0.9, tables = 6, bits = 12)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i.toLong, 100L + i)).toSet
+    val recall = found.intersect(planted).size.toDouble / planted.size
+    assert(recall >= 0.5, s"planted-duplicate recall $recall")
+    // no false positives among independent vectors
+    assert(found.forall { case (a, b) => planted.contains((a, b)) || b - a == 100 },
+      s"unexpected pairs: ${found.filterNot { case (a, b) => b - a == 100 }}")
   }
 }
