@@ -28,6 +28,8 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as raw Long and let Tables.events convert to μs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native expressions (cosine_sim) available in SQL
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters
+  * (Spark 4 removed the public `Column.expr`/`new Column(expr)`
+  * surface when the Connect split landed). Packaged under
+  * org.apache.spark.sql on purpose — the standard pattern for
+  * libraries that add native Catalyst expressions. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
