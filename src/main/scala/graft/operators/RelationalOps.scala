@@ -425,6 +425,46 @@ object RelationalOps {
        |FROM events
        |GROUP BY user_id""".stripMargin
 
+  // -------------------------------------------------------- asof join
+
+  /** AS-OF join: each purchase event matched to the user's most
+    * recent error event at-or-before it — the telemetry lookup the
+    * reference's hour-key check approximates (etl_job.py:227-237),
+    * done properly for time series.
+    *
+    * Spark-first composition (preference (a) — no custom plan node
+    * needed): union both sides tagged, one shuffle on user_id, and a
+    * running `max(error_ts)` window — the classic distributed as-of
+    * shape (sort-merge within partition, no point lookups). Oracle:
+    * DuckDB's native ASOF JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("event_id"), col("value"))
+    // at equal ts the error (tag 0) sorts first, so "at-or-before"
+    // includes simultaneous readings — matching ASOF's >= semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errors.unionAll(purchases)
+      .withColumn("last_error_ts",
+        max(when(col("tag") === 0, col("ts"))).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("last_error_ts"))
+  }
+
+  private val asofJoinSql =
+    """SELECT p.event_id, p.user_id, cast(p.ts as timestamp) AS ts, p.value,
+      |       cast(e.ts as timestamp) AS last_error_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -444,7 +484,8 @@ object RelationalOps {
     "q_distinct_agg" -> (distinctAgg _),
     "q_json_extract" -> (jsonExtract _),
     "q_corr_subquery" -> (corrSubquery _),
-    "q_salted_agg" -> (saltedAgg _))
+    "q_salted_agg" -> (saltedAgg _),
+    "q_asof_join" -> (asofJoin _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -463,5 +504,6 @@ object RelationalOps {
     "q_distinct_agg" -> distinctAggSql,
     "q_json_extract" -> jsonExtractSql,
     "q_corr_subquery" -> corrSubquerySql,
-    "q_salted_agg" -> saltedAggSql)
+    "q_salted_agg" -> saltedAggSql,
+    "q_asof_join" -> asofJoinSql)
 }

@@ -10,6 +10,7 @@ by name, sort rows, compare cell-by-cell (exact; floats must be
 bit-identical — the engine's exact-sum discipline makes that hold).
 """
 import duckdb, json, sys, glob, os, math
+import pandas as pd
 
 def canon(df):
     cols = sorted(df.columns)
@@ -44,8 +45,11 @@ def main():
         for c in got.columns:
             g, e = got[c].tolist(), exp[c].tolist()
             for i, (a, b) in enumerate(zip(g, e)):
-                if a != b and not (isinstance(a, float) and isinstance(b, float)
-                                   and math.isnan(a) and math.isnan(b)):
+                try:
+                    both_na = bool(pd.isna(a)) and bool(pd.isna(b))
+                except (TypeError, ValueError):
+                    both_na = False
+                if a != b and not both_na:
                     d = abs(a - b) if isinstance(a, (int, float)) and isinstance(b, (int, float)) else None
                     bad = (c, i, a, b, d); break
             if bad: break
