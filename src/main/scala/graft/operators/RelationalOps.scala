@@ -425,6 +425,24 @@ object RelationalOps {
        |FROM events
        |GROUP BY user_id""".stripMargin
 
+  // --------------------------------------------------------- sketches
+
+  /** Sketch aggregates — the 100 TB substitutes for exact distinct
+    * counts and sorted percentiles: HyperLogLog++ and a quantile
+    * sketch, both mergeable partials (no global sort, no expand).
+    * Rows-only oracle (sketch internals are engine-specific);
+    * RelationalSpec bounds the error against exact answers. */
+  def approxStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("approx_p95_price"))
+
   // -------------------------------------------------------- asof join
 
   /** AS-OF join: each purchase event matched to the user's most
@@ -485,7 +503,8 @@ object RelationalOps {
     "q_json_extract" -> (jsonExtract _),
     "q_corr_subquery" -> (corrSubquery _),
     "q_salted_agg" -> (saltedAgg _),
-    "q_asof_join" -> (asofJoin _))
+    "q_asof_join" -> (asofJoin _),
+    "q_approx_stats" -> (approxStats _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,

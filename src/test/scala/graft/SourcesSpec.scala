@@ -45,6 +45,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || one.inputFiles.forall(_.contains("etype=error")))
   }
 
+  test("orc round-trip preserves lineitem aggregates") {
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val dir = tmp("orc")
+    l.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == l.count())
+    assert(back.agg(sum(round(col("l_quantity") * 100).cast("long"))).first.getLong(0) ==
+      l.agg(sum(round(col("l_quantity") * 100).cast("long"))).first.getLong(0))
+  }
+
   test("parquet writes round-trip timestamps losslessly") {
     val e = Tables.events(spark, sf).select("event_id", "ts")
     val dir = tmp("ts")

@@ -37,6 +37,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append mode with watermark emits exactly the closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 $h%02d:30:00")
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Seq((ts(1), 1.0), (ts(2), 2.0), (ts(7), 3.0)))
+      q.processAllAvailable() // watermark -> 06:30: closes ONLY 00-06
+      val early = spark.table("wm_out")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      mem.addData(Seq((ts(20), 4.0)))
+      q.processAllAvailable() // watermark -> 19:30: closes 06-12 too
+      val rows = spark.table("wm_out")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(early == Set(("2024-02-01 00:00:00", 2L)),
+        s"expected only the 00-06 window after the first watermark: $early")
+      assert(rows == Set(("2024-02-01 00:00:00", 2L), ("2024-02-01 06:00:00", 1L)), rows)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window-function form") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Tables.events(spark, sf)
