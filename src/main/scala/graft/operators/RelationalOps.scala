@@ -425,6 +425,140 @@ object RelationalOps {
        |FROM events
        |GROUP BY user_id""".stripMargin
 
+  // ------------------------------------------------- q6 forecast rev
+
+  /** TPC-H Q6-style: pure filter + single exact sum — the minimal
+    * scan-dominated query (everything pushes to the parquet reader). */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(xsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q6Sql =
+    s"""SELECT ${oSum("l_extendedprice*l_discount", 4)} AS revenue,
+       |  $oCount AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |  AND l_shipdate < timestamp '1997-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  // ------------------------------------------------ q14 promo revenue
+
+  /** TPC-H Q14-style: broadcast part join + conditional revenue
+    * ratio (the reference's CASE WHEN percentage pattern). */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e4)
+      .cast("long")
+    val promoRev = sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0L))
+      .cast("double") / 1e4
+    val totalRev = sum(rev).cast("double") / 1e4
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg((promoRev * 100.0 / totalRev).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q14Sql = {
+    val rev = "cast(round(l_extendedprice*(1.0 - l_discount)*1e4) as bigint)"
+    s"""SELECT (cast(cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE 0 END) as bigint) as double)/1e4) * 100.0
+       |  / (cast(cast(sum($rev) as bigint) as double)/1e4) AS promo_revenue_pct,
+       |  $oCount AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+       |  AND l_shipdate < timestamp '1997-04-01 00:00:00'""".stripMargin
+  }
+
+  // -------------------------------------------- q18 volume customers
+
+  /** TPC-H Q18-style: orders whose total quantity exceeds a
+    * threshold, with customer context — aggregate-then-join so the
+    * big groupBy happens before any wide rows exist. */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(xsum(col("l_quantity"), 2).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    bigOrders
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  private val q18Sql =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+       |FROM (SELECT l_orderkey, ${oSum("l_quantity", 2)} AS total_qty
+       |      FROM lineitem GROUP BY l_orderkey) b
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE total_qty > 150.0""".stripMargin
+
+  // ----------------------------------------------------------- funnel
+
+  /** Signup→purchase conversion funnel per user: first signup, first
+    * purchase at-or-after it, conversion flag. Two partial-aggregated
+    * scans + one key join — no windows over the full event stream. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    signups
+      .join(purchases, Seq("user_id"), "left")
+      .filter(col("p_ts").isNull || col("p_ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("p_ts")).as("first_purchase_ts"))
+      .withColumn("converted", col("first_purchase_ts").isNotNull)
+  }
+
+  private val funnelSql =
+    """WITH s AS (
+      |  SELECT user_id, cast(min(ts) as timestamp) AS signup_ts
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, cast(ts as timestamp) AS p_ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT s.user_id, s.signup_ts,
+      |  min(p.p_ts) AS first_purchase_ts,
+      |  min(p.p_ts) IS NOT NULL AS converted
+      |FROM s LEFT JOIN p ON s.user_id = p.user_id AND p.p_ts >= s.signup_ts
+      |GROUP BY s.user_id, s.signup_ts""".stripMargin
+
+  // ----------------------------------------------------------- cohort
+
+  /** Cohort retention: users grouped by first-seen day, distinct
+    * active users per (cohort_day, day_offset). Two shuffles: the
+    * first-seen aggregate and the cohort matrix. */
+  def cohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  private val cohortSql =
+    """WITH f AS (
+      |  SELECT user_id, cast(min(ts) as date) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, cast(ts as date) AS day FROM events)
+      |SELECT cohort_day,
+      |  cast(date_diff('day', cohort_day, day) as int) AS day_offset,
+      |  count(DISTINCT a.user_id) AS active_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   // --------------------------------------------------------- sketches
 
   /** Sketch aggregates — the 100 TB substitutes for exact distinct
@@ -504,7 +638,12 @@ object RelationalOps {
     "q_corr_subquery" -> (corrSubquery _),
     "q_salted_agg" -> (saltedAgg _),
     "q_asof_join" -> (asofJoin _),
-    "q_approx_stats" -> (approxStats _))
+    "q_approx_stats" -> (approxStats _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q18_big_orders" -> (q18BigOrders _),
+    "q_funnel" -> (funnel _),
+    "q_cohort" -> (cohort _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -524,5 +663,10 @@ object RelationalOps {
     "q_json_extract" -> jsonExtractSql,
     "q_corr_subquery" -> corrSubquerySql,
     "q_salted_agg" -> saltedAggSql,
-    "q_asof_join" -> asofJoinSql)
+    "q_asof_join" -> asofJoinSql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q18_big_orders" -> q18Sql,
+    "q_funnel" -> funnelSql,
+    "q_cohort" -> cohortSql)
 }
