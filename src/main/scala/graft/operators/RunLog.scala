@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** ETL run-metadata tracking — the reference's `etl_runs` table
+  * (etl_job.py:152-182: status, rows_inserted, execution_time_ms,
+  * error_message) as a Spark-native pipeline wrapper.
+  *
+  * `RunLog.timed` executes a pipeline stage (any DataFrame → sink
+  * action), measures it, and appends one run record to an append-only
+  * parquet log — the same schema the reference keeps in Postgres.
+  * Append-mode parquet keeps the log write contention-free on a
+  * cluster (one small file per run; compact periodically). The
+  * monitoring queries over it are the reference's own
+  * (success-rate-per-day: EtlOps.successRate shape). */
+object RunLog {
+
+  case class Run(run_timestamp: Timestamp, name: String, status: String,
+                 rows_inserted: Long, execution_time_ms: Long,
+                 error_message: Option[String])
+
+  /** Run `stage`, append its outcome to `logDir`. Returns the row
+    * count on success; the failure record is written BEFORE the
+    * exception propagates (mirroring the reference's rollback+log
+    * path, etl_job.py:269-274). */
+  def timed(spark: SparkSession, logDir: String, name: String)
+           (stage: => DataFrame): Long = {
+    val t0 = System.nanoTime()
+    def ms = (System.nanoTime() - t0) / 1000000L
+    try {
+      val out = stage
+      val n = out.count()
+      append(spark, logDir, Run(now(), name, "success", n, ms, None))
+      n
+    } catch {
+      case e: Throwable =>
+        append(spark, logDir,
+          Run(now(), name, "failure", 0L, ms, Some(String.valueOf(e.getMessage))))
+        throw e
+    }
+  }
+
+  private def now() = new Timestamp(System.currentTimeMillis())
+
+  private def append(spark: SparkSession, logDir: String, run: Run): Unit = {
+    import spark.implicits._
+    Seq(run).toDS().write.mode(SaveMode.Append).parquet(logDir)
+  }
+
+  /** The reference's monitoring query over the log
+    * (README.md:553-563): per-day run counts, success rate, mean
+    * latency. */
+  def successReport(spark: SparkSession, logDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(logDir)
+      .groupBy(to_date(col("run_timestamp")).as("day"))
+      .agg(
+        count(lit(1)).as("total_runs"),
+        sum(when(col("status") === "success", 1L).otherwise(0L)).as("successful_runs"),
+        round(sum(when(col("status") === "success", 1L).otherwise(0L)) * 100.0 /
+          count(lit(1)), 2).as("success_rate_pct"),
+        avg(col("execution_time_ms")).as("avg_execution_ms"))
+  }
+}
