@@ -559,6 +559,29 @@ object RelationalOps {
       |FROM a JOIN f ON a.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------- custom topk-per-key
+
+  /** Top-3 orders per customer through the CUSTOM TopKPerKey physical
+    * operator (graft.plans): bounded per-key heaps instead of a full
+    * window sort. Oracle = the equivalent row_number window — the
+    * custom operator must reproduce it exactly. */
+  def topkPerKey(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.topk
+    topk.perKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq("o_custkey"),
+      order = Seq(topk.Order("o_totalprice", ascending = false),
+        topk.Order("o_orderkey")),
+      k = 3)
+  }
+
+  private val topkPerKeySql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  cast(row_number() OVER (PARTITION BY o_custkey
+      |       ORDER BY o_totalprice DESC, o_orderkey) as int) AS rank
+      |FROM orders
+      |QUALIFY rank <= 3""".stripMargin
+
   // --------------------------------------------------------- sketches
 
   /** Sketch aggregates — the 100 TB substitutes for exact distinct
@@ -643,7 +666,8 @@ object RelationalOps {
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_big_orders" -> (q18BigOrders _),
     "q_funnel" -> (funnel _),
-    "q_cohort" -> (cohort _))
+    "q_cohort" -> (cohort _),
+    "q_topk_per_key" -> (topkPerKey _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -668,5 +692,6 @@ object RelationalOps {
     "q14_promo_revenue" -> q14Sql,
     "q18_big_orders" -> q18Sql,
     "q_funnel" -> funnelSql,
-    "q_cohort" -> cohortSql)
+    "q_cohort" -> cohortSql,
+    "q_topk_per_key" -> topkPerKeySql)
 }

@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))))
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan over a DataFrame's analyzed plan. */
+  def ofPlan(df: DataFrame,
+             f: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =>
+               org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession, f(ds.logicalPlan))
+  }
 }

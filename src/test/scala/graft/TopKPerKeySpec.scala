@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.topk
+
+class TopKPerKeySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  private def custom = topk.perKey(
+    Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+    keys = Seq("o_custkey"),
+    order = Seq(topk.Order("o_totalprice", ascending = false), topk.Order("o_orderkey")),
+    k = 3)
+
+  test("custom operator equals the window-function formulation") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = custom.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
+  test("plan uses TopKPerKeyExec with a single key exchange, no sort") {
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Sort "), s"unexpected sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("unknown column errors clearly") {
+    val e = intercept[IllegalArgumentException] {
+      topk.perKey(Tables.orders(spark, sf), Seq("nope"), Seq(topk.Order("o_orderkey")), 2)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
