@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ EtlOps.queries ++ DedupOps.queries ++
       AnnOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      graft.streaming.StreamingOps.queries
+      IngestOps.queries ++ graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check
@@ -28,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EtlOps.oracle ++ DedupOps.oracle ++
       AnnOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
-      graft.streaming.StreamingOps.oracle
+      IngestOps.oracle ++ graft.streaming.StreamingOps.oracle
 }
