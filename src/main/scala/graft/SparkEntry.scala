@@ -12,15 +12,19 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the clean-corpus composite — quality scoring → near-dup
+    * clustering → representative selection, the end-to-end product of
+    * the text/dedup operator families. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalOps.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    CorpusOps.cleanCorpus(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ EtlOps.queries ++ DedupOps.queries ++
       AnnOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      IngestOps.queries ++ graft.streaming.StreamingOps.queries
+      IngestOps.queries ++ CorpusOps.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check

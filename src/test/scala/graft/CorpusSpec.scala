@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, DedupOps}
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = TestSession.sf
+
+  test("clusters equal a driver-side union-find over the same pairs") {
+    val pairs = DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // reference union-find
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(x => x -> find(x)).toMap
+    val got = CorpusOps.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("synthetic chain graph converges to one cluster") {
+    // a path 1-2-3-...-8 has diameter 7: exercises multiple rounds
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = CorpusOps.clustersFromPairs(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("clean corpus keeps one representative per cluster and passes quality") {
+    val cc = CorpusOps.cleanCorpus(spark, sf)
+    val n = cc.count()
+    assert(n > 0 && n <= Tables.documents(spark, sf).count())
+    assert(cc.filter(col("quality") < 0.5).count() == 0)
+    // representatives only: doc_id == cluster_id is implied by keep
+    val dupPairs = DedupOps.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = cc.select("doc_id").collect().map(_.getLong(0)).toSet
+    dupPairs.foreach { case (a, b) =>
+      assert(!(kept.contains(a) && kept.contains(b)),
+        s"near-dup pair ($a,$b) both kept")
+    }
+  }
+}
