@@ -95,15 +95,37 @@ object AnnOps {
   private val NCells = 16
   private val NProbe = 4
 
-  /** IVF ANN: coarse quantizer = the 16 lowest-vec_id vectors
-    * (deterministic seeding stands in for k-means — the plumbing is
-    * identical: broadcast centroids, argmin assignment, probe-N).
-    * Each corpus vector is assigned to its nearest centroid once;
-    * a query searches only its NProbe nearest cells. */
+  /** One k-means refinement sweep: assign every vector to its nearest
+    * centroid, then replace each centroid with the element-wise mean
+    * of its members — computed distributed via posexplode →
+    * (cell, dim) average → re-assembled arrays. Two shuffles per
+    * iteration, all narrow expressions. */
+  private def kmeansStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist", -vector.cosine(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("embedding"))
+    assigned
+      .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell_id", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell_id"),
+        expr("transform(dm, x -> cast(x.m as float))").as("c_emb"))
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: centroids seeded from
+    * the 16 lowest-vec_id vectors, refined by two distributed k-means
+    * sweeps, then the classic probe-N search: each corpus vector is
+    * assigned to its nearest centroid once; a query searches only its
+    * NProbe nearest cells. */
   def ivf(s: SparkSession, d: String): DataFrame = {
     val e = Tables.parallelize(Tables.embeddings(s, d))
-    val cents = e.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val seed = e.filter(col("vec_id") < NCells)
+      .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("c_emb"))
+    val cents = kmeansStep(e, kmeansStep(e, seed)).cache()
 
     // corpus assignment: argmin over broadcast centroids
     val wAssign = Window.partitionBy(col("vec_id"))
