@@ -19,7 +19,14 @@ object topk {
     * Columns are resolved by name against the input's analyzed plan —
     * custom logical nodes don't get the analyzer's ColumnNode
     * resolution, so the node is built fully resolved. */
-  def perKey(df: DataFrame, keys: Seq[String], order: Seq[Order], k: Int): DataFrame =
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[Order], k: Int): DataFrame = {
+    // self-contained: ensure the planner strategy is present even on a
+    // session built without GraftExtensions
+    val session = df.sparkSession
+    if (!session.experimental.extraStrategies.contains(graft.plans.TopKStrategy)) {
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    }
     GraftColumnBridge.ofPlan(df, child => {
       val byName = child.output.map(a => a.name -> a).toMap
       def attr(n: String) = byName.getOrElse(n,
@@ -31,4 +38,5 @@ object topk {
       TopKPerKeyNode(keys.map(attr), sortOrders, k,
         TopKPerKeyNode.rankAttribute(), child)
     })
+  }
 }

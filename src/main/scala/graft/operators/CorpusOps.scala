@@ -25,31 +25,70 @@ object CorpusOps {
     clustersFromPairs(Tables.documents(s, d).select("doc_id"), pairs)
   }
 
-  private[graft] def clustersFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).cache()
-    var converged = false
-    var round = 0
-    while (!converged && round < 10) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
-        .filter(col("lbl") =!= col("old_lbl")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      round += 1
-    }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-      (col("doc_id") === col("lbl")).as("is_kept"))
+  /** Edge count below which the component resolution collapses to a
+    * driver-side union-find: O(E α(E)) on one core beats ~diameter
+    * distributed rounds when the pair graph fits trivially in memory
+    * (near-dup graphs after blocking are a vanishing fraction of the
+    * corpus). Above it, the distributed min-label loop runs — and
+    * only over the pair-connected vertices, never the whole corpus;
+    * untouched documents are their own cluster by construction. */
+  private val DriverUnionFindMaxEdges = 1000000L
+
+  private[graft] def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
+      driverMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val nEdges = p.count()
+
+    val connectedLabels: DataFrame =
+      if (nEdges <= driverMaxEdges) {
+        // driver fast path: exact union-find over the (small) pair set
+        val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = parent.getOrElseUpdate(x, x)
+          if (r != x) { r = find(r); parent(x) = r }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.toSeq.map(x => (x, find(x))).toDF("doc_id", "lbl")
+      } else {
+        // distributed min-label propagation over the connected subgraph
+        val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .cache()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("lbl")).cache()
+        var converged = false
+        var round = 0
+        while (!converged && round < 20) {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+            .groupBy(col("dst").as("doc_id"))
+            .agg(min(col("lbl")).as("nbr_lbl"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+            .cache()
+          val changed = next.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
+            .filter(col("lbl") =!= col("old_lbl")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          round += 1
+        }
+        labels
+      }
+
+    docs.select(col("doc_id"))
+      .join(connectedLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_id"))
   }
 
   /** The flagship composite: quality-filter → near-dup cluster →

@@ -28,13 +28,16 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("synthetic chain graph converges to one cluster") {
-    // a path 1-2-3-...-8 has diameter 7: exercises multiple rounds
-    val docs = (1L to 8L).toDF("doc_id")
+  test("synthetic chain graph converges to one cluster (distributed path forced)") {
+    // a path 1-2-3-...-8 has diameter 7: exercises multiple rounds of
+    // the distributed min-label loop (driverMaxEdges=0 disables the
+    // driver union-find fast path)
+    val docs = (1L to 10L).toDF("doc_id") // 9,10 isolated
     val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = CorpusOps.clustersFromPairs(docs, pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.values.toSet == Set(1L))
+    val got = CorpusOps.clustersFromPairs(docs, pairs, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(got(_) == 1L))
+    assert(got(9L) == 9L && got(10L) == 10L)
   }
 
   test("clean corpus keeps one representative per cluster and passes quality") {
