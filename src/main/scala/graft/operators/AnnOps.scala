@@ -31,14 +31,23 @@ object AnnOps {
     * and (rounded) sims match exactly. */
   def bruteForce(s: SparkSession, d: String): DataFrame = {
     val e = Tables.parallelize(Tables.embeddings(s, d))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    e.crossJoin(broadcast(queriesDf(s, d)))
+    val scored = e.crossJoin(broadcast(queriesDf(s, d)))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+      .select("query_id", "vec_id", "cos")
+    rankTopK(scored, "vec_id")
+  }
+
+  /** Final ranking through the CUSTOM TopKPerKeyExec operator
+    * (bounded per-key heaps — no partition sort); identical output
+    * contract to a row_number window over (cos desc, id asc). */
+  private def rankTopK(scored: DataFrame, idCol: String): DataFrame = {
+    import graft.functions.topk
+    topk.perKey(scored,
+      keys = Seq("query_id"),
+      order = Seq(topk.Order("cos", ascending = false), topk.Order(idCol)),
+      k = K)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
   }
 
@@ -78,16 +87,12 @@ object AnnOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    cand
+    val scored = cand
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(queriesDf(s, d)), "query_id")
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, "neighbor_id")
   }
 
   // -------------------------------------------------------------- ivf
@@ -101,12 +106,14 @@ object AnnOps {
     * (cell, dim) average → re-assembled arrays. Two shuffles per
     * iteration, all narrow expressions. */
   private def kmeansStep(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell_id"))
+    // argmin as ONE aggregate: min of struct(dist, cell_id) is the
+    // lexicographic minimum -- deterministic tiebreak, no window sort
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("dist", -vector.cosine(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cell_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("best.cell_id").as("cell_id"), col("embedding"))
     assigned
       .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cell_id", "dim").agg(avg(col("v")).as("m"))
@@ -128,34 +135,29 @@ object AnnOps {
     val cents = kmeansStep(e, kmeansStep(e, seed)).cache()
 
     // corpus assignment: argmin over broadcast centroids
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cell_id"))
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("dist", -vector.cosine(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("best.cell_id").as("cell_id"))
 
-    // query probes: NProbe nearest cells
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("cell_id"))
-    val probes = queriesDf(s, d).crossJoin(broadcast(cents))
-      .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    // query probes: NProbe nearest cells (K=NProbe heap per query)
+    val probes = graft.functions.topk.perKey(
+      queriesDf(s, d).crossJoin(broadcast(cents))
+        .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
+        .select("query_id", "q_emb", "cell_id", "dist"),
+      keys = Seq("query_id"),
+      order = Seq(graft.functions.topk.Order("dist"),
+        graft.functions.topk.Order("cell_id")),
+      k = NProbe)
+      .select("query_id", "q_emb", "cell_id")
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), "cell_id")
+    val scored = assigned.join(broadcast(probes), "cell_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("embedding"), col("q_emb"))
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cosine"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+    rankTopK(scored, "neighbor_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
