@@ -83,11 +83,51 @@ object StreamingOps {
        |FROM sess
        |GROUP BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------- native session window
+
+  /** The same gap sessionization through Spark's NATIVE
+    * `session_window` operator (merging-window aggregation — the form
+    * a streaming query with watermark uses directly). Window bounds:
+    * start = first event, end = last event + gap; the oracle
+    * reproduces them from the window-function formulation. */
+  def sessionWindowNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  private val sessionWindowNativeSql =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts > lag(ts) OVER w + INTERVAL $GapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS session_id
+       |  FROM marked)
+       |SELECT user_id,
+       |  cast(min(ts) as timestamp) AS session_start,
+       |  cast(max(ts) as timestamp) + INTERVAL $GapMinutes MINUTE AS session_end,
+       |  $oCount AS n_events,
+       |  ${oSum("value", 2)} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
-    "stream_sessionize" -> (sessionize _))
+    "stream_sessionize" -> (sessionize _),
+    "stream_session_native" -> (sessionWindowNative _))
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
-    "stream_sessionize" -> sessionizeSql)
+    "stream_sessionize" -> sessionizeSql,
+    "stream_session_native" -> sessionWindowNativeSql)
 }

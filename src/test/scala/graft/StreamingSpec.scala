@@ -64,6 +64,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"),
+        col("event_type"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("e_id"), col("ts").as("e_ts"))
+
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memE = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sp = memP.toDF().toDF("p_user", "p_id", "p_ts").withWatermark("p_ts", "1 hour")
+    val se = memE.toDF().toDF("e_user", "e_id", "e_ts").withWatermark("e_ts", "1 hour")
+    val joined = sp.join(se,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("e_ts") <= col("p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      memP.addData(purch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq)
+      memE.addData(errs.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").select("p_id", "e_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = purch.join(errs,
+        col("p_user") === col("e_user") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("e_ts") <= col("p_ts"))
+        .select("p_id", "e_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("native session_window works under streaming with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:${m}%02d:00")
+      mem.addData(Seq((1L, t(0), 1.0), (1L, t(10), 1.0), (1L, t(55), 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 14:00:00"), 1.0)))
+      q.processAllAvailable() // watermark passes both earlier sessions
+      val rows = spark.table("sw_out").select("n").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == Seq(1L, 2L), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window-function form") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Tables.events(spark, sf)
