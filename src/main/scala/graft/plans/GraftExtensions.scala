@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))))
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => RewriteWindowTopK)
   }
 }
