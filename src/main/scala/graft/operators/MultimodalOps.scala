@@ -56,9 +56,45 @@ object MultimodalOps {
       |  'fake' AS format
       |FROM documents""".stripMargin
 
+  /** Frame sampling: every 4th frame of each (fake) video payload,
+    * exploded to one row per sampled frame with its byte offset — the
+    * shape a video-training pipeline feeds to a decoder. The frame
+    * count/size come from the deterministic fake decode (real decode
+    * would swap in here); the explode/offset plumbing is the real
+    * thing and scales as a narrow map. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val nBytes = octet_length(encode(col("text"), "UTF-8"))
+    val nFrames = nBytes % 24 + 1
+    val frameSize = floor(nBytes / nFrames).cast("int") // explicit floor: DuckDB's double->int cast rounds, Spark's truncates
+    Tables.documents(s, d)
+      .select(col("doc_id"), nBytes.as("n_bytes"), nFrames.as("n_frames"),
+        frameSize.as("frame_size"))
+      .select(col("doc_id"), col("n_frames"), col("frame_size"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * col("frame_size")).as("byte_offset"),
+        col("n_frames"))
+  }
+
+  private val frameSampleSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    cast(octet_length(encode(text)) as int) AS n_bytes,
+      |    cast(octet_length(encode(text)) % 24 + 1 as int) AS n_frames
+      |  FROM documents),
+      |f AS (SELECT doc_id, n_frames,
+      |        cast(floor(n_bytes / n_frames) as int) AS frame_size,
+      |        unnest(range(0, n_frames, 4)) AS frame_idx
+      |      FROM m)
+      |SELECT doc_id, cast(frame_idx as int) AS frame_idx,
+      |  cast(frame_idx * frame_size as int) AS byte_offset, n_frames
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (binaryMeta _))
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_frame_sample" -> (frameSample _))
 
   val oracle: Map[String, String] = Map(
-    "mm_binary_meta" -> binaryMetaSql)
+    "mm_binary_meta" -> binaryMetaSql,
+    "mm_frame_sample" -> frameSampleSql)
 }
