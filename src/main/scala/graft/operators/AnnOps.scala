@@ -74,7 +74,8 @@ object AnnOps {
     * rows never shuffle. Recall measured in AnnSpec against the
     * brute-force baseline. */
   def lsh(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.parallelize(Tables.embeddings(s, d))
+    // cached: banded candidate generation + cosine re-attachment
+    val e = Tables.parallelize(Tables.embeddings(s, d)).cache()
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col(idCol),
         explode(DedupOps.lshBuckets(col(embCol), LshTables, LshBits, 64)).as("b"))
@@ -129,7 +130,8 @@ object AnnOps {
     * assigned to its nearest centroid once; a query searches only its
     * NProbe nearest cells. */
   def ivf(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.parallelize(Tables.embeddings(s, d))
+    // cached: referenced by both k-means sweeps and the assignment
+    val e = Tables.parallelize(Tables.embeddings(s, d)).cache()
     val seed = e.filter(col("vec_id") < NCells)
       .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("c_emb"))
     val cents = kmeansStep(e, kmeansStep(e, seed)).cache()
