@@ -582,6 +582,42 @@ object RelationalOps {
       |FROM orders
       |QUALIFY rank <= 3""".stripMargin
 
+  // ---------------------------------------------------- null semantics
+
+  /** Null-semantics surface: outer join with unmatched rows,
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM), `count(col)`
+    * vs `count(*)` null skipping, and coalesce defaults — the subtle
+    * corners distributed SQL engines get wrong first. */
+  def nullSemantics(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        max(when(col("l_returnflag") === "R", col("l_returnflag"))).as("ret_flag"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("n_lines")).as("n_with_lines"),
+        sum(when(col("n_lines").isNull, 1L).otherwise(0L)).as("n_lineless"),
+        sum(when(col("ret_flag") <=> lit("R"), 1L).otherwise(0L)).as("n_returned"),
+        sum(coalesce(col("n_lines"), lit(0L))).as("total_lines"))
+  }
+
+  private val nullSemanticsSql =
+    s"""SELECT o_orderstatus,
+       |  $oCount AS n_orders,
+       |  cast(count(n_lines) as bigint) AS n_with_lines,
+       |  cast(sum(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) as bigint) AS n_lineless,
+       |  cast(sum(CASE WHEN ret_flag IS NOT DISTINCT FROM 'R' THEN 1 ELSE 0 END) as bigint) AS n_returned,
+       |  cast(sum(coalesce(n_lines, 0)) as bigint) AS total_lines
+       |FROM orders
+       |LEFT JOIN (SELECT l_orderkey, cast(count(*) as bigint) AS n_lines,
+       |             max(CASE WHEN l_returnflag = 'R' THEN l_returnflag END) AS ret_flag
+       |           FROM lineitem GROUP BY l_orderkey) li
+       |  ON o_orderkey = l_orderkey
+       |GROUP BY o_orderstatus""".stripMargin
+
   // --------------------------------------------------------- sketches
 
   /** Sketch aggregates — the 100 TB substitutes for exact distinct
@@ -667,7 +703,8 @@ object RelationalOps {
     "q18_big_orders" -> (q18BigOrders _),
     "q_funnel" -> (funnel _),
     "q_cohort" -> (cohort _),
-    "q_topk_per_key" -> (topkPerKey _))
+    "q_topk_per_key" -> (topkPerKey _),
+    "q_null_semantics" -> (nullSemantics _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -693,5 +730,6 @@ object RelationalOps {
     "q18_big_orders" -> q18Sql,
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
-    "q_topk_per_key" -> topkPerKeySql)
+    "q_topk_per_key" -> topkPerKeySql,
+    "q_null_semantics" -> nullSemanticsSql)
 }
