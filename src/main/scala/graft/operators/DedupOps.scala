@@ -213,7 +213,7 @@ object DedupOps {
   }
 
   private[operators] def planeSignBit(emb: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit): _*)
+    val planeCol = array(plane.toIndexedSeq.map(lit): _*)
     when(vector.dot(emb, planeCol) >= 0.0, 1L).otherwise(0L)
   }
 
