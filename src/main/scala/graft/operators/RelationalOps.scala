@@ -582,6 +582,69 @@ object RelationalOps {
       |FROM orders
       |QUALIFY rank <= 3""".stripMargin
 
+  // ---------------------------------------------------- grouping sets
+
+  /** Explicit GROUPING SETS at three grains in one pass (the
+    * generalization of q_rollup_nation's ROLLUP). */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        xsum(col("o_totalprice"), 2).as("total_price"))
+
+  private val groupingSetsSql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  $oCount AS n_orders,
+       |  ${oSum("o_totalprice", 2)} AS total_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), ())""".stripMargin
+
+  // -------------------------------------------------------- histogram
+
+  /** Fixed-width value histogram over events (50-unit buckets) —
+    * single-pass, partial-aggregated. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 50.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        xsum(col("value"), 2).as("sum_value"))
+
+  private val histogramSql =
+    s"""SELECT cast(floor(value / 50.0) as int) AS bucket,
+       |  $oCount AS n,
+       |  ${oSum("value", 2)} AS sum_value
+       |FROM events
+       |GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------------- native pivot
+
+  /** The DataFrame `pivot()` API (priority counts per status);
+    * missing combinations coalesced to 0 to match the CASE-based
+    * oracle. */
+  def pivotNative(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val pivoted = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    pivoted.select(col("o_orderstatus") +:
+      prios.map(p => coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
+  }
+
+  private val pivotNativeSql = {
+    def b(p: String) =
+      s"""cast(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) as bigint) AS "$p""""
+    s"""SELECT o_orderstatus,
+       |  ${b("1-URGENT")}, ${b("2-HIGH")}, ${b("3-MEDIUM")},
+       |  ${b("4-NOT SPECIFIED")}, ${b("5-LOW")}
+       |FROM orders
+       |GROUP BY o_orderstatus""".stripMargin
+  }
+
   // ---------------------------------------------------- null semantics
 
   /** Null-semantics surface: outer join with unmatched rows,
@@ -704,7 +767,10 @@ object RelationalOps {
     "q_funnel" -> (funnel _),
     "q_cohort" -> (cohort _),
     "q_topk_per_key" -> (topkPerKey _),
-    "q_null_semantics" -> (nullSemantics _))
+    "q_null_semantics" -> (nullSemantics _),
+    "q_grouping_sets" -> (groupingSets _),
+    "q_histogram" -> (histogram _),
+    "q_pivot" -> (pivotNative _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -731,5 +797,8 @@ object RelationalOps {
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
     "q_topk_per_key" -> topkPerKeySql,
-    "q_null_semantics" -> nullSemanticsSql)
+    "q_null_semantics" -> nullSemanticsSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_histogram" -> histogramSql,
+    "q_pivot" -> pivotNativeSql)
 }
