@@ -582,6 +582,47 @@ object RelationalOps {
       |FROM orders
       |QUALIFY rank <= 3""".stripMargin
 
+  // -------------------------------------------------------- lead/lag
+
+  /** Inter-event arrival deltas per user (lead/lag windows) — the
+    * event-stream health metric behind the reference's freshness
+    * check. Gap is exact integer microseconds. */
+  def interEvent(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_seconds",
+        when(col("prev_ts").isNotNull,
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp"))).cast("double") / 1e6))
+      .select("user_id", "event_id", "ts", "gap_seconds")
+  }
+
+  private val interEventSql =
+    """SELECT user_id, event_id, cast(ts as timestamp) AS ts,
+      |  CASE WHEN lag(ts) OVER w IS NOT NULL
+      |       THEN cast(epoch_us(ts) - epoch_us(lag(ts) OVER w) as double) / 1e6
+      |  END AS gap_seconds
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // ------------------------------------------------------------ ntile
+
+  /** Spend quartiles per nation (ntile over a total order). */
+  def ntileQuartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .select("c_nationkey", "c_custkey", "c_acctbal", "quartile")
+  }
+
+  private val ntileQuartilesSql =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  cast(ntile(4) OVER (PARTITION BY c_nationkey
+      |       ORDER BY c_acctbal, c_custkey) as int) AS quartile
+      |FROM customer""".stripMargin
+
   // ---------------------------------------------------- grouping sets
 
   /** Explicit GROUPING SETS at three grains in one pass (the
@@ -770,7 +811,9 @@ object RelationalOps {
     "q_null_semantics" -> (nullSemantics _),
     "q_grouping_sets" -> (groupingSets _),
     "q_histogram" -> (histogram _),
-    "q_pivot" -> (pivotNative _))
+    "q_pivot" -> (pivotNative _),
+    "q_inter_event" -> (interEvent _),
+    "q_ntile" -> (ntileQuartiles _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -800,5 +843,7 @@ object RelationalOps {
     "q_null_semantics" -> nullSemanticsSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_histogram" -> histogramSql,
-    "q_pivot" -> pivotNativeSql)
+    "q_pivot" -> pivotNativeSql,
+    "q_inter_event" -> interEventSql,
+    "q_ntile" -> ntileQuartilesSql)
 }
