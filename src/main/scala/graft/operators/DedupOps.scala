@@ -247,7 +247,8 @@ object DedupOps {
 
   private[graft] def embeddingNearDupImpl(e0: DataFrame, tau: Double,
                                           tables: Int, bits: Int): DataFrame = {
-    val e = Tables.parallelize(e0)
+    // cached: referenced by the banding pass and both pair rejoins
+    val e = Tables.parallelize(e0).cache()
     val banded = e
       .select(col("vec_id"),
         explode(lshBuckets(col("embedding"), tables, bits, 64)).as("b"))
