@@ -35,6 +35,30 @@ class CompactionSpec extends AnyFunSuite {
     assert(checksumAfter == checksumBefore)
   }
 
+  test("file sink with checkpoint: stop/resume is exactly-once") {
+    val base = Files.createTempDirectory("graft_sink").toString
+    val (in, out, cp) = (s"$base/in", s"$base/out", s"$base/cp")
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    ev.filter(col("event_id") < 200).write.mode("append").parquet(in)
+    def start() = spark.readStream
+      .schema(spark.read.parquet(in).schema).parquet(in)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() == 200)
+    // new data lands while the query is DOWN; resume must pick up
+    // exactly the delta (checkpoint prevents reprocessing)
+    ev.filter(col("event_id") >= 200 && col("event_id") < 350)
+      .write.mode("append").parquet(in)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val outDf = spark.read.parquet(out)
+    assert(outDf.count() == 350)
+    assert(outDf.select("event_id").distinct().count() == 350, "duplicates after resume")
+  }
+
   test("file-based streaming source processes new files incrementally") {
     val dir = Files.createTempDirectory("graft_filestream").toString + "/in"
     val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
