@@ -162,11 +162,42 @@ object AnnOps {
     rankTopK(scored, "neighbor_id")
   }
 
+  // -------------------------------------------------- normalization
+
+  /** Unit-norm projection of the embedding column — the standard
+    * pre-ANN step (after it, cosine = dot product). The oracle
+    * compares scalar digests of the unit vector (head element and a
+    * sequential-fold sum, same shape both engines) rather than the
+    * raw array — array cells don't canonicalize in a row-sorted hash
+    * compare. */
+  def normalizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val nrm = vector.norm(col("embedding"))
+    val unit = transform(col("embedding"), x => x.cast("double") / nrm)
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      round(element_at(unit, 1), 6).as("unit_head"),
+      round(aggregate(unit, lit(0.0), (acc, v) => acc + v), 6).as("unit_sum"),
+      round(nrm, 6).as("l2_norm"))
+  }
+
+  private val normalizeEmbeddingsSql = {
+    val n = vector.sql.norm("embedding")
+    val unit = s"list_transform(embedding, x -> cast(x as double) / $n)"
+    s"""SELECT vec_id,
+       |  round($unit[1], 6) AS unit_head,
+       |  round(list_reduce(list_prepend(cast(0.0 as double), $unit),
+       |        (acc, v) -> acc + v), 6) AS unit_sum,
+       |  round($n, 6) AS l2_norm
+       |FROM embeddings""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
-    "ann_ivf" -> (ivf _))
+    "ann_ivf" -> (ivf _),
+    "emb_normalize" -> (normalizeEmbeddings _))
 
   val oracle: Map[String, String] = Map(
-    "ann_bruteforce" -> bruteForceSql)
+    "ann_bruteforce" -> bruteForceSql,
+    "emb_normalize" -> normalizeEmbeddingsSql)
 }

@@ -125,13 +125,40 @@ object TextOps {
       |  cast(length(text) as int) AS text_len
       |FROM documents""".stripMargin
 
+  /** Normalization materializer: lowercase, stopwords dropped,
+    * whitespace collapsed — the cleaned text a tokenizer consumes.
+    * Narrow map, zero shuffle. */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val kept = filter(toks, t => !t.isin(text.stopwords: _*))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat_ws(" ", kept).as("norm_text"),
+      size(toks).as("n_tokens_raw"),
+      size(kept).as("n_tokens_kept"))
+  }
+
+  private val normalizeSql = {
+    val stopList = text.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""SELECT doc_id,
+       |  array_to_string(list_filter($toks, x -> NOT list_contains($stopList, x)), ' ')
+       |    AS norm_text,
+       |  cast(len($toks) as int) AS n_tokens_raw,
+       |  cast(len(list_filter($toks, x -> NOT list_contains($stopList, x))) as int)
+       |    AS n_tokens_kept
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (normalize _),
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" -> normalizeSql,
     "text_token_count" -> tokenCountSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql)

@@ -15,6 +15,12 @@ import pandas as pd
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
+    # array cells (numpy arrays / lists) aren't sortable/hashable:
+    # canonicalize them to tuples first
+    for c in cols:
+        if df[c].map(lambda v: isinstance(v, (list,)) or hasattr(v, "tolist")).any():
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
+                              else (tuple(v) if isinstance(v, list) else v))
     df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     return df
 
