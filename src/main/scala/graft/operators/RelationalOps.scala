@@ -582,6 +582,38 @@ object RelationalOps {
       |FROM orders
       |QUALIFY rank <= 3""".stripMargin
 
+  // ------------------------------------------------------ first/last
+
+  /** First and last order per customer in ONE aggregate pass:
+    * min/max over struct(date, key, price) is a deterministic argmin/
+    * argmax (lexicographic, key breaks date ties) — no window, no
+    * sort, partial-aggregated. The oracle uses the equivalent
+    * full-frame first_value/last_value windows. */
+  def firstLast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .as("f"),
+        max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .as("l"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        col("f.o_orderdate").as("first_date"), col("f.o_totalprice").as("first_price"),
+        col("l.o_orderdate").as("last_date"), col("l.o_totalprice").as("last_price"),
+        col("n_orders"))
+
+  private val firstLastSql =
+    """SELECT DISTINCT o_custkey,
+      |  first_value(o_orderdate) OVER w AS first_date,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_orderdate) OVER w AS last_date,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  cast(count(*) OVER (PARTITION BY o_custkey) as bigint) AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   // -------------------------------------------------------- lead/lag
 
   /** Inter-event arrival deltas per user (lead/lag windows) — the
@@ -813,7 +845,8 @@ object RelationalOps {
     "q_histogram" -> (histogram _),
     "q_pivot" -> (pivotNative _),
     "q_inter_event" -> (interEvent _),
-    "q_ntile" -> (ntileQuartiles _))
+    "q_ntile" -> (ntileQuartiles _),
+    "q_first_last" -> (firstLast _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -845,5 +878,6 @@ object RelationalOps {
     "q_histogram" -> histogramSql,
     "q_pivot" -> pivotNativeSql,
     "q_inter_event" -> interEventSql,
-    "q_ntile" -> ntileQuartilesSql)
+    "q_ntile" -> ntileQuartilesSql,
+    "q_first_last" -> firstLastSql)
 }
