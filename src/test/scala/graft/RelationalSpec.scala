@@ -42,6 +42,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q5 plan adapts to broadcast being disabled; result is invariant") {
+    val before = RelationalOps.q5LocalSupplier(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = RelationalOps.q5LocalSupplier(spark, sf)
+      // exact sums make the answer identical under ANY join strategy
+      val after = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(after == before)
+      val plan = df.queryExecution.executedPlan.toString
+      // explicit broadcast() hints still broadcast dims; the fact-fact
+      // joins must have fallen back to shuffle joins
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("concurrent queries on the shared session are safe and correct") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = Seq(
+      Future(RelationalOps.q1PricingSummary(spark, sf).count()),
+      Future(RelationalOps.topkOrders(spark, sf).count()),
+      Future(graft.operators.EtlOps.hourlyRollup(spark, sf).count()),
+      Future(graft.operators.TextOps.tokenCount(spark, sf).count()))
+    val counts = Await.result(Future.sequence(futures), 120.seconds)
+    assert(counts == Seq(
+      RelationalOps.q1PricingSummary(spark, sf).count(),
+      RelationalOps.topkOrders(spark, sf).count(),
+      graft.operators.EtlOps.hourlyRollup(spark, sf).count(),
+      graft.operators.TextOps.tokenCount(spark, sf).count()))
+  }
+
   test("q5 pushes the region filter into the scan") {
     val plan = RelationalOps.q5LocalSupplier(spark, sf)
       .queryExecution.toString

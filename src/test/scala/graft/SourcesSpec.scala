@@ -55,6 +55,19 @@ class SourcesSpec extends AnyFunSuite {
       l.agg(sum(round(col("l_quantity") * 100).cast("long"))).first.getLong(0))
   }
 
+  test("schema evolution: mergeSchema unions old and new columns") {
+    val dir = tmp("evolve")
+    val o = Tables.orders(spark, sf)
+    o.select("o_orderkey", "o_totalprice").write.mode("append").parquet(dir)
+    o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(merged.count() == 2 * o.count())
+    // rows from the old schema surface the new column as null
+    assert(merged.filter(col("o_orderstatus").isNull).count() == o.count())
+  }
+
   test("parquet writes round-trip timestamps losslessly") {
     val e = Tables.events(spark, sf).select("event_id", "ts")
     val dir = tmp("ts")
