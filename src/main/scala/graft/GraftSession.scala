@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local mode: shuffle files hit page cache, so compression only
+      // burns CPU; on a network-shuffling cluster leave these on
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // μs timestamps in written parquet (matches the DuckDB oracle's
       // precision; avoids legacy INT96).
