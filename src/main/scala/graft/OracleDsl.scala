@@ -13,9 +13,10 @@ object OracleDsl {
   def oSum(e: String, digits: Int): String =
     s"cast(sum(cast(round(($e)*1e$digits) as bigint)) as double)/1e$digits"
 
-  /** Exact average — same shape as exact.xavg. */
+  /** Exact average — same shape as exact.xavg (denominator = count
+    * of NON-NULL values, standard AVG semantics). */
   def oAvg(e: String, digits: Int): String =
-    s"(${oSum(e, digits)})/cast(count(*) as bigint)"
+    s"(${oSum(e, digits)})/cast(count($e) as bigint)"
 
   /** count(*) as Spark's LongType. */
   val oCount: String = "cast(count(*) as bigint)"

@@ -27,7 +27,9 @@ object exact {
   }
 
   /** Exact average with the same scaled-integer trick; division by
-    * the group count happens once, after the exact sum. */
+    * the NON-NULL count (standard AVG semantics — the sum already
+    * skips nulls, so the denominator must too) happens once, after
+    * the exact sum. */
   def xavg(c: Column, digits: Int): Column =
-    xsum(c, digits) / count(lit(1))
+    xsum(c, digits) / count(c)
 }

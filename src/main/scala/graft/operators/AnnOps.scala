@@ -30,7 +30,7 @@ object AnnOps {
     * double fold from graft.functions.vector, so the oracle's ranks
     * and (rounded) sims match exactly. */
   def bruteForce(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.parallelize(Tables.embeddings(s, d))
+    val e = DedupOps.embParallel(s, d)
     val scored = e.crossJoin(broadcast(queriesDf(s, d)))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
@@ -74,8 +74,8 @@ object AnnOps {
     * rows never shuffle. Recall measured in AnnSpec against the
     * brute-force baseline. */
   def lsh(s: SparkSession, d: String): DataFrame = {
-    // cached: banded candidate generation + cosine re-attachment
-    val e = Tables.parallelize(Tables.embeddings(s, d)).cache()
+    // memo-cached: banded candidate generation + cosine re-attachment
+    val e = DedupOps.embParallel(s, d)
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col(idCol),
         explode(DedupOps.lshBuckets(col(embCol), LshTables, LshBits, 64)).as("b"))
@@ -98,8 +98,7 @@ object AnnOps {
 
   // -------------------------------------------------------------- ivf
 
-  private val NCells = 16
-  private val NProbe = 4
+  private val DefaultNProbe = 4
 
   /** One k-means refinement sweep: assign every vector to its nearest
     * centroid, then replace each centroid with the element-wise mean
@@ -124,16 +123,36 @@ object AnnOps {
         expr("transform(dm, x -> cast(x.m as float))").as("c_emb"))
   }
 
-  /** IVF ANN with a TRAINED coarse quantizer: centroids seeded from
-    * the 16 lowest-vec_id vectors, refined by two distributed k-means
-    * sweeps, then the classic probe-N search: each corpus vector is
-    * assigned to its nearest centroid once; a query searches only its
-    * NProbe nearest cells. */
-  def ivf(s: SparkSession, d: String): DataFrame = {
+  /** IVF ANN with a TRAINED coarse quantizer, parameterized for
+    * scale: `nCells` defaults to ~√N (the classic IVF sizing — cells
+    * and per-cell scan cost balance at √N), seeds are a DETERMINISTIC
+    * PSEUDO-RANDOM sample (lowest xxhash64(vec_id) — uniform over the
+    * corpus, unlike "lowest N ids" which inherits any id-order bias),
+    * refined by two distributed k-means sweeps, then the classic
+    * probe-N search: each corpus vector is assigned to its nearest
+    * centroid once; a query searches only its `nProbe` nearest cells. */
+  def ivf(s: SparkSession, d: String): DataFrame =
+    ivfImpl(DedupOps.embParallel(s, d), queriesDf(s, d), nCells = 0,
+      nProbe = DefaultNProbe)
+
+  /** nCells = 0 → auto-size to ~√N from a (cached-scan) count. */
+  private[graft] def ivfImpl(e0: DataFrame, queries: DataFrame,
+                             nCells: Int, nProbe: Int): DataFrame = {
     // cached: referenced by both k-means sweeps and the assignment
-    val e = Tables.parallelize(Tables.embeddings(s, d)).cache()
-    val seed = e.filter(col("vec_id") < NCells)
-      .select(col("vec_id").cast("int").as("cell_id"), col("embedding").as("c_emb"))
+    val e = Tables.parallelize(e0).cache()
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(4, math.sqrt(e.count().toDouble).toInt)
+    // seed selection: order by hash, keep `cells`, number them — the
+    // post-limit window runs on `cells` rows only (≤ ~√N, e.g. 31k at
+    // 10⁹ vectors), not on the corpus
+    val seed = e
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(cells)
+      .select(
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+          .cast("int").as("cell_id"),
+        col("embedding").as("c_emb"))
     val cents = kmeansStep(e, kmeansStep(e, seed)).cache()
 
     // corpus assignment: argmin over broadcast centroids
@@ -144,15 +163,15 @@ object AnnOps {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("best.cell_id").as("cell_id"))
 
-    // query probes: NProbe nearest cells (K=NProbe heap per query)
+    // query probes: nProbe nearest cells (K=nProbe heap per query)
     val probes = graft.functions.topk.perKey(
-      queriesDf(s, d).crossJoin(broadcast(cents))
+      queries.crossJoin(broadcast(cents))
         .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
         .select("query_id", "q_emb", "cell_id", "dist"),
       keys = Seq("query_id"),
       order = Seq(graft.functions.topk.Order("dist"),
         graft.functions.topk.Order("cell_id")),
-      k = NProbe)
+      k = nProbe)
       .select("query_id", "q_emb", "cell_id")
 
     val scored = assigned.join(broadcast(probes), "cell_id")

@@ -19,11 +19,14 @@ import graft.Tables
 object CorpusOps {
 
   /** doc_id → cluster_id (smallest doc_id reachable through near-dup
-    * pairs), is_kept = representative flag. */
-  def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupOps.ngramJaccard(s, d).select("doc_a", "doc_b")
-    clustersFromPairs(Tables.documents(s, d).select("doc_id"), pairs)
-  }
+    * pairs), is_kept = representative flag. Memoized per (session,
+    * dir): the flagship clean_corpus composite reuses this exact
+    * result instead of re-deriving the whole pair pipeline. */
+  def clusters(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "dedup_clusters", d) {
+      val pairs = DedupOps.ngramJaccard(s, d).select("doc_a", "doc_b")
+      clustersFromPairs(Tables.documents(s, d).select("doc_id"), pairs)
+    }
 
   /** Edge count below which the component resolution collapses to a
     * driver-side union-find: O(E α(E)) on one core beats ~diameter
@@ -43,13 +46,19 @@ object CorpusOps {
 
     val connectedLabels: DataFrame =
       if (nEdges <= driverMaxEdges) {
-        // driver fast path: exact union-find over the (small) pair set
+        // driver fast path: exact union-find over the (small) pair set.
+        // find is ITERATIVE (walk to root, second pass re-points the
+        // path) — a recursive version recurses as deep as the longest
+        // parent chain and a degenerate path graph near the 1M-edge
+        // threshold would overflow the stack.
         val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = parent.getOrElseUpdate(x, x)
-          if (r != x) { r = find(r); parent(x) = r }
-          r
+        def find(x0: Long): Long = {
+          var root = x0
+          while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+          var x = x0
+          while (x != root) { val next = parent(x); parent(x) = root; x = next }
+          root
         }
         es.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
@@ -65,7 +74,8 @@ object CorpusOps {
           .select(col("doc_id"), col("doc_id").as("lbl")).cache()
         var converged = false
         var round = 0
-        while (!converged && round < 20) {
+        val maxRounds = 50
+        while (!converged && round < maxRounds) {
           val nbrMin = edges
             .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
             .groupBy(col("dst").as("doc_id"))
@@ -81,6 +91,13 @@ object CorpusOps {
           converged = changed == 0
           round += 1
         }
+        // returning silently-unconverged labels would be WRONG results;
+        // fail loudly instead (a component with diameter > maxRounds
+        // needs the large-star/small-star variant, not more rounds)
+        if (!converged) throw new IllegalStateException(
+          s"min-label propagation did not converge within $maxRounds rounds; " +
+            "component diameter exceeds the cap — use large-star/small-star " +
+            "for this graph shape")
         labels
       }
 

@@ -43,15 +43,20 @@ object DedupOps {
     * sides of the oracle apply it) — bounds per-bucket pair fan-out. */
   private val MaxDf = 100
 
-  /** (doc_id, shingle) exploded, distinct, df-capped. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.parallelize(Tables.documents(s, d))
-      .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxDf)
-      .select("sh")
-    sh.join(rare, "sh")
-  }
+  /** (doc_id, shingle) exploded, distinct, df-capped. Memoized +
+    * cached per (session, dir): the signature aggregation, candidate
+    * join, verification joins, AND the downstream cluster/corpus
+    * operators all reuse one computation of the only pass over the
+    * raw text. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "shingle_sets", d) {
+      val sh = Tables.parallelize(Tables.documents(s, d))
+        .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf)
+        .select("sh")
+      sh.join(rare, "sh")
+    }
 
   private def shingleSetsSqlCte: String =
     s"""toks AS (
@@ -67,9 +72,13 @@ object DedupOps {
   // ----------------------------------------------- n-gram jaccard
 
   /** Token-bigram Jaccard dedup: candidates via shared-shingle join
-    * (bucket-local), exact |∩|/|∪| ≥ τ verification. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d).cache()
+    * (bucket-local), exact |∩|/|∪| ≥ τ verification. Memoized: the
+    * cluster/corpus operators consume this exact pair set. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "ngram_jaccard", d) { ngramJaccardBuild(s, d) }
+
+  private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
@@ -112,9 +121,9 @@ object DedupOps {
     * for the surviving candidates only. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // ONE exploded (doc_id, shingle) relation feeds both the signature
-    // aggregation and the verification joins (cached: it is the only
-    // pass over the raw text)
-    val sh = shingleSets(s, d).cache()
+    // aggregation and the verification joins (memo-cached: it is the
+    // only pass over the raw text)
+    val sh = shingleSets(s, d)
 
     // signature[i] = min over shingles of xxhash64(shingle, i),
     // computed in exploded (doc, perm, hash) form: each shingle row
@@ -163,13 +172,27 @@ object DedupOps {
 
   private val HammingMax = 3
   private val SimHashChunks = 4 // pigeonhole: ham<=3 ⇒ ≥1 of 4 16-bit chunks equal
+  /** Per-(chunk, value) bucket cap: each bucket contributes pairs
+    * only against its `cap` lowest-doc_id REPRESENTATIVES, so a
+    * bucket of size B emits O(B·cap) candidates, never O(B²) — the
+    * 16-bit chunk space (≤65,536 buckets per chunk index) would
+    * otherwise make candidate count quadratic at ~10⁹ docs. Recall
+    * trade: inside an oversized bucket, pairs between two non-
+    * representatives are found only through a representative (fine
+    * for dedup-clustering, where connectivity via the min-id member
+    * is what matters); buckets ≤ cap are pair-complete, so the exact
+    * pigeonhole guarantee is unchanged in the capped regime. */
+  private val SimHashBucketCap = 64
 
   /** 64-bit SimHash over token hashes; near-dup pairs with hamming
     * distance ≤ 3 found exactly via the 4-chunk pigeonhole blocking
     * (a pair within distance 3 MUST agree on one chunk, so recall is
-    * 100% — no approximation). */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.parallelize(Tables.documents(s, d))
+    * 100% — no approximation for buckets within the size cap). */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashImpl(s, d, SimHashBucketCap)
+
+  private[graft] def simhashImpl(s: SparkSession, d: String, bucketCap: Int): DataFrame = {
+    val tok = docsParallel(s, d)
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // per-bit signed counts in ONE aggregation
@@ -189,7 +212,19 @@ object DedupOps {
       .select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
 
-    blocked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("ci"), col("cv"))
+    // left side of the bucket join = the cap lowest-doc_id members per
+    // bucket (bounded per-key heap, not a bucket sort); a pair (a,b)
+    // with a<b is emitted iff a is a representative in some shared
+    // bucket — identical to the uncapped self-join whenever every
+    // shared bucket has ≤ cap members
+    val reps = graft.functions.topk.perKey(blocked,
+        keys = Seq("ci", "cv"),
+        order = Seq(graft.functions.topk.Order("doc_id")),
+        k = bucketCap)
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("ci"), col("cv"))
+
+    reps
       .join(blocked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("ci"), col("cv")), Seq("ci", "cv"))
       .filter(col("doc_a") < col("doc_b"))
@@ -243,7 +278,14 @@ object DedupOps {
     * sparser buckets — DedupSpec verifies that regime on planted
     * duplicates with explicit parameters. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
-    embeddingNearDupImpl(Tables.embeddings(s, d), CosTau, EmbTables, EmbBitsPerTable)
+    embeddingNearDupImpl(embParallel(s, d), CosTau, EmbTables, EmbBitsPerTable)
+
+  /** Memo-cached parallelized scans shared across the dedup/ANN
+    * family (one compute per dataset per process). */
+  private[operators] def docsParallel(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "documents_par", d)(Tables.parallelize(Tables.documents(s, d)))
+  private[operators] def embParallel(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "embeddings_par", d)(Tables.parallelize(Tables.embeddings(s, d)))
 
   private[graft] def embeddingNearDupImpl(e0: DataFrame, tau: Double,
                                           tables: Int, bits: Int): DataFrame = {

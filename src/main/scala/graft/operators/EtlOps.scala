@@ -117,10 +117,17 @@ object EtlOps {
        |GROUP BY 1""".stripMargin
 
   /** Per-day success-rate report (README.md:553-563): conditional
-    * aggregation with 'error' events as failures. */
+    * aggregation with 'error' events as failures, restricted to the
+    * reference's 7-day recency window (README.md:178,561:
+    * `run_timestamp >= NOW() - INTERVAL '7 days'`) — "now" anchored
+    * to the dataset max ts for determinism, computed as a 1-row
+    * broadcast against the scan. */
   def successRate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("ts")).as("max_ts"))
     val ok = when(col("event_type") =!= "error", 1L).otherwise(0L)
-    Tables.events(s, d)
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
         count(lit(1)).as("total_runs"),
@@ -137,6 +144,7 @@ object EtlOps {
        |    / cast(count(*) as bigint) AS success_pct,
        |  ${oAvg("value", 2)} AS avg_value
        |FROM events
+       |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
        |GROUP BY 1""".stripMargin
 
   /** Latest-N monitor (README.md:184-189) with a total-order tiebreak

@@ -363,8 +363,11 @@ object RelationalOps {
     * payloads, etl_job.py:101-137), then aggregate per bucket. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // try_cast, not cast: a props row without the "k" pattern
+      // regexp-extracts to "" and an ANSI cast would throw; the oracle
+      // uses try_cast, so mirror its null-on-failure semantics
       .withColumn("k_val",
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+        expr("""try_cast(regexp_extract(props, '"k": (\\d+)', 1) as int)"""))
       .filter(col("k_val").isNotNull)
       .groupBy((col("k_val") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"),
@@ -510,10 +513,14 @@ object RelationalOps {
     val signups = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("p_ts"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // the at-or-after predicate lives in the JOIN condition (not a
+    // post-join filter): a user whose purchases all precede signup
+    // must still appear, with converted = false
     signups
-      .join(purchases, Seq("user_id"), "left")
-      .filter(col("p_ts").isNull || col("p_ts") >= col("signup_ts"))
+      .join(purchases,
+        col("user_id") === col("p_user") && col("p_ts") >= col("signup_ts"),
+        "left")
       .groupBy(col("user_id"), col("signup_ts"))
       .agg(min(col("p_ts")).as("first_purchase_ts"))
       .withColumn("converted", col("first_purchase_ts").isNotNull)

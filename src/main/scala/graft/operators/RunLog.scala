@@ -41,6 +41,31 @@ object RunLog {
     }
   }
 
+  /** Bounded exponential-backoff retry around a pipeline stage — the
+    * reference's transient-failure semantics (etl_job.py:35-49:
+    * fetch_with_retry, 2^attempt backoff). Every failed attempt is
+    * logged as its own failure record before the backoff sleep (the
+    * log is the observability surface, exactly as the reference logs
+    * each retry); the terminal failure propagates. */
+  def timedWithRetries(spark: SparkSession, logDir: String, name: String,
+                       maxAttempts: Int = 3, baseDelayMs: Long = 100L)
+                      (stage: => DataFrame): Long = {
+    var attempt = 0
+    var delay = baseDelayMs
+    var out = -1L
+    while (out < 0) {
+      attempt += 1
+      try out = timed(spark, logDir, s"$name attempt=$attempt")(stage)
+      catch {
+        case e: Throwable =>
+          if (attempt >= maxAttempts) throw e
+          Thread.sleep(delay)
+          delay *= 2
+      }
+    }
+    out
+  }
+
   private def now() = new Timestamp(System.currentTimeMillis())
 
   private def append(spark: SparkSession, logDir: String, run: Run): Unit = {
@@ -50,10 +75,15 @@ object RunLog {
 
   /** The reference's monitoring query over the log
     * (README.md:553-563): per-day run counts, success rate, mean
-    * latency. */
+    * latency — over the reference's 7-day recency window
+    * (README.md:178,561), anchored to the log's max timestamp so the
+    * report is deterministic for a static log. */
   def successReport(spark: SparkSession, logDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.parquet(logDir)
+    val log = spark.read.parquet(logDir)
+    val mx = log.agg(max(col("run_timestamp")).as("max_ts"))
+    log.crossJoin(broadcast(mx))
+      .filter(col("run_timestamp") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
       .groupBy(to_date(col("run_timestamp")).as("day"))
       .agg(
         count(lit(1)).as("total_runs"),

@@ -21,11 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle mirror (graft.functions.vector.sql): per-element
   * FLOAT multiply, sequential DOUBLE accumulate, one final
   * divide — so swapping implementations never changes a result bit.
+  * Null semantics also mirror the builtin fold: mismatched lengths
+  * and null elements yield NULL (not a silent truncated/garbage
+  * result), so the fused expression is substitutable everywhere.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // can return null on length mismatch / null elements even when both
+  // inputs are non-null
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     if (left.dataType == ArrayType(FloatType, false) ||
         left.dataType == ArrayType(FloatType, true)) {
@@ -41,10 +47,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i); val yi = y.getFloat(i)
       dot += (xi * yi).toDouble
       na += (xi * xi).toDouble
@@ -64,16 +72,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  float $xi = $a.getFloat($i);
-         |  float $yi = $b.getFloat($i);
-         |  $dot += (double)($xi * $yi);
-         |  $na += (double)($xi * $xi);
-         |  $nb += (double)($yi * $yi);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    float $xi = $a.getFloat($i);
+         |    float $yi = $b.getFloat($i);
+         |    $dot += (double)($xi * $yi);
+         |    $na += (double)($xi * $xi);
+         |    $nb += (double)($yi * $yi);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
