@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ EtlOps.queries ++ DedupOps.queries ++
       AnnOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
-      IngestOps.queries ++ CorpusOps.queries ++
+      IngestOps.queries ++ CorpusOps.queries ++ Upsert.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EtlOps.oracle ++ DedupOps.oracle ++
       AnnOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
-      IngestOps.oracle ++ graft.streaming.StreamingOps.oracle
+      IngestOps.oracle ++ CorpusOps.oracle ++ Upsert.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

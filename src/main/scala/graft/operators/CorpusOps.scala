@@ -124,9 +124,43 @@ object CorpusOps {
       .select("doc_id", "lang", "source", "n_chars", "quality", "fp")
   }
 
+  /** Shared CTE chain: the Jaccard pair graph → symmetric edges →
+    * recursive label walk → per-doc min reachable id. DuckDB's
+    * recursive CTE (UNION dedups rows, so the walk terminates at the
+    * transitive closure) is exactly min-label propagation run to
+    * fixpoint — an independent re-derivation of the Spark side's
+    * union-find / distributed propagation. */
+  private def ccCte: String =
+    s"""${DedupOps.jaccardPairsCte},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |walk(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT edges.dst, w.lbl FROM walk w JOIN edges ON w.doc_id = edges.src),
+       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id)""".stripMargin
+
+  private def clustersSql: String =
+    s"""WITH RECURSIVE $ccCte
+       |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_kept FROM cc""".stripMargin
+
+  private def cleanCorpusSql: String =
+    s"""WITH RECURSIVE $ccCte,
+       |${TextOps.qualityCte}
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars, qual.quality,
+       |  ${TextOps.fpExprSql} AS fp
+       |FROM documents d
+       |JOIN qual ON d.doc_id = qual.doc_id
+       |JOIN cc ON d.doc_id = cc.doc_id
+       |WHERE qual.quality >= 0.5 AND cc.cluster_id = d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
     "clean_corpus" -> (cleanCorpus _))
 
-  val oracle: Map[String, String] = Map()
+  val oracle: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql,
+    "clean_corpus" -> cleanCorpusSql)
 }

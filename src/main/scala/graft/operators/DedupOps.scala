@@ -109,6 +109,23 @@ object DedupOps {
 
   private def oCountAlias = "cast(count(*) as bigint)"
 
+  /** CTE chain ending in `pairs(doc_a, doc_b)` — the verified
+    * Jaccard ≥ τ pair set, for oracles that build on the pair graph
+    * (dedup_clusters / clean_corpus). */
+  private[operators] def jaccardPairsCte: String =
+    s"""$shingleSetsSqlCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $oCountAlias AS n_shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau)""".stripMargin
+
   // ------------------------------------------------------- minhash lsh
 
   private val MinHashK = 64
@@ -189,10 +206,12 @@ object DedupOps {
     * (a pair within distance 3 MUST agree on one chunk, so recall is
     * 100% — no approximation for buckets within the size cap). */
   def simhash(s: SparkSession, d: String): DataFrame =
-    simhashImpl(s, d, SimHashBucketCap)
+    simhashFromDocs(docsParallel(s, d), SimHashBucketCap)
 
-  private[graft] def simhashImpl(s: SparkSession, d: String, bucketCap: Int): DataFrame = {
-    val tok = docsParallel(s, d)
+  /** `docs` needs (doc_id, text); `bucketCap` is the per-bucket
+    * representative cap (see SimHashBucketCap). */
+  private[graft] def simhashFromDocs(docs: DataFrame, bucketCap: Int): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     // per-bit signed counts in ONE aggregation
@@ -282,9 +301,9 @@ object DedupOps {
 
   /** Memo-cached parallelized scans shared across the dedup/ANN
     * family (one compute per dataset per process). */
-  private[operators] def docsParallel(s: SparkSession, d: String): DataFrame =
+  private[graft] def docsParallel(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "documents_par", d)(Tables.parallelize(Tables.documents(s, d)))
-  private[operators] def embParallel(s: SparkSession, d: String): DataFrame =
+  private[graft] def embParallel(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "embeddings_par", d)(Tables.parallelize(Tables.embeddings(s, d)))
 
   private[graft] def embeddingNearDupImpl(e0: DataFrame, tau: Double,

@@ -508,8 +508,10 @@ object RelationalOps {
   /** Signup→purchase conversion funnel per user: first signup, first
     * purchase at-or-after it, conversion flag. Two partial-aggregated
     * scans + one key join — no windows over the full event stream. */
-  def funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelImpl(Tables.events(s, d))
+
+  private[graft] def funnelImpl(ev: DataFrame): DataFrame = {
     val signups = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -66,6 +66,12 @@ object RunLog {
     out
   }
 
+  /** Append one explicit run record — for writers that measure their
+    * own action (e.g. Upsert.upsertByKeyLogged). */
+  def record(spark: SparkSession, logDir: String, name: String, status: String,
+             rows: Long, ms: Long, error: Option[String]): Unit =
+    append(spark, logDir, Run(now(), name, status, rows, ms, error))
+
   private def now() = new Timestamp(System.currentTimeMillis())
 
   private def append(spark: SparkSession, logDir: String, run: Run): Unit = {

@@ -81,19 +81,20 @@ object TextOps {
 
   // ---------------------------------------------------------- lang id
 
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit"),
+    "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "on"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "los", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "en", "les", "avec"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "人"))
+
   /** Stopword-profile language ID (n-gram heuristic): score each
     * candidate language by profile-token hits, argmax with a
-    * deterministic tiebreak. Rows-only oracle (the scoring tables
-    * aren't worth expressing in SQL); TextSpec pins golden outputs. */
+    * deterministic tiebreak (max score, then lexicographically larger
+    * lang — struct comparison order, identical in DuckDB). */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val profiles: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "a", "of", "to", "and", "is", "in", "on"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit"),
-      "es" -> Seq("el", "la", "de", "y", "es", "en", "los", "con"),
-      "fr" -> Seq("le", "la", "de", "et", "est", "en", "les", "avec"),
-      "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "人"))
     val toks = text.tokens(col("text"))
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+    val scored = langProfiles.map { case (lang, words) =>
       struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
         lit(lang).as("lang"))
     }
@@ -105,6 +106,52 @@ object TextOps {
       best.getField("lang").as("pred_lang"),
       best.getField("score").as("pred_score"))
   }
+
+  /** DuckDB mirror of langId: the same profile structs, max() over a
+    * struct list (lexicographic (score, lang) comparison — identical
+    * tiebreak to Spark's array_max). */
+  private val langIdSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val structs = langProfiles.map { case (lang, words) =>
+      val wl = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"{'score': cast(len(list_filter(toks, x -> list_contains($wl, x))) as int), 'lang': '$lang'}"
+    }.mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang, $toks AS toks FROM documents),
+       |u AS (SELECT doc_id, labeled_lang, unnest($structs) AS c FROM t),
+       |b AS (SELECT doc_id, labeled_lang, max(c) AS best FROM u GROUP BY 1, 2)
+       |SELECT doc_id, labeled_lang, best.lang AS pred_lang, best.score AS pred_score
+       |FROM b""".stripMargin
+  }
+
+  /** CTE chain ending in `qual(doc_id, quality)` — the quality score
+    * only, for oracles that embed it (clean_corpus). Must stay
+    * expression-identical to `quality`/`qualitySql`. */
+  private[operators] val qualityCte: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val stopList = text.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""qt AS (SELECT doc_id, $toks AS toks FROM documents),
+       |qm AS (
+       |  SELECT doc_id,
+       |    cast(len(toks) as double) AS n_tok,
+       |    cast(len(list_filter(toks, x -> list_contains($stopList, x))) as double) AS n_stop,
+       |    cast(len(list_distinct(toks)) as double) AS n_uniq
+       |  FROM qt),
+       |qual AS (
+       |  SELECT doc_id,
+       |    (least(n_tok / 20.0, 1.0) * 0.4
+       |     + (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 0.3
+       |     + (CASE WHEN n_tok > 0 THEN n_uniq / n_tok ELSE 0.0 END) * 0.3) AS quality
+       |  FROM qm)""".stripMargin
+  }
+
+  /** The rolling-hash fingerprint as a bare SQL expression over a
+    * `text` column (for composition into other oracles). */
+  private[operators] val fpExprSql: String =
+    """list_reduce(
+      |    list_prepend(cast(0 as bigint),
+      |      list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
   // ------------------------------------------------------ fingerprint
 
@@ -161,5 +208,6 @@ object TextOps {
     "text_normalize" -> normalizeSql,
     "text_token_count" -> tokenCountSql,
     "text_quality" -> qualitySql,
+    "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql)
 }

@@ -34,7 +34,7 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean lsh recall@10 = $mean")
   }
 
-  test("ivf probe-4-of-16 recall is reasonable") {
+  test("ivf auto-sized (~sqrt N cells) recall is reasonable") {
     val got = asMap(AnnOps.ivf(spark, sf))
     assert(got.keySet == exact.keySet)
     val recalls = exact.map { case (q, nbrs) =>
@@ -42,5 +42,25 @@ class AnnSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean ivf recall@10 = $mean")
+  }
+
+  private def queriesDf = {
+    val e = Tables.embeddings(spark, sf)
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+  }
+
+  test("ivf at explicit (cells=16, probe=4) keeps recall; probe-all is exact") {
+    val e = Tables.embeddings(spark, sf)
+    val partial = asMap(AnnOps.ivfImpl(e, queriesDf, nCells = 16, nProbe = 4))
+    val recalls = exact.map { case (q, nbrs) =>
+      partial(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"ivf(16,4) recall = ${recalls.sum / recalls.size}")
+    // probing EVERY cell degenerates to brute force — results must be
+    // identical to the exact baseline, rank for rank
+    val full = asMap(AnnOps.ivfImpl(e, queriesDf, nCells = 16, nProbe = 16))
+    assert(full == exact, "probe-all IVF must equal brute force exactly")
   }
 }

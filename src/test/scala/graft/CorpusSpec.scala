@@ -40,6 +40,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(9L) == 9L && got(10L) == 10L)
   }
 
+  test("driver union-find survives a 100k-edge path graph (iterative find)") {
+    // edges arrive in DESCENDING order, which builds a ~100k-deep
+    // parent chain; the label-extraction pass then walks it from the
+    // far end — the old recursive find overflowed the stack exactly
+    // here, well under the 1M-edge fast-path threshold
+    val n = 100000L
+    val docs = spark.range(n + 1).toDF("doc_id")
+    val pairs = spark.range(n)
+      .select((lit(n - 1) - col("id")).as("doc_a"), (lit(n) - col("id")).as("doc_b"))
+    val got = CorpusOps.clustersFromPairs(docs, pairs).collect()
+    assert(got.length == n + 1)
+    assert(got.forall(_.getLong(1) == 0L), "all nodes must collapse to cluster 0")
+  }
+
   test("clean corpus keeps one representative per cluster and passes quality") {
     val cc = CorpusOps.cleanCorpus(spark, sf)
     val n = cc.count()

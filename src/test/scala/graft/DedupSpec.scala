@@ -52,6 +52,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out.distinct().count() == n)
   }
 
+  test("simhash bucket cap bounds candidates on a pathological identical corpus") {
+    import spark.implicits._
+    // 300 byte-identical documents: every signature equal, so all 4
+    // chunk buckets hold all 300 docs — the uncapped self-join would
+    // emit 300*299/2 = 44,850 pairs; the representative cap bounds it
+    // to O(docs * cap) while keeping the component CONNECTED (every
+    // doc pairs with the lowest-id representatives)
+    val nDocs = 300
+    val cap = 8
+    val docs = (0 until nDocs)
+      .map(i => (i.toLong, "the same exact text repeated for every document"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashFromDocs(docs, cap)
+    val rows = pairs.collect()
+    assert(rows.forall(_.getInt(2) == 0), "identical docs must be hamming 0")
+    assert(rows.length <= nDocs.toLong * cap,
+      s"candidate count ${rows.length} exceeds docs*cap bound")
+    assert(rows.length < nDocs * (nDocs - 1) / 2, "cap did not bound the blow-up")
+    // connectivity: union-find over the capped pairs yields ONE cluster
+    val clustered = graft.operators.CorpusOps.clustersFromPairs(
+      docs.select("doc_id"), pairs.select("doc_a", "doc_b")).collect()
+    assert(clustered.forall(_.getLong(1) == 0L),
+      "capped pairs must still connect the whole duplicate group")
+  }
+
+  test("simhash cap is a no-op when every bucket fits (identity in the capped regime)") {
+    val capped = DedupOps.simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = DedupOps.simhashFromDocs(
+        graft.operators.DedupOps.docsParallel(spark, sf), Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped,
+      "default cap must not change results on the test corpus (buckets < cap)")
+  }
+
   test("embedding near-dup reports pairs at-or-above threshold, non-empty") {
     val out = DedupOps.embeddingNearDup(spark, sf)
     assert(out.filter(col("cosine") < 0.4).count() == 0)

@@ -84,4 +84,21 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.toString
     assert(plan.contains("PushedFilters") || plan.contains("ASIA"))
   }
+
+  test("funnel keeps users whose purchases all precede signup (converted=false)") {
+    import spark.implicits._
+    // user 1: purchase BEFORE signup (must appear, unconverted);
+    // user 2: purchase after signup (converted)
+    val ev = Seq(
+      (1L, "purchase", "2024-01-01 00:00:00"),
+      (1L, "signup", "2024-01-02 00:00:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-03 00:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = RelationalOps.funnelImpl(ev).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("converted")).toMap
+    assert(out == Map(1L -> false, 2L -> true),
+      "a user with only pre-signup purchases must still appear")
+  }
 }

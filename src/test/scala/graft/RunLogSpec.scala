@@ -29,4 +29,34 @@ class RunLogSpec extends AnyFunSuite {
     assert(report(0).getAs[Long]("successful_runs") == 1)
     assert(report(0).getAs[Double]("success_rate_pct") == 50.0)
   }
+
+  test("timedWithRetries retries transient failures and logs every attempt") {
+    val dir = Files.createTempDirectory("graft_retry").toString + "/runs"
+    var calls = 0
+    val expected = Tables.region(spark, sf).count()
+    val n = RunLog.timedWithRetries(spark, dir, "flaky", maxAttempts = 3,
+      baseDelayMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("transient fetch failure")
+      Tables.region(spark, sf)
+    }
+    assert(calls == 3 && n == expected)
+    val statuses = spark.read.parquet(dir)
+      .filter(col("name").startsWith("flaky"))
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("status")))
+      .toSet
+    assert(statuses == Set(
+      ("flaky attempt=1", "failure"),
+      ("flaky attempt=2", "failure"),
+      ("flaky attempt=3", "success")))
+    // a permanent failure exhausts the attempts and propagates
+    var deadCalls = 0
+    intercept[RuntimeException] {
+      RunLog.timedWithRetries(spark, dir, "dead", maxAttempts = 2, baseDelayMs = 1) {
+        deadCalls += 1
+        sys.error("permanent")
+      }
+    }
+    assert(deadCalls == 2)
+  }
 }
