@@ -34,18 +34,43 @@ object MultimodalOps {
       format = "fake")
   }
 
-  /** documents → binary payload + metadata → per-partition batch
-    * decode → feature table. Repartitioned on doc_id so decode
-    * parallelism is even regardless of source file layout. */
+  /** documents → binary payload → feature table. The FAKE decoder is
+    * pure arithmetic on the byte length, so the hot path stays fully
+    * expression-based (codegen'd, rows never deserialize out of
+    * Tungsten); a REAL codec needs byte access and plugs in through
+    * [[decodeWithCodec]] — MultimodalSpec proves the two paths agree
+    * for the fake decoder, so swapping the codec is the only change. */
   def binaryMeta(s: SparkSession, d: String): DataFrame = {
+    val nBytes = octet_length(encode(col("text"), "UTF-8"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nBytes.cast("int").as("n_bytes"),
+      (nBytes % 640).cast("int").as("width"),
+      ((nBytes * 3) % 480).cast("int").as("height"),
+      (nBytes % 24 + 1).cast("int").as("n_frames"),
+      lit("fake").as("format"))
+  }
+
+  /** The typed decode boundary for a real codec: one iterator per
+    * partition over (payload + metadata) rows — the Scala analogue of
+    * `mapInPandas`, arbitrary native code per batch. Repartitioned on
+    * doc_id so decode parallelism is even regardless of source file
+    * layout. Only this path pays the Tungsten deserialization; use it
+    * when the codec genuinely reads bytes. */
+  def decodeWithCodec(s: SparkSession, d: String)
+                     (codec: MediaIn => MediaFeatures): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         col("lang"), col("n_chars"))
       .repartition(col("doc_id"))
       .as[MediaIn]
-    media.mapPartitions(_.map(fakeDecode)).toDF()
+      .mapPartitions(_.map(codec))
+      .toDF()
   }
+
+  /** The stub codec exposed for the boundary-equivalence spec. */
+  private[graft] def fakeCodec: MediaIn => MediaFeatures = fakeDecode
 
   private val binaryMetaSql =
     """SELECT doc_id,

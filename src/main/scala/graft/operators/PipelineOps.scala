@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.text
+
+/** §2.C/E extension — corpus-assembly utilities a training-data run
+  * needs after dedup/quality: deterministic stratified sampling and
+  * token-budget sequence packing.
+  *
+  * Both are engine-reproducible by construction: the "randomness" for
+  * sampling is the rolling-hash fingerprint (computed identically by
+  * the DuckDB oracle — no engine-specific RNG), and packing is a
+  * windowed cumulative sum, so either engine lands every doc in the
+  * same sample/shard.
+  */
+object PipelineOps {
+
+  private val SamplePerStratum = 50
+  private val ShardTargetTokens = 2000L
+
+  /** k docs per language stratum, picked by rolling-hash order
+    * (deterministic pseudo-random — hash order is uncorrelated with
+    * doc order) with a doc_id tiebreak. Runs through the CUSTOM
+    * bounded-heap top-k operator: one shuffle on lang, k rows kept
+    * per stratum, no partition sort — at 100 TB only k·|langs| rows
+    * survive the heap. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      text.rollingHash(col("text")).as("fp"))
+    graft.functions.topk.perKey(base,
+      keys = Seq("lang"),
+      order = Seq(graft.functions.topk.Order("fp"),
+        graft.functions.topk.Order("doc_id")),
+      k = SamplePerStratum)
+      .select(col("doc_id"), col("lang"), col("fp"), col("rank"))
+  }
+
+  private val sampleStratifiedSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, ${TextOps.fpExprSql} AS fp FROM documents)
+       |SELECT doc_id, lang, fp,
+       |  cast(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) as int) AS rank
+       |FROM f
+       |QUALIFY rank <= $SamplePerStratum""".stripMargin
+
+  /** Greedy contiguous sequence packing: docs in doc_id order fill
+    * shard after shard of ~`ShardTargetTokens` whitespace tokens —
+    * the pretraining "pack documents into fixed-budget sequences"
+    * step. shard_id = floor(tokens-before-this-doc / target), via a
+    * running sum partitioned BY LANGUAGE: each language packs
+    * independently and in parallel (a global ordering would funnel
+    * the whole corpus through one partition; per-stratum packing is
+    * both the realistic layout and the scalable one). */
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(text.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(ShardTargetTokens.toDouble))
+          .cast("bigint").as("shard_id"))
+  }
+
+  private val packShardsSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, cast(len($toks) as bigint) AS n_tok FROM documents)
+       |SELECT doc_id, lang, n_tok,
+       |  cast(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |         ROWS UNBOUNDED PRECEDING) - n_tok) / ${ShardTargetTokens}.0) as bigint)
+       |    AS shard_id
+       |FROM t""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "pack_shards" -> (packShards _))
+
+  val oracle: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratifiedSql,
+    "pack_shards" -> packShardsSql)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("stratified sample takes at most k per language, deterministically") {
+    val s1 = PipelineOps.sampleStratified(spark, sf)
+    val perLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 50))
+    // every stratum with >= 50 docs is sampled at exactly 50
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(n, 50L), s"lang $lang")
+    }
+    // deterministic: a second run returns the identical id set
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = PipelineOps.sampleStratified(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("pack_shards fills contiguous token-budget shards per language") {
+    val shards = PipelineOps.packShards(spark, sf)
+    // every doc assigned; shard ids are dense non-negative per lang
+    assert(shards.count() == Tables.documents(spark, sf).count())
+    assert(shards.filter(col("shard_id") < 0).count() == 0)
+    // budget: a shard's tokens stay under target + its largest doc
+    // (greedy packing overshoots by at most the doc that closed it)
+    val over = shards.groupBy("lang", "shard_id")
+      .agg(sum("n_tok").as("tok"), max("n_tok").as("biggest"))
+      .filter(col("tok") > lit(2000) + col("biggest"))
+    assert(over.count() == 0, "a shard exceeds target + closing doc")
+    // contiguity: within a lang, shard_id is monotone in doc_id
+    val rows = shards.orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    rows.sliding(2).foreach {
+      case Array((l1, s1v), (l2, s2v)) =>
+        if (l1 == l2) assert(s2v >= s1v, s"shard regressed within $l1")
+      case _ =>
+    }
+  }
+}
