@@ -121,13 +121,45 @@ object StreamingOps {
        |FROM sess
        |GROUP BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------- streaming dedup
+
+  /** Keyed stream deduplication: at most one event per (user, type,
+    * hour), keeping the earliest — the streaming generalization of the
+    * reference's keep-first-per-hour insert guard (etl_job.py:227-237)
+    * with state bounded by the watermark. Batch form below (what the
+    * oracle checks); the true streaming path in StreamingSpec uses
+    * `dropDuplicatesWithinWatermark` over the same key, whose state
+    * store holds only keys younger than the watermark — bounded state
+    * at any corpus rate. The row_number form rewrites to the bounded-
+    * heap top-k operator via the RewriteWindowTopK rule. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("hour_ts"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("hour_ts", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "hour_ts", "event_id", "ts", "value")
+  }
+
+  private val streamDedupSql =
+    """SELECT user_id, event_type,
+      |  cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+      |  event_id, cast(ts as timestamp) AS ts, value
+      |FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id, event_type, date_trunc('hour', ts)
+      |  ORDER BY ts, event_id) = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sessionize" -> (sessionize _),
-    "stream_session_native" -> (sessionWindowNative _))
+    "stream_session_native" -> (sessionWindowNative _),
+    "stream_dedup" -> (streamDedup _))
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling" -> tumblingSql,
     "stream_sessionize" -> sessionizeSql,
-    "stream_session_native" -> sessionWindowNativeSql)
+    "stream_session_native" -> sessionWindowNativeSql,
+    "stream_dedup" -> streamDedupSql)
 }

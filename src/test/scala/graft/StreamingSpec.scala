@@ -122,6 +122,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedup matches the batch keyed dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    // feed events in ts order so "first arrival" == "earliest ts" ==
+    // the batch operator's keep-first semantics
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp"),
+        col("event_id"))
+      .orderBy("ts", "event_id")
+      .as[(Long, String, java.sql.Timestamp, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val deduped = mem.toDF().toDF("user_id", "event_type", "ts", "event_id")
+      .withColumn("hour_ts", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      val batch = StreamingOps.streamDedup(spark, sf).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window-function form") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Tables.events(spark, sf)
