@@ -28,16 +28,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("synthetic chain graph converges to one cluster (distributed path forced)") {
-    // a path 1-2-3-...-8 has diameter 7: exercises multiple rounds of
-    // the distributed min-label loop (driverMaxEdges=0 disables the
-    // driver union-find fast path)
-    val docs = (1L to 10L).toDF("doc_id") // 9,10 isolated
-    val pairs = (1L until 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+  test("distributed path converges on a diameter-299 chain (pointer doubling)") {
+    // a path 1-2-...-300 has diameter 299: plain neighbor-min
+    // propagation would need 299 rounds (far beyond any sane cap);
+    // the pointer-doubling step must close it in ~O(log n) rounds
+    // (driverMaxEdges=0 disables the driver union-find fast path)
+    val docs = (1L to 302L).toDF("doc_id") // 301,302 isolated
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val got = CorpusOps.clustersFromPairs(docs, pairs, driverMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 8L).forall(got(_) == 1L))
-    assert(got(9L) == 9L && got(10L) == 10L)
+    assert((1L to 300L).forall(got(_) == 1L))
+    assert(got(301L) == 301L && got(302L) == 302L)
   }
 
   test("driver union-find survives a 100k-edge path graph (iterative find)") {
