@@ -78,11 +78,47 @@ object PipelineOps {
        |FROM t""".stripMargin
   }
 
+  private val BottomK = 10
+
+  /** Per-event-type deterministic uniform sample through the CUSTOM
+    * bottom-k sketch aggregate (graft.plans.BottomKSketchAgg, a
+    * TypedImperativeAggregate): O(k) state per group, mergeable
+    * partials, same answer on any partitioning. The "randomness" is
+    * the mirrored rolling hash of the id, so the DuckDB oracle
+    * reproduces the exact sample with a window rank. */
+  def sampleBottomK(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("h", text.rollingHash(col("event_id").cast("string")))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.sketch.bottomK(col("h"), col("event_id"), BottomK)
+        .as("ids"))
+      .select(col("event_type"), posexplode(col("ids")).as(Seq("pos", "event_id")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("event_id"))
+
+  private val sampleBottomKSql = {
+    val fph = """list_reduce(
+      |    list_prepend(cast(0 as bigint),
+      |      list_transform(string_split(cast(event_id as varchar), ''),
+      |        c -> cast(ascii(c) as bigint))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH h AS (
+       |  SELECT event_type, event_id, $fph AS fph FROM events)
+       |SELECT event_type,
+       |  cast(row_number() OVER (PARTITION BY event_type
+       |       ORDER BY fph, event_id) as int) AS rank,
+       |  event_id
+       |FROM h
+       |QUALIFY rank <= $BottomK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
+    "sample_bottomk" -> (sampleBottomK _),
     "pack_shards" -> (packShards _))
 
   val oracle: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_bottomk" -> sampleBottomKSql,
     "pack_shards" -> packShardsSql)
 }
