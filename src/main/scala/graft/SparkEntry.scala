@@ -24,7 +24,8 @@ object SparkEntry {
     RelationalOps.queries ++ EtlOps.queries ++ DedupOps.queries ++
       AnnOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
       IngestOps.queries ++ CorpusOps.queries ++ Upsert.queries ++
-      PipelineOps.queries ++ graft.streaming.StreamingOps.queries
+      PipelineOps.queries ++ ReferencePipeline.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver's rows-only check
@@ -33,5 +34,6 @@ object SparkEntry {
     RelationalOps.oracle ++ EtlOps.oracle ++ DedupOps.oracle ++
       AnnOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
       IngestOps.oracle ++ CorpusOps.oracle ++ Upsert.oracle ++
-      PipelineOps.oracle ++ graft.streaming.StreamingOps.oracle
+      PipelineOps.oracle ++ ReferencePipeline.oracle ++
+      graft.streaming.StreamingOps.oracle
 }

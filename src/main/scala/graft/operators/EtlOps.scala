@@ -18,8 +18,8 @@ import graft.functions.exact._
   */
 object EtlOps {
 
-  private val knownTypes = Seq("view", "click", "purchase", "signup", "error")
-  private val knownTypesSql = knownTypes.map(t => s"'$t'").mkString("(", ",", ")")
+  private[operators] val knownTypes = Seq("view", "click", "purchase", "signup", "error")
+  private[operators] val knownTypesSql = knownTypes.map(t => s"'$t'").mkString("(", ",", ")")
 
   /** Data-quality flags per row — null/range/type-domain checks
     * (etl_job.py:51-72: validate_intensity 0..1000,
