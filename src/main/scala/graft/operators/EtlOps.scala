@@ -180,6 +180,54 @@ object EtlOps {
       |       ts < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR AS is_stale
       |FROM events""".stripMargin
 
+  /** Hourly-grid gap filling with forward fill: the telemetry
+    * continuity a downstream consumer of an hourly feed needs when
+    * cycles are missed (the reference's retry/backoff exists exactly
+    * because hours CAN be missed). Dense hour × type grid generated
+    * from the data's own bounds (the grid is |hours| rows — tiny at
+    * any corpus size — so the cross join broadcasts), observed
+    * per-hour averages left-joined on, gaps carry the last observed
+    * value forward per type (last-ignoreNulls window). */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+      .agg(xavg(col("value"), 2).as("avg_value"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).cast("timestamp_ntz").as("h0"),
+        date_trunc("hour", max(col("ts"))).cast("timestamp_ntz").as("h1"))
+      .select(explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"), col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("filled_value"),
+        col("avg_value").isNull.as("was_gap"))
+  }
+
+  private val gapFillSql =
+    s"""WITH b AS (
+       |  SELECT cast(date_trunc('hour', min(ts)) as timestamp) AS h0,
+       |         cast(date_trunc('hour', max(ts)) as timestamp) AS h1
+       |  FROM events),
+       |grid AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |hourly AS (
+       |  SELECT event_type, cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+       |    ${oAvg("value", 2)} AS avg_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT t.event_type, cast(g.hour_ts as timestamp) AS hour_ts,
+       |  h.avg_value,
+       |  last_value(h.avg_value IGNORE NULLS) OVER (
+       |    PARTITION BY t.event_type ORDER BY g.hour_ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       |  h.avg_value IS NULL AS was_gap
+       |FROM grid g
+       |CROSS JOIN types t
+       |LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour_ts = g.hour_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_validate" -> (validate _),
     "etl_dedup_hour" -> (dedupHour _),
@@ -187,7 +235,8 @@ object EtlOps {
     "etl_daily_cleanliness" -> (dailyCleanliness _),
     "etl_success_rate" -> (successRate _),
     "etl_recent_runs" -> (recentRuns _),
-    "etl_freshness" -> (freshness _))
+    "etl_freshness" -> (freshness _),
+    "etl_gap_fill" -> (gapFill _))
 
   val oracle: Map[String, String] = Map(
     "etl_validate" -> validateSql,
@@ -196,5 +245,6 @@ object EtlOps {
     "etl_daily_cleanliness" -> dailyCleanlinessSql,
     "etl_success_rate" -> successRateSql,
     "etl_recent_runs" -> recentRunsSql,
-    "etl_freshness" -> freshnessSql)
+    "etl_freshness" -> freshnessSql,
+    "etl_gap_fill" -> gapFillSql)
 }

@@ -42,4 +42,19 @@ class EtlSpec extends AnyFunSuite {
     val stale = f.filter(col("is_stale")).count()
     assert(total > 0 && stale > 0 && stale < total)
   }
+
+  test("gap_fill produces a dense hour grid and forward-fills gaps") {
+    val gf = EtlOps.gapFill(spark, sf).cache()
+    val types = gf.select("event_type").distinct().count()
+    val hours = gf.select("hour_ts").distinct().count()
+    assert(gf.count() == types * hours, "grid must be dense (hour x type)")
+    // real gaps exist at type granularity and every gap after the
+    // first observation carries a filled value
+    assert(gf.filter(col("was_gap")).count() > 0)
+    assert(gf.filter(col("was_gap") && col("filled_value").isNotNull).count() > 0)
+    // observed rows: filled == observed
+    assert(gf.filter(!col("was_gap") &&
+      col("filled_value") =!= col("avg_value")).count() == 0)
+    gf.unpersist()
+  }
 }
