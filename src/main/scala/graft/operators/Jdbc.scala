@@ -33,6 +33,16 @@ object Jdbc {
       .option("url", url).option("dbtable", table).option("driver", driver)
       .load()
 
+  /** Existence probe via JDBC catalog metadata — NOT a catch-around
+    * the read: a transient read failure must fail the upsert, or a
+    * retry would treat the table as absent and double-insert. */
+  private def tableExists(url: String, table: String, driver: String): Boolean = {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.getMetaData.getTables(null, null, table.toUpperCase, null).next()
+    finally conn.close()
+  }
+
   /** The reference's check-then-insert against a JDBC table: read
     * ONLY the key columns back (column pruning pushes into the SELECT
     * list), anti-join, append the survivors. Returns inserted count;
@@ -41,10 +51,9 @@ object Jdbc {
                   table: String, keyCols: Seq[String],
                   driver: String = DerbyDriver): Long = {
     val existing: DataFrame =
-      try read(spark, url, table, driver).select(keyCols.map(col): _*).distinct()
-      catch { case _: Throwable => // first run: table absent
-        batch.select(keyCols.map(col): _*).limit(0)
-      }
+      if (tableExists(url, table, driver))
+        read(spark, url, table, driver).select(keyCols.map(col): _*).distinct()
+      else batch.select(keyCols.map(col): _*).limit(0)
     val fresh = batch.join(existing, keyCols, "left_anti").localCheckpoint()
     val n = fresh.count()
     if (n > 0) write(fresh, url, table, SaveMode.Append, driver)

@@ -41,6 +41,16 @@ case class BottomKSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // analysis-time type contract: both inputs must already be longs —
+  // a silent asInstanceOf on eval results would otherwise surface as
+  // an executor ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (hash.dataType == LongType && payload.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bottomk_sketch needs (bigint, bigint) inputs, got " +
+        s"(${hash.dataType.simpleString}, ${payload.dataType.simpleString})")
+
   // max-heap on (hash, payload): the root is the WORST kept pair, so
   // a better candidate replaces it in O(log k)
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =

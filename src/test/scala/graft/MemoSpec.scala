@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The cross-query intermediate cache must key by dataset directory —
+  * a keying regression would silently serve one dataset's cached
+  * relation to queries over another. */
+class MemoSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("memo entries are isolated per (key, dir) and reused per dir") {
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("graft_memo1").toString
+    val d2 = Files.createTempDirectory("graft_memo2").toString
+    Seq(1L, 2L).toDF("x").write.parquet(d1 + "/t.parquet")
+    Seq(10L, 20L, 30L).toDF("x").write.parquet(d2 + "/t.parquet")
+    def load(dir: String) =
+      Memo.cached(spark, "memo_spec_t", dir)(spark.read.parquet(dir + "/t.parquet"))
+    assert(load(d1).count() == 2 && load(d2).count() == 3)
+    // second access returns the same cached plan (same result, and the
+    // underlying object is reference-equal — the memo hit)
+    assert(load(d1) eq load(d1))
+    assert(load(d1).count() == 2)
+  }
+}
