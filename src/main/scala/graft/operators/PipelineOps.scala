@@ -47,21 +47,48 @@ object PipelineOps {
        |FROM f
        |QUALIFY rank <= $SamplePerStratum""".stripMargin
 
+  /** Block count for the distributed prefix sum: parallelism is
+    * |langs| × PackBlocks regardless of how skewed the language mix
+    * is. On a cluster this tracks total cores. */
+  private val PackBlocks = 32
+
   /** Greedy contiguous sequence packing: docs in doc_id order fill
     * shard after shard of ~`ShardTargetTokens` whitespace tokens —
     * the pretraining "pack documents into fixed-budget sequences"
-    * step. shard_id = floor(tokens-before-this-doc / target), via a
-    * running sum partitioned BY LANGUAGE: each language packs
-    * independently and in parallel (a global ordering would funnel
-    * the whole corpus through one partition; per-stratum packing is
-    * both the realistic layout and the scalable one). */
+    * step. shard_id = floor(tokens-before-this-doc / target).
+    *
+    * The running sum is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not one
+    * window per language (whose parallelism would be |langs| and
+    * whose biggest stratum would serialize): docs split into doc_id
+    * RANGE blocks (order-preserving by construction), each
+    * (lang, block) computes its local cumulative sum independently,
+    * and the tiny per-block totals (langs × blocks rows) are
+    * prefix-summed on their own to give each block its offset.
+    * cum = block_offset + local_cum is EXACTLY the single-window
+    * answer — the oracle (one window) proves it per row. */
   def packShards(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(text.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+    val bounds = base.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val withBlk = base.crossJoin(broadcast(bounds))
+      .withColumn("span",
+        greatest(floor((col("hi") - col("lo") + 1) / PackBlocks), lit(1L)))
+      .withColumn("blk", floor((col("doc_id") - col("lo")) / col("span")))
+      .drop("lo", "hi", "span")
+    // local cumsum within each (lang, doc_id-range block)
+    val wLocal = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withBlk.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+    // per-block totals are langs*blocks rows: prefix-sum THEM per lang
+    val wBlocks = Window.partitionBy(col("lang")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withBlk.groupBy(col("lang"), col("blk"))
+      .agg(sum(col("n_tok")).as("blk_tok"))
+      .withColumn("offset", sum(col("blk_tok")).over(wBlocks) - col("blk_tok"))
+      .select(col("lang"), col("blk"), col("offset"))
+    local.join(broadcast(offsets), Seq("lang", "blk"))
+      .withColumn("cum", col("offset") + col("local_cum"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         floor((col("cum") - col("n_tok")) / lit(ShardTargetTokens.toDouble))
           .cast("bigint").as("shard_id"))

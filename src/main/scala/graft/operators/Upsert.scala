@@ -27,8 +27,13 @@ object Upsert {
     * present under `dir`; returns how many rows were inserted. */
   def upsertByKey(spark: SparkSession, batch: DataFrame, dir: String,
                   keyCols: Seq[String]): Long = {
+    // existence via the Hadoop filesystem of the path (works for
+    // local, HDFS and object stores alike — java.io.File would only
+    // see the local disk)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: DataFrame =
-      if (new java.io.File(dir).exists())
+      if (fs.exists(path))
         spark.read.parquet(dir).select(keyCols.map(col): _*).distinct()
       else batch.select(keyCols.map(col): _*).limit(0)
     val fresh = batch.join(existing, keyCols, "left_anti").localCheckpoint()
