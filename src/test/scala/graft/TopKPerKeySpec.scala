@@ -35,6 +35,26 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("map-side partial heap runs below the exchange and bounds shuffled rows") {
+    // partial must sit under the exchange (pruning before the shuffle),
+    // final above it — the HashAggregate partial/final split for top-k
+    val plan = custom.queryExecution.executedPlan.toString
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0, s"no partial pass in plan:\n$plan")
+    assert(iExchange >= 0 && iExchange < iPartial,
+      s"partial pass must be below (printed after) the exchange:\n$plan")
+    // semantic bound: a hot single key over many partitions still
+    // returns the exact global top-k
+    import spark.implicits._
+    val hot = spark.range(100000)
+      .select(lit("only_key").as("g"), col("id"))
+      .repartition(32)
+    val got = topk.perKey(hot, Seq("g"), Seq(topk.Order("id")), 5)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == (0L until 5L).map(i => (i, i.toInt + 1)).toSet)
+  }
+
   test("unknown column errors clearly") {
     val e = intercept[IllegalArgumentException] {
       topk.perKey(Tables.orders(spark, sf), Seq("nope"), Seq(topk.Order("o_orderkey")), 2)
