@@ -130,6 +130,33 @@ object DedupOps {
 
   private val MinHashK = 64
   private val Bands = 16 // r = 4 rows per band
+  /** Per-bucket representative cap for ALL LSH candidate joins (band
+    * buckets, hyperplane cells): a bucket of B members emits pairs
+    * only against its `cap` lowest-id representatives — O(B·cap)
+    * candidates instead of O(B²). A duplicate-heavy corpus (the exact
+    * case dedup exists for) otherwise makes every bucket holding a
+    * big duplicate cluster quadratic. Recall: pairs between two
+    * non-representatives are found through a representative, which
+    * keeps duplicate CLUSTERS connected — what the downstream
+    * cluster/keep-min resolution consumes. Buckets ≤ cap are
+    * pair-complete (no behavior change on this corpus). */
+  private val CandBucketCap = 256
+
+  /** Candidate pairs from a bucketed (bucketCols..., idCol) relation,
+    * bucket-capped via the partial/final bounded-heap top-k. */
+  private[graft] def bucketCandidates(banded: DataFrame, bucketCols: Seq[String],
+                                      idCol: String, cap: Int): DataFrame = {
+    val reps = graft.functions.topk.perKey(banded.select((bucketCols :+ idCol).map(col): _*),
+        keys = bucketCols,
+        order = Seq(graft.functions.topk.Order(idCol)),
+        k = cap)
+      .select(bucketCols.map(col) :+ col(idCol).as("cand_a"): _*)
+    reps
+      .join(banded.select(bucketCols.map(col) :+ col(idCol).as("cand_b"): _*),
+        bucketCols)
+      .filter(col("cand_a") < col("cand_b"))
+      .select("cand_a", "cand_b").distinct()
+  }
 
   /** 64-perm MinHash → 16-band LSH → bucket-join candidates → exact
     * Jaccard ≥ τ verification. Signatures come from a keyed min
@@ -162,11 +189,8 @@ object DedupOps {
       .agg(xxhash64(sort_array(collect_list(struct(col("perm"), col("mh"))))).as("bh"))
       .cache()
 
-    val cand = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-      .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = bucketCandidates(banded, Seq("band", "bh"), "doc_id", CandBucketCap)
+      .select(col("cand_a").as("doc_a"), col("cand_b").as("doc_b"))
 
     // exact verification on the candidate set only; the second join is
     // on (doc_b, sh) so shared shingles merge in the join instead of
@@ -315,11 +339,8 @@ object DedupOps {
         explode(lshBuckets(col("embedding"), tables, bits, 64)).as("b"))
       .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
 
-    val cand = banded.select(col("vec_id").as("vec_a"), col("tbl"), col("bv"))
-      .join(banded.select(col("vec_id").as("vec_b"), col("tbl"), col("bv")),
-        Seq("tbl", "bv"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    val cand = bucketCandidates(banded, Seq("tbl", "bv"), "vec_id", CandBucketCap)
+      .select(col("cand_a").as("vec_a"), col("cand_b").as("vec_b"))
 
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")

@@ -77,6 +77,24 @@ class DedupSpec extends AnyFunSuite {
       "capped pairs must still connect the whole duplicate group")
   }
 
+  test("bucket candidate generation is capped and keeps the bucket connected") {
+    import spark.implicits._
+    // one bucket holding 1000 members: uncapped would emit 499,500
+    // pairs; with cap=16 exactly sum_{i<16}(999-i) = 15,864 pairs, and
+    // the pair graph still connects every member (all pair to the
+    // 16 lowest ids)
+    val n = 1000
+    val cap = 16
+    val banded = (0 until n).map(i => (0, 7L, i.toLong)).toDF("tbl", "bv", "vec_id")
+    val cand = DedupOps.bucketCandidates(banded, Seq("tbl", "bv"), "vec_id", cap)
+    val expected = (0 until cap).map(i => n - 1 - i).sum
+    assert(cand.count() == expected)
+    val clustered = graft.operators.CorpusOps.clustersFromPairs(
+      spark.range(n).toDF("doc_id"),
+      cand.select(col("cand_a").as("doc_a"), col("cand_b").as("doc_b"))).collect()
+    assert(clustered.forall(_.getLong(1) == 0L), "capped pairs must stay connected")
+  }
+
   test("simhash cap is a no-op when every bucket fits (identity in the capped regime)") {
     val capped = DedupOps.simhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
