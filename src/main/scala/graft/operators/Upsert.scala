@@ -63,6 +63,19 @@ object Upsert {
     }
   }
 
+  /** Streaming variant: a `foreachBatch` sink that lands each
+    * micro-batch through the keyed upsert. At-least-once delivery
+    * (e.g. a replayed micro-batch after recovery) + key-level
+    * idempotence = effectively-once landing, the same guarantee the
+    * reference's check-then-insert gives its hourly cron — here per
+    * micro-batch with checkpointed progress. Use as
+    * `stream.writeStream.foreachBatch(Upsert.foreachBatchUpsert(dir,
+    * keys)).option("checkpointLocation", ...)`. */
+  def foreachBatchUpsert(dir: String, keyCols: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      { upsertByKey(batch.sparkSession, batch, dir, keyCols); () }
+
   /** Read-side preview of an upsert run (the driver-oracled query):
     * treat hours before (dataset min + 15 days) as already landed;
     * the result is exactly the keep-first-per-hour rows a fresh

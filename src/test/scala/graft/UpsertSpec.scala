@@ -31,6 +31,30 @@ class UpsertSpec extends AnyFunSuite {
     assert(tgt.count() == full.count())
   }
 
+  test("foreachBatch upsert sink lands overlapping micro-batches exactly once per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_stream_upsert").toString
+    val target = base + "/t"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch(Upsert.foreachBatchUpsert(target, Seq("k")))
+      .option("checkpointLocation", base + "/ckpt")
+      .start()
+    try {
+      mem.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      // second micro-batch REPLAYS key 2 (at-least-once delivery) and
+      // adds key 3: the keyed sink must land each key exactly once
+      mem.addData(Seq((2L, "b"), (3L, "c")))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target).as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("upsertByKeyLogged records inserted counts per run") {
     val base = Files.createTempDirectory("graft_upsert_log").toString
     val target = base + "/telemetry"
