@@ -1,12 +1,39 @@
 package graft
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line for the driver.
+  * SPARK_GRAFT_SF_DIR, prints ONE COMPACT JSON line for the driver.
+  *
+  * The driver captures stdout through a bounded tail window, so the
+  * per-query timing map (68 entries, ~3.6 KB) must NOT ride on the
+  * stdout line — it head-truncates and the driver parses nothing
+  * (BENCH_r01/r02 `parsed: null`). Split:
+  *   - stdout (LAST line): compact total-only JSON, <500 bytes
+  *     (BenchSpec asserts the bound);
+  *   - SPARK_GRAFT_BENCH_OUT file (default BENCH_OUT.json): the full
+  *     line with the per-query map, for profiling and the judge.
   *
   * A warmup action runs first so JVM/classloader/codegen startup cost
   * isn't attributed to the first query; each query is then timed as a
   * full plan → action (`count`) pass. */
 object Bench {
+
+  /** The driver-facing stdout line: total only, no per-query map.
+    * Kept a pure function so BenchSpec can bound its size. */
+  def compactLine(total: Double, sfDir: String): String = {
+    // "sf0.1" → 0.1; anything unparseable stays a JSON string
+    val base = sfDir.split('/').last
+    val sf = base.stripPrefix("sf")
+    val sfJson = sf.toDoubleOption.map(_.toString).getOrElse("\"" + base + "\"")
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfJson}"""
+  }
+
+  /** The full line (per-query map included) written to the file copy. */
+  def detailLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -31,20 +58,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces for the driver's parser: the bare line on stdout
-    // (build.sbt routes forked-run output through unprefixed) AND a
-    // file copy at SPARK_GRAFT_BENCH_OUT (default BENCH_OUT.json in
-    // the working directory)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      detailLine(total, results, sfDir) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    println(line)
+    Memo.clear(spark)
+    // the compact line is the LAST thing on stdout (after Spark's
+    // shutdown chatter goes to stderr via log4j) so even a short tail
+    // window catches an intact parseable line
+    println(compactLine(total, sfDir))
     spark.stop()
   }
 }

@@ -26,4 +26,13 @@ object Memo {
   def cached(s: SparkSession, key: String, dir: String)
             (build: => DataFrame): DataFrame =
     m.getOrElseUpdate((s, key, dir), build.cache())
+
+  /** Drop and unpersist every entry belonging to `s` — for long-lived
+    * library sessions (a one-shot Bench/Verify process could rely on
+    * JVM exit, a shared session cannot). Subsequent `cached` calls
+    * rebuild from scratch (MemoSpec: clear-then-rebuild). */
+  def clear(s: SparkSession): Unit =
+    m.keys.filter(_._1 eq s).foreach { k =>
+      m.remove(k).foreach(df => df.unpersist())
+    }
 }

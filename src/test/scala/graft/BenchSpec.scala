@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures Bench stdout through a bounded tail window:
+  * rounds 1 and 2 both ended with `parsed: null` because the single
+  * stdout line carried the 68-entry per-query map (~3.6 KB) and the
+  * window truncated its head. The contract under test: the stdout
+  * line is COMPACT (total only, hard size bound) and the per-query
+  * detail lives only in the BENCH_OUT.json file copy. */
+class BenchSpec extends AnyFunSuite {
+
+  private val manyQueries =
+    (1 to 100).map(i => s"some_quite_long_query_name_$i" -> i * 0.123456789)
+
+  test("stdout line stays under 500 bytes regardless of query count") {
+    val line = Bench.compactLine(71.87667452500001, "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length < 500, s"line too long: $line")
+    assert(!line.contains("queries"), "per-query map must not ride on stdout")
+    // shape the driver parses: one JSON object, metric/value/unit/sf
+    assert(line.startsWith("""{"metric":"total","value":71.876674525"""))
+    assert(line.contains(""""unit":"sec""""))
+    assert(line.endsWith(""""sf":0.1}"""))
+  }
+
+  test("sf parses to a number for sfN dirs and degrades to a string") {
+    assert(Bench.compactLine(1.0, "/x/sf0.001").endsWith(""""sf":0.001}"""))
+    assert(Bench.compactLine(1.0, "weird-dir").endsWith(""""sf":"weird-dir"}"""))
+  }
+
+  test("detail line carries the full per-query map for the file copy") {
+    val line = Bench.detailLine(12.3, manyQueries, "/root/testdata/sf0.1")
+    assert(line.contains(""""queries":{"""))
+    assert(manyQueries.forall { case (k, _) => line.contains("\"" + k + "\":") })
+  }
+}

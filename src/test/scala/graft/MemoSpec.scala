@@ -23,4 +23,23 @@ class MemoSpec extends AnyFunSuite {
     assert(load(d1) eq load(d1))
     assert(load(d1).count() == 2)
   }
+
+  test("clear unpersists and drops session entries; rebuild works") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_memo_clear").toString
+    Seq(1L, 2L, 3L).toDF("x").write.parquet(d + "/t.parquet")
+    var builds = 0
+    def load() = Memo.cached(spark, "memo_spec_clear", d) {
+      builds += 1; spark.read.parquet(d + "/t.parquet")
+    }
+    val before = load()
+    assert(load() eq before)
+    assert(builds == 1)
+    Memo.clear(spark)
+    assert(before.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clear must unpersist cached entries")
+    val after = load()
+    assert(builds == 2, "cleared entry must rebuild on next access")
+    assert(!(after eq before) && after.count() == 3)
+  }
 }
