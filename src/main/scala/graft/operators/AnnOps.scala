@@ -123,37 +123,62 @@ object AnnOps {
         expr("transform(dm, x -> cast(x.m as float))").as("c_emb"))
   }
 
+  /** Training budget per centroid: the k-means sweeps see at most
+    * `TrainPerCell·nCells` vectors (the standard IVF training recipe;
+    * FAISS trains on 64-256 points per centroid). */
+  private val TrainPerCell = 256
+
   /** IVF ANN with a TRAINED coarse quantizer, parameterized for
     * scale: `nCells` defaults to ~√N (the classic IVF sizing — cells
-    * and per-cell scan cost balance at √N), seeds are a DETERMINISTIC
-    * PSEUDO-RANDOM sample (lowest xxhash64(vec_id) — uniform over the
-    * corpus, unlike "lowest N ids" which inherits any id-order bias),
-    * refined by two distributed k-means sweeps, then the classic
-    * probe-N search: each corpus vector is assigned to its nearest
-    * centroid once; a query searches only its `nProbe` nearest cells. */
+    * and per-cell scan cost balance at √N); the quantizer TRAINS ON A
+    * BOUNDED SAMPLE (≤ ~256·nCells vectors by deterministic xxhash64
+    * threshold — uniform over the corpus, no global sort, no driver
+    * collect), seeded by the sample's lowest-hash rows and refined by
+    * two k-means sweeps over the sample only. The FULL corpus is
+    * scanned exactly once — for the final cell assignment — so total
+    * work is O(N·√N·d) for assignment + O(√N·√N·d·256) for training,
+    * instead of 3 full O(N^1.5·d) passes; at 10⁹ vectors the training
+    * input drops from 10⁹ rows ×2 sweeps to ~8M. */
   def ivf(s: SparkSession, d: String): DataFrame =
     ivfImpl(DedupOps.embParallel(s, d), queriesDf(s, d), nCells = 0,
       nProbe = DefaultNProbe)
 
-  /** nCells = 0 → auto-size to ~√N from a (cached-scan) count. */
+  /** nCells = 0 → auto-size to ~√N from a (cached-scan) count;
+    * `trainPerCell` is overridable so specs can force the sampled
+    * regime on a corpus small enough to verify against brute force. */
   private[graft] def ivfImpl(e0: DataFrame, queries: DataFrame,
-                             nCells: Int, nProbe: Int): DataFrame = {
-    // cached: referenced by both k-means sweeps and the assignment
+                             nCells: Int, nProbe: Int,
+                             trainPerCell: Int = TrainPerCell): DataFrame = {
+    // cached: referenced by the sample filter and the assignment pass
     val e = Tables.parallelize(e0).cache()
+    val n = e.count()
     val cells =
       if (nCells > 0) nCells
-      else math.max(4, math.sqrt(e.count().toDouble).toInt)
+      else math.max(4, math.sqrt(n.toDouble).toInt)
+    // bounded deterministic training sample: keep a vector iff its
+    // xxhash64 lands under the threshold — an embarrassingly parallel
+    // filter (expected size TrainPerCell·cells; concentration is all
+    // k-means training needs). localCheckpoint MATERIALIZES the sample
+    // and cuts lineage, so the two k-means sweeps scan a few-MB
+    // in-memory relation, never the corpus files.
+    val hmod = 1L << 30
+    val frac = math.min(1.0, trainPerCell.toDouble * cells / math.max(1L, n))
+    val sampled = e
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+    val train = (if (frac >= 1.0) sampled
+                 else sampled.filter(pmod(col("h"), lit(hmod)) < lit((frac * hmod).toLong)))
+      .localCheckpoint()
     // seed selection: order by hash, keep `cells`, number them — the
     // post-limit window runs on `cells` rows only (≤ ~√N, e.g. 31k at
     // 10⁹ vectors), not on the corpus
-    val seed = e
-      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+    val seed = train
       .orderBy(col("h"), col("vec_id")).limit(cells)
       .select(
         (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
           .cast("int").as("cell_id"),
         col("embedding").as("c_emb"))
-    val cents = kmeansStep(e, kmeansStep(e, seed)).cache()
+    val trainVecs = train.select(col("vec_id"), col("embedding"))
+    val cents = kmeansStep(trainVecs, kmeansStep(trainVecs, seed)).cache()
 
     // corpus assignment: argmin over broadcast centroids
     val assigned = e.crossJoin(broadcast(cents))

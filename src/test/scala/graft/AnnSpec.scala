@@ -63,4 +63,25 @@ class AnnSpec extends AnyFunSuite {
     val full = asMap(AnnOps.ivfImpl(e, queriesDf, nCells = 16, nProbe = 16))
     assert(full == exact, "probe-all IVF must equal brute force exactly")
   }
+
+  test("sampled training regime (trainPerCell bounds the k-means input)") {
+    val e = Tables.embeddings(spark, sf)
+    // trainPerCell=4 with 16 cells caps training at ~64 of the corpus's
+    // vectors — the 100 TB regime where the quantizer NEVER sees the
+    // whole corpus. Probe-all must still equal brute force (the search
+    // is exhaustive whatever the centroids), and partial probing must
+    // still return full result sets with sane recall.
+    val full = asMap(AnnOps.ivfImpl(e, queriesDf, nCells = 16, nProbe = 16,
+      trainPerCell = 4))
+    assert(full == exact, "probe-all IVF must stay exact under sampled training")
+    val partial = asMap(AnnOps.ivfImpl(e, queriesDf, nCells = 16, nProbe = 4,
+      trainPerCell = 4))
+    assert(partial.keySet == exact.keySet)
+    assert(partial.values.forall(_.size == 10))
+    val recalls = exact.map { case (q, nbrs) =>
+      partial(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"sampled-training ivf recall = ${recalls.sum / recalls.size}")
+  }
 }
