@@ -21,11 +21,15 @@ object Tables {
     * per-row work (hashing, shingling, vector math). The local test
     * files arrive as ONE split, which would serialize the whole
     * narrow pipeline on one core; at production scale the source has
-    * enough splits and this shuffle is skipped by the caller sizing
-    * check. */
+    * enough splits and the repartition is skipped. The sizing check
+    * counts source FILES (analysis-only — `.rdd.getNumPartitions`
+    * would run the physical planner once per call just to read the
+    * split count); a non-file relation (memory stream, local data)
+    * reports zero files and keeps the repartition, which is what a
+    * one-partition local relation needs anyway. */
   def parallelize(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    if (df.inputFiles.length >= n) df else df.repartition(n)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

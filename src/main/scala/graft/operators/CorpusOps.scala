@@ -41,17 +41,22 @@ object CorpusOps {
       driverMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
-    val nEdges = p.count()
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    // ONE driver job decides the path AND fetches the small case's
+    // edges: collect limit+1 rows — if the limit isn't hit, these are
+    // ALL the edges and no separate count pass runs (the pair plan is
+    // typically a whole dedup pipeline; scheduling it twice doubles
+    // the fill cost under a contended driver)
+    val probe = p.limit(driverMaxEdges.toInt + 1).collect()
 
     val connectedLabels: DataFrame =
-      if (nEdges <= driverMaxEdges) {
+      if (probe.length <= driverMaxEdges) {
         // driver fast path: exact union-find over the (small) pair set.
         // find is ITERATIVE (walk to root, second pass re-points the
         // path) — a recursive version recurses as deep as the longest
         // parent chain and a degenerate path graph near the 1M-edge
         // threshold would overflow the stack.
-        val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val es = probe.map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x0: Long): Long = {
           var root = x0
@@ -73,8 +78,9 @@ object CorpusOps {
         // a label has travelled double per round, so convergence is
         // O(log diameter) rounds, not O(diameter) — a 10⁶-long path
         // component converges in ~20 rounds instead of 10⁶.
-        val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val pc = p.cache()
+        val edges = pc.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pc.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .cache()
         var labels = edges.select(col("src").as("doc_id")).distinct()
           .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()

@@ -52,10 +52,17 @@ object DedupOps {
     graft.Memo.cached(s, "shingle_sets", d) {
       val sh = Tables.parallelize(Tables.documents(s, d))
         .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDf)
+      // df cap as an ANTI-join against the FREQUENT set: shingles with
+      // df > MaxDf are ≤ 1/MaxDf of all shingle instances by the cap
+      // itself (Zipf heads in practice: far fewer), so the exploded
+      // relation never shuffles — only the tiny frequent side moves,
+      // and AQE turns the anti-join into a broadcast. The previous
+      // inner-join against the (huge) rare set shuffled every shingle
+      // row a second time.
+      val frequent = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxDf)
         .select("sh")
-      sh.join(rare, "sh")
+      sh.join(frequent, Seq("sh"), "left_anti")
     }
 
   private def shingleSetsSqlCte: String =
@@ -80,9 +87,15 @@ object DedupOps {
   private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+    // the candidate self-join moves (doc_id, 8-byte hash) instead of
+    // (doc_id, shingle STRING): distinct shingles hash 1:1 under
+    // xxhash64 (a collision would need two distinct shingles shared
+    // by one doc pair — ~2^-64), so intersection counts are identical
+    // and the pair shuffle halves its bytes
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("hs"))
+    val a = hashed.select(col("doc_id").as("doc_a"), col("hs"))
+    val b = hashed.select(col("doc_id").as("doc_b"), col("hs"))
+    val inter = a.join(b, "hs").filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
