@@ -46,7 +46,21 @@ object ReferencePipeline {
     * `targetDir` (skipping hours already present — re-runs insert
     * zero), append a run record to `logDir`, retry transient failures
     * with 2^attempt backoff, propagate the terminal failure after
-    * logging it. Returns rows inserted. */
+    * logging it. Returns rows inserted.
+    *
+    * Status domain mirrors the reference's etl_runs
+    * (etl_job.py:213-218,236-238,262): `partial` when data-quality
+    * validation failed for some input rows, `skipped` when the cycle
+    * inserted nothing (every hour already present — the idempotent
+    * re-run), `success` otherwise, `failure` on error. DELIBERATE
+    * DIVERGENCE, documented: the reference still inserts the
+    * UNVALIDATED row on a partial run (etl_job.py:218 falls through
+    * to the insert) and then overwrites `partial` with `success` on
+    * insert (etl_job.py:262), so `partial` is unobservable on its
+    * happy path; graft lands only the rows that passed validation
+    * and KEEPS the `partial` record visible — known-bad telemetry
+    * never reaches downstream aggregates, and the monitoring surface
+    * actually reports the degradation the status exists to flag. */
   def run(spark: SparkSession, sfDir: String, targetDir: String,
           logDir: String, maxAttempts: Int = 3,
           baseDelayMs: Long = 100L): Long = {
@@ -58,10 +72,20 @@ object ReferencePipeline {
     while (inserted < 0) {
       attempt += 1
       try {
+        // one tiny aggregate decides partial vs success (the
+        // reference's all(validations) gate, etl_job.py:204-218)
+        val invalid = EtlOps.validate(spark, sfDir)
+          .filter(!col("is_valid")).count()
         val n = Upsert.upsertByKey(spark, insertBatch(spark, sfDir),
           targetDir, Seq("hour_ts"))
+        val status =
+          if (n == 0L) "skipped"
+          else if (invalid > 0L) "partial"
+          else "success"
         RunLog.record(spark, logDir, s"ingest_cycle attempt=$attempt",
-          "success", n, ms, None)
+          status, n, ms,
+          if (invalid > 0L) Some(s"Data quality validation failed: $invalid rows dropped")
+          else None)
         inserted = n
       } catch {
         case e: Throwable =>

@@ -16,6 +16,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (success-rate-per-day: EtlOps.successRate shape). */
 object RunLog {
 
+  /** Status domain = the reference's (etl_job.py:187,218,238,262):
+    * `success` | `partial` (validation dropped rows; see
+    * ReferencePipeline.run) | `skipped` (idempotent re-run inserted
+    * nothing) | `failure`. */
   case class Run(run_timestamp: Timestamp, name: String, status: String,
                  rows_inserted: Long, execution_time_ms: Long,
                  error_message: Option[String])
