@@ -140,9 +140,20 @@ object AnnOps {
       .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
         first(col("embedding")).as("embedding"))
       .select(col("best.cell_id").as("cell_id"), col("embedding"))
+    // per-(cell, dim) mean as a SORTED sequential fold, not avg():
+    // float addition is order-sensitive and a distributed avg sums in
+    // partition order, so the centroids (and hence assignments) would
+    // differ run-to-run in the last ulp. The value-sorted fold is
+    // deterministic and lets the DuckDB oracle reproduce centroids
+    // bit-for-bit. Group size is bounded by the per-cell training
+    // budget (~TrainPerCell), so the collected list stays O(256).
     assigned
       .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cell_id", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("cell_id", "dim")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (a, x) => a + x.cast("double"))
+          / size(col("vs")))
       .groupBy("cell_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell_id"),
@@ -153,6 +164,31 @@ object AnnOps {
     * `TrainPerCell·nCells` vectors (the standard IVF training recipe;
     * FAISS trains on 64-256 points per centroid). */
   private val TrainPerCell = 256
+
+  /** Iterated-quadratic-map hash of an id (mod 1e9+7) — deterministic
+    * integer arithmetic with all operands < 2^63, reproducible in any
+    * 64-bit-int engine (the oracle inlines the same formula). */
+  private def qhash(c: Column): Column = {
+    val M = lit(1000000007L)
+    val h0 = ((c.cast("long") % M) * lit(999983L) + lit(424243L)) % M
+    val h1 = (h0 * h0 + h0 * lit(48271L) + lit(11L)) % M
+    (h1 * h1 + h1 * lit(48271L) + lit(11L)) % M
+  }
+
+  /** The same hash as a SQL CTE chain: `<name>(vec_id, embedding, h)`
+    * over the `embeddings` table (stepwise h0→h1→h so each squaring
+    * stays < 2^63, exactly like the Column form). */
+  private def qhashCtes(name: String): String =
+    s"""${name}_h0 AS (
+       |  SELECT vec_id, embedding,
+       |    ((vec_id % 1000000007) * 999983 + 424243) % 1000000007 AS h0
+       |  FROM embeddings),
+       |${name}_h1 AS (
+       |  SELECT vec_id, embedding, (h0*h0 + h0*48271 + 11) % 1000000007 AS h1
+       |  FROM ${name}_h0),
+       |$name AS (
+       |  SELECT vec_id, embedding, (h1*h1 + h1*48271 + 11) % 1000000007 AS h
+       |  FROM ${name}_h1)""".stripMargin
 
   /** IVF ANN with a TRAINED coarse quantizer, parameterized for
     * scale: `nCells` defaults to ~√N (the classic IVF sizing — cells
@@ -182,17 +218,20 @@ object AnnOps {
       if (nCells > 0) nCells
       else math.max(4, math.sqrt(n.toDouble).toInt)
     // bounded deterministic training sample: keep a vector iff its
-    // xxhash64 lands under the threshold — an embarrassingly parallel
+    // id hash lands under the threshold — an embarrassingly parallel
     // filter (expected size TrainPerCell·cells; concentration is all
-    // k-means training needs). localCheckpoint MATERIALIZES the sample
-    // and cuts lineage, so the two k-means sweeps scan a few-MB
-    // in-memory relation, never the corpus files.
-    val hmod = 1L << 30
+    // k-means training needs). The hash is the same iterated quadratic
+    // map the LSH planes use (DedupOps.radSign family) rather than
+    // xxhash64, so the DuckDB oracle reproduces the sample (and the
+    // hash-ordered seed selection) exactly. localCheckpoint
+    // MATERIALIZES the sample and cuts lineage, so the two k-means
+    // sweeps scan a few-MB in-memory relation, never the corpus files.
+    val M = 1000000007L
     val frac = math.min(1.0, trainPerCell.toDouble * cells / math.max(1L, n))
     val sampled = e
-      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .select(col("vec_id"), col("embedding"), qhash(col("vec_id")).as("h"))
     val train = (if (frac >= 1.0) sampled
-                 else sampled.filter(pmod(col("h"), lit(hmod)) < lit((frac * hmod).toLong)))
+                 else sampled.filter(col("h") < lit((frac * M).toLong)))
       .localCheckpoint()
     // seed selection: order by hash, keep `cells`, number them — the
     // post-limit window runs on `cells` rows only (≤ ~√N, e.g. 31k at
@@ -230,6 +269,84 @@ object AnnOps {
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
     rankTopK(scored, "neighbor_id")
+  }
+
+  /** DuckDB mirror of the ENTIRE IVF pipeline — sample → hash-ordered
+    * seeds → two k-means sweeps → full assignment → nProbe probes →
+    * exact re-score. Reproducible because every engine-side source of
+    * nondeterminism was removed: the sample/seed hash is the quadratic
+    * map (not xxhash64), centroid means are value-sorted sequential
+    * folds (not distributed avg), and argmin tiebreaks are explicit
+    * (dist, cell_id). Norms are factored into CTEs — the same fold
+    * value the fused expression computes per pair, just evaluated
+    * once per vector. */
+  private def ivfSql: String = {
+    val dotTS = "list_reduce(list_prepend(cast(0.0 as double), " +
+      "list_transform(range(1, 65), i -> cast(t.embedding[i]*s.c_emb[i] as double))), " +
+      "(acc, x) -> acc + x)"
+    def dot(a: String, b: String) = "list_reduce(list_prepend(cast(0.0 as double), " +
+      s"list_transform(range(1, 65), i -> cast($a[i]*$b[i] as double))), " +
+      "(acc, x) -> acc + x)"
+    def kmeansAssign(src: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.vec_id, t.embedding, t.nrm, s.cell_id
+         |  FROM $src t, $cents s
+         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY -(${dot("t.embedding", "s.c_emb")} / (t.nrm * s.cnorm)),
+         |             s.cell_id) = 1)""".stripMargin
+    def kmeansMeans(asg: String, out: String): String =
+      s"""${out}_d AS (
+         |  SELECT cell_id, d.dim AS dim, t.embedding[d.dim + 1] AS v
+         |  FROM $asg t, (SELECT unnest(range(0, 64)) AS dim) d),
+         |${out}_m AS (
+         |  SELECT cell_id, dim,
+         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+         |                (a, x) -> a + cast(x as double)) / count(v) AS m
+         |  FROM ${out}_d GROUP BY cell_id, dim),
+         |${out}_e AS (
+         |  SELECT cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
+         |  FROM ${out}_m GROUP BY cell_id),
+         |$out AS (
+         |  SELECT cell_id, c_emb, ${vector.sql.norm("c_emb")} AS cnorm
+         |  FROM ${out}_e)""".stripMargin
+    s"""WITH ${qhashCtes("hh")},
+       |params AS (
+       |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,
+       |         count(*) AS n
+       |  FROM embeddings),
+       |train AS (
+       |  SELECT hh.vec_id, hh.embedding, hh.h,
+       |         ${vector.sql.norm("hh.embedding")} AS nrm
+       |  FROM hh, params
+       |  WHERE $TrainPerCell.0 * params.cells / params.n >= 1.0
+       |     OR hh.h < cast(trunc($TrainPerCell.0 * params.cells / params.n
+       |                          * 1000000007) as bigint)),
+       |seed AS (
+       |  SELECT cast(row_number() OVER (ORDER BY t.h, t.vec_id) - 1 as int) AS cell_id,
+       |         t.embedding AS c_emb, t.nrm AS cnorm
+       |  FROM train t, params p
+       |  QUALIFY row_number() OVER (ORDER BY t.h, t.vec_id) <= p.cells),
+       |${kmeansAssign("train", "seed", "a1")},
+       |${kmeansMeans("a1", "cent1")},
+       |${kmeansAssign("train", "cent1", "a2")},
+       |${kmeansMeans("a2", "cent2")},
+       |corpus AS (
+       |  SELECT vec_id, embedding, ${vector.sql.norm("embedding")} AS nrm
+       |  FROM embeddings),
+       |${kmeansAssign("corpus", "cent2", "asg")},
+       |probes AS (
+       |  SELECT t.vec_id AS query_id, t.embedding AS q_emb, t.nrm AS qnrm, s.cell_id
+       |  FROM (SELECT * FROM corpus WHERE vec_id < $NQueries) t, cent2 s
+       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
+       |    ORDER BY -($dotTS / (t.nrm * s.cnorm)), s.cell_id) <= $DefaultNProbe)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm) DESC,
+       |             a.vec_id) as int) AS rank,
+       |  round(${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm), 6) AS cosine
+       |FROM asg a JOIN probes p USING (cell_id)
+       |WHERE a.vec_id <> p.query_id
+       |QUALIFY rank <= $K""".stripMargin
   }
 
   // -------------------------------------------------- normalization
@@ -270,5 +387,6 @@ object AnnOps {
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,
+    "ann_ivf" -> ivfSql,
     "emb_normalize" -> normalizeEmbeddingsSql)
 }
