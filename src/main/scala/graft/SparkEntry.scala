@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ EtlOps.queries ++ DedupOps.queries ++
-      AnnOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
+      AnnOps.queries ++ TextOps.queries ++ VocabOps.queries ++
+      MultimodalOps.queries ++
       IngestOps.queries ++ CorpusOps.queries ++ Upsert.queries ++
       PipelineOps.queries ++ ReferencePipeline.queries ++
       graft.streaming.StreamingOps.queries
@@ -32,7 +33,8 @@ object SparkEntry {
     * (those operators are ScalaTest-verified instead). */
   def oracleSql: Map[String, String] =
     RelationalOps.oracle ++ EtlOps.oracle ++ DedupOps.oracle ++
-      AnnOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
+      AnnOps.oracle ++ TextOps.oracle ++ VocabOps.oracle ++
+      MultimodalOps.oracle ++
       IngestOps.oracle ++ CorpusOps.oracle ++ Upsert.oracle ++
       PipelineOps.oracle ++ ReferencePipeline.oracle ++
       graft.streaming.StreamingOps.oracle

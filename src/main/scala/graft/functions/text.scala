@@ -27,6 +27,15 @@ object text {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
 
+  /** ALL n-token grams in order, WITH multiplicity (shingles() is the
+    * distinct-set variant for Jaccard; this one feeds frequency
+    * counting). Same short-doc guard. */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
   /** Polynomial rolling hash over the raw characters:
     * fold(acc*31 + ascii(ch)) mod 1e9+7. Oracle mirror:
     * list_reduce(list_prepend(0, ...)). */

@@ -151,13 +151,50 @@ object StreamingOps {
       |  PARTITION BY user_id, event_type, date_trunc('hour', ts)
       |  ORDER BY ts, event_id) = 1""".stripMargin
 
+  // ---------------------------------------- stream-static enrichment
+
+  /** Stream-static enrichment: the event stream joins two broadcast
+    * dimensions (customer → nation) and rolls up per (nation, 6h
+    * window) — the canonical streaming-enrichment shape. In the
+    * streaming form the dim join is a broadcast against each
+    * micro-batch (no stream-stream state, no watermark interaction
+    * with the join — only the windowed agg holds state);
+    * StreamingSpec runs the same plan over a MemoryStream and gets
+    * the identical batch answer. */
+  def enrich(s: SparkSession, d: String): DataFrame =
+    enrichFromEvents(Tables.events(s, d), s, d)
+
+  private[graft] def enrichFromEvents(events: DataFrame,
+                                      s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    events
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_name").as("nation"),
+        col("n_events"), col("sum_value"))
+  }
+
+  private val enrichSql =
+    s"""SELECT date_trunc('day', ts) + cast(floor(hour(ts) / 6) * 6 as bigint) * INTERVAL 1 HOUR
+       |    AS window_start,
+       |  n_name AS nation, $oCount AS n_events, ${oSum("value", 2)} AS sum_value
+       |FROM events e
+       |JOIN customer c ON e.user_id = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich" -> (enrich _),
     "stream_tumbling" -> (tumbling _),
     "stream_sessionize" -> (sessionize _),
     "stream_session_native" -> (sessionWindowNative _),
     "stream_dedup" -> (streamDedup _))
 
   val oracle: Map[String, String] = Map(
+    "stream_enrich" -> enrichSql,
     "stream_tumbling" -> tumblingSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_session_native" -> sessionWindowNativeSql,

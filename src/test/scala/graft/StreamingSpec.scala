@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val ev = mem.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingOps.enrichFromEvents(ev, spark, sf)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window_start").cast("string"), col("nation"),
+          col("n_events"), col("sum_value").cast("string"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(key(spark.table("enrich_out")) == key(StreamingOps.enrich(spark, sf)))
+    } finally q.stop()
+  }
+
   test("append mode with watermark emits exactly the closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]

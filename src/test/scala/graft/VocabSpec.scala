@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.VocabOps
+import graft.functions.text
+
+class VocabSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  val sf = TestSession.sf
+
+  test("ngrams keeps multiplicity and order; shingles is its distinct set") {
+    val df = Seq("a b a b").toDF("t")
+      .select(text.ngrams(text.tokens(col("t")), 2).as("g"),
+        text.shingles(text.tokens(col("t")), 2).as("s"))
+    val r = df.first
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(r.getSeq[String](1).sorted == Seq("a b", "b a"))
+    // short-doc guard: 1 token < n=2 → empty, not a descending sequence
+    val short = Seq("solo").toDF("t")
+      .select(text.ngrams(text.tokens(col("t")), 2)).first.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("docFreq agrees with a driver-side recount and prunes both tails") {
+    val vocab = VocabOps.docFreq(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val expected = docs
+      .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    assert(vocab.view.mapValues(_._1).toMap == expected)
+    val n = docs.length
+    vocab.foreach { case (t, (dfq, keep)) =>
+      assert(keep == (dfq >= 2 && dfq * 2 <= n), s"token $t df=$dfq n=$n")
+    }
+  }
+
+  test("docFreq prunes both tails (planted rare + ubiquitous tokens)") {
+    val docs = Seq(
+      "common rare1 filler1", "common filler2", "common filler3",
+      "common filler4").toDF("text")
+    val vocab = VocabOps.docFreqFromDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(vocab("rare1") == ((1L, false)))   // df < MinDf
+    assert(vocab("common") == ((4L, false)))  // df·2 > n_docs
+    assert(vocab.filter(_._1.startsWith("filler")).forall(!_._2._2))
+    // a mid-band token: appears twice in 4 docs → kept
+    val mid = VocabOps.docFreqFromDocs(
+      (docs.collect().map(_.getString(0)) :+ "rare1 x").toSeq.toDF("text"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(mid("rare1"))
+  }
+
+  test("ngramTopK ranks per language by (count desc, ngram asc), k bounded") {
+    val top = VocabOps.ngramTopK(spark, sf).collect()
+    assert(top.nonEmpty)
+    val byLang = top.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 20, s"$lang has ${rows.length} rows")
+      val ordered = rows.sortBy(_.getInt(3))
+      // ranks are 1..m and the sort key is honored
+      assert(ordered.map(_.getInt(3)).toSeq == (1 to rows.length))
+      val key = ordered.map(r => (-r.getLong(2), r.getString(1))).toSeq
+      assert(key == key.sorted, s"$lang not ordered by (n desc, ngram)")
+    }
+    // spot-check the global winner against a driver-side recount
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(2).filter(_.length == 2).foreach { w =>
+        val k = (r.getString(0), w.mkString(" "))
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val (lang, _) = counts.keys.head
+    val want = counts.filterKeys(_._1 == lang).toSeq
+      .sortBy { case ((_, g), n) => (-n, g) }.head
+    val got = top.filter(r => r.getString(0) == lang && r.getInt(3) == 1).head
+    assert((got.getString(1), got.getLong(2)) == (want._1._2, want._2))
+  }
+}
