@@ -175,11 +175,62 @@ object CorpusOps {
        |JOIN cc ON d.doc_id = cc.doc_id
        |WHERE qual.quality >= 0.5 AND cc.cluster_id = d.doc_id""".stripMargin
 
+  // ------------------------------------------------- decontamination
+
+  /** Stand-in eval set: docs with id < this are "the benchmark". A
+    * real run would read the eval corpus from its own table; the
+    * operator shape (broadcast benchmark shingle set, map-side semi
+    * probe) is identical. */
+  private val BenchmarkDocs = 25
+
+  /** Train/eval contamination check — the decontamination pass every
+    * LLM data pipeline runs before training: a document is
+    * contaminated when ≥ half its token shingles appear anywhere in
+    * the benchmark set. Reuses the memoized df-capped shingle
+    * relation (the df cap also drops boilerplate n-grams that carry
+    * no contamination signal). The benchmark shingle set broadcasts —
+    * eval sets are tiny next to the corpus — so the only shuffle is
+    * the per-doc count aggregation; the contamination flag compares
+    * INTEGERS (2·hits ≥ shingles), exact in both engines. Docs
+    * shorter than one shingle carry no signal and are absent (same
+    * on both sides). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = DedupOps.shingleSets(s, d)
+    val bsh = sh.filter(col("doc_id") < BenchmarkDocs).select("sh").distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(bsh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) * lit(1.0) / col("n_shingles"))
+          .as("contamination_ratio"),
+        (col("doc_id") < BenchmarkDocs).as("is_benchmark"),
+        (coalesce(col("n_hit"), lit(0L)) * 2 >= col("n_shingles"))
+          .as("is_contaminated"))
+  }
+
+  private def decontaminateSql: String =
+    s"""WITH ${DedupOps.shingleSetsSqlCte},
+       |bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < $BenchmarkDocs),
+       |counts AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_hit
+       |  FROM sh s JOIN bsh USING (sh) GROUP BY 1)
+       |SELECT c.doc_id, c.n_shingles,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_hit, 0) * 1.0 / c.n_shingles AS contamination_ratio,
+       |  (c.doc_id < $BenchmarkDocs) AS is_benchmark,
+       |  (coalesce(h.n_hit, 0) * 2 >= c.n_shingles) AS is_contaminated
+       |FROM counts c LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
-    "clean_corpus" -> (cleanCorpus _))
+    "clean_corpus" -> (cleanCorpus _),
+    "corpus_decontaminate" -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
-    "clean_corpus" -> cleanCorpusSql)
+    "clean_corpus" -> cleanCorpusSql,
+    "corpus_decontaminate" -> decontaminateSql)
 }

@@ -197,7 +197,46 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  // -------------------------------------------------------- redaction
+
+  /** PII patterns kept to the regex subset Java and RE2 interpret
+    * identically (character classes, bounded repeats, \b/\d) so the
+    * DuckDB mirror behaves the same byte-for-byte. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII scrubbing — the corpus-cleaning pass that replaces emails /
+    * IPv4s / phone-shaped numbers with typed placeholder tokens and
+    * reports per-doc match counts (counted on the RAW text; the
+    * replacements run email → ip → phone in both engines). Narrow
+    * map, zero shuffle, fully codegen'd. */
+  def redact(s: SparkSession, d: String): DataFrame =
+    redactFromDocs(Tables.documents(s, d))
+
+  /** `docs` needs (doc_id, text). */
+  private[graft] def redactFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+        .as("redacted_text"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phones"))
+
+  private val redactSql =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS redacted_text,
+       |  cast(len(regexp_extract_all(text, '$EmailPat')) as int) AS n_emails,
+       |  cast(len(regexp_extract_all(text, '$Ipv4Pat')) as int) AS n_ips,
+       |  cast(len(regexp_extract_all(text, '$PhonePat')) as int) AS n_phones
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_redact" -> (redact _),
     "text_normalize" -> (normalize _),
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
@@ -205,6 +244,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_redact" -> redactSql,
     "text_normalize" -> normalizeSql,
     "text_token_count" -> tokenCountSql,
     "text_quality" -> qualitySql,

@@ -53,6 +53,35 @@ class VocabSpec extends AnyFunSuite {
     assert(mid("rare1"))
   }
 
+  test("redact replaces emails/ips/phones and counts on the raw text") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "contact John.Doe@Example.com or 10.0.0.1"),
+      (2L, "call 555-123-4567 twice: 555-123-4567"),
+      (3L, "clean text")).toDF("doc_id", "text")
+    val r = TextOps.redactFromDocs(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "contact <EMAIL> or <IP>")
+    assert((r(1L).getInt(2), r(1L).getInt(3), r(1L).getInt(4)) == ((1, 1, 0)))
+    assert(r(2L).getString(1) == "call <PHONE> twice: <PHONE>")
+    assert(r(2L).getInt(4) == 2)
+    assert(r(3L).getString(1) == "clean text" && r(3L).getInt(2) == 0)
+  }
+
+  test("decontaminate: benchmark docs fully hit; flag is the integer rule") {
+    import graft.operators.CorpusOps
+    val out = CorpusOps.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bm = out.filter(_.getBoolean(4))
+    // a benchmark doc's surviving shingles are all in the benchmark
+    // set by construction (the df cap drops from both sides)
+    assert(bm.nonEmpty && bm.forall(r => r.getLong(2) == r.getLong(1)))
+    out.foreach { r =>
+      assert(r.getBoolean(5) == (2 * r.getLong(2) >= r.getLong(1)))
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("ngramTopK ranks per language by (count desc, ngram asc), k bounded") {
     val top = VocabOps.ngramTopK(spark, sf).collect()
     assert(top.nonEmpty)
