@@ -130,6 +130,84 @@ object RelationalOps {
        |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
        |GROUP BY n_name""".stripMargin
 
+  // ------------------------------------------------- q7 volume shipping
+
+  private val Q7NationA = "NATION_1"
+  private val Q7NationB = "NATION_2"
+
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * ship year. Fact-fact joins shuffle on their keys; both nation
+    * dims broadcast; the nation-pair filter lands before the
+    * aggregation so only matching rows reach the exchange. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("volume"))
+  }
+
+  private val q7Sql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  cast(year(l_shipdate) as int) AS l_year,
+       |  ${oSum("l_extendedprice*(1.0 - l_discount)", 4)} AS volume
+       |FROM supplier
+       |JOIN lineitem ON s_suppkey = l_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+       |   OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA')
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------- q10 returned items
+
+  /** TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    * one quarter. Selective order-date + returnflag filters push to
+    * the scans; deterministic (revenue desc, custkey) top-N via
+    * TakeOrdered — no global sort materializes. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${oSum("l_extendedprice*(1.0 - l_discount)", 4)} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= timestamp '1996-07-01 00:00:00'
+       |  AND o_orderdate < timestamp '1996-10-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ top-k
 
   /** Top-k with a total-order tiebreak; physical plan is TakeOrdered,
@@ -827,6 +905,8 @@ object RelationalOps {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q_topk_orders" -> (topkOrders _),
     "q_window_running" -> (windowRunning _),
     "q_semi_join" -> (semiJoin _),
@@ -861,6 +941,8 @@ object RelationalOps {
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
+    "q7_volume_shipping" -> q7Sql,
+    "q10_returned_items" -> q10Sql,
     "q_topk_orders" -> topkOrdersSql,
     "q_window_running" -> windowRunningSql,
     "q_semi_join" -> semiJoinSql,

@@ -85,6 +85,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") || plan.contains("ASIA"))
   }
 
+  test("q7 emits only the two nation pairs; q10 is a bounded ordered top-20") {
+    // sf0.001's 50-customer slice has no NATION_1<->NATION_2 trade;
+    // use the next SF up for a non-vacuous pair check
+    val q7 = RelationalOps.q7VolumeShipping(spark, "/root/testdata/sf0.01").collect()
+    assert(q7.nonEmpty)
+    val pairs = q7.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))))
+    val q10 = RelationalOps.q10ReturnedItems(spark, "/root/testdata/sf0.01").collect()
+    assert(q10.length <= 20 && q10.nonEmpty)
+    val revs = q10.map(r => (-r.getDouble(4), r.getLong(0))).toSeq
+    assert(revs == revs.sorted, "q10 not ordered by (revenue desc, custkey)")
+  }
+
   test("funnel keeps users whose purchases all precede signup (converted=false)") {
     import spark.implicits._
     // user 1: purchase BEFORE signup (must appear, unconverted);
