@@ -208,6 +208,233 @@ object RelationalOps {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------ q4 order priority
+
+  /** TPC-H Q4 shape: orders with at least one late-shipping lineitem
+    * (shipdate > orderdate + 60 days), counted per priority. The
+    * EXISTS becomes a left-semi hash join on the order key with the
+    * lateness predicate evaluated inside the join — no second pass,
+    * no duplicate counting, only order keys shuffle. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val q4Sql =
+    s"""SELECT o_orderpriority, $oCount AS n_orders
+       |FROM orders
+       |WHERE EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey
+       |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- q8 national market share
+
+  private val Q8SuppNation = "NATION_3"
+
+  /** TPC-H Q8 shape: the share of PROMO-part revenue into ASIA that
+    * one supplier nation captures, per order year. The ratio is a
+    * division of two exact scaled-integer sums computed in the same
+    * aggregation, so the share is bit-stable under repartitioning.
+    * Part/nation/region dims broadcast; facts shuffle on join keys. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nk"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cust_nk"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((xsum(when(col("supp_nation") === Q8SuppNation, vol)
+          .otherwise(lit(0.0)), 4) /
+        xsum(vol, 4)).as("mkt_share"))
+  }
+
+  private val q8Sql = {
+    val vol = "l_extendedprice*(1.0 - l_discount)"
+    s"""SELECT cast(year(o_orderdate) as int) AS o_year,
+       |  (${oSum(s"CASE WHEN n2.n_name = '$Q8SuppNation' THEN $vol ELSE 0.0 END", 4)})
+       |    / (${oSum(vol, 4)}) AS mkt_share
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |JOIN region ON n1.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+       |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+       |  AND o_orderdate < timestamp '1998-01-01 00:00:00'
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------- q13 customer distribution
+
+  /** TPC-H Q13 shape: distribution of per-customer order counts,
+    * including zero-order customers — a left outer join that must
+    * preserve unmatched rows, then a two-level aggregation (count per
+    * customer, then count per count). Both aggregations are partial/
+    * final; the second one's input is already tiny (one row per
+    * customer). */
+  def q13CustDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  private val q13Sql =
+    s"""SELECT c_count, $oCount AS custdist
+       |FROM (SELECT c_custkey, cast(count(o_orderkey) as bigint) AS c_count
+       |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |      GROUP BY c_custkey) t
+       |GROUP BY c_count""".stripMargin
+
+  // ------------------------------------------------- q15 top supplier
+
+  /** TPC-H Q15 shape: supplier(s) with the maximum revenue in a
+    * quarter. The per-supplier aggregate computes once; its 1-row max
+    * broadcasts back over it (no window over a single partition, no
+    * second scan of lineitem). Equality on the max is safe because
+    * revenue is an exact scaled-integer sum. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  private val q15Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${oSum("l_extendedprice*(1.0 - l_discount)", 4)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |    AND l_shipdate < timestamp '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
+
+  // ------------------------------------------- q17 small-quantity parts
+
+  /** TPC-H Q17 shape: revenue from orders of a brand's parts in
+    * quantities below 20% of that part's average. The correlated
+    * per-part average decorrelates into one groupBy over lineitem
+    * (shuffles on l_partkey once) joined back; the brand filter
+    * broadcasts. The 0.2× threshold compares against an exact
+    * average, so the boundary is engine-independent. */
+  def q17SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+      .select("p_partkey")
+    val avgQty = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("ak"))
+      .agg(xavg(col("l_quantity"), 2).as("avg_qty"))
+    Tables.lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((xsum(col("l_extendedprice"), 2) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q17Sql =
+    s"""SELECT (${oSum("l_extendedprice", 2)})/7.0 AS avg_yearly,
+       |  $oCount AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN (SELECT l_partkey AS ak, ${oAvg("l_quantity", 2)} AS avg_qty
+       |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ak
+       |WHERE p_brand = 'Brand#12' AND l_quantity < 0.2*avg_qty""".stripMargin
+
+  // ------------------------------------------- q19 disjunctive pushdown
+
+  /** TPC-H Q19 shape: revenue under a disjunction of brand/size/
+    * quantity bands. The OR of per-branch conjunctions evaluates
+    * after one broadcast join part⋈lineitem — Catalyst pushes the
+    * common l_quantity bound into the scan and the p_brand/p_size
+    * disjunction into the part scan. */
+  def q19DisjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10.0, 30.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20.0, 40.0)))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q19Sql =
+    s"""SELECT ${oSum("l_extendedprice*(1.0 - l_discount)", 4)} AS revenue,
+       |  $oCount AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |         AND l_quantity BETWEEN 1.0 AND 20.0)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |         AND l_quantity BETWEEN 10.0 AND 30.0)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |         AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin
+
+  // ------------------------------------------------ q22 idle customers
+
+  /** TPC-H Q22 shape: well-funded customers who never ordered, by
+    * nation. The global positive-balance average is a 1-row broadcast
+    * (not a per-row scalar subquery); the "never ordered" test is a
+    * left-anti hash join on the customer key. */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(xavg(col("c_acctbal"), 2).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), xsum(col("c_acctbal"), 2).as("total_bal"))
+  }
+
+  private val q22Sql =
+    s"""SELECT c_nationkey, $oCount AS n_cust,
+       |  ${oSum("c_acctbal", 2)} AS total_bal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${oAvg("c_acctbal", 2)}
+       |                   FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY c_nationkey""".stripMargin
+
   // ------------------------------------------------------------ top-k
 
   /** Top-k with a total-order tiebreak; physical plan is TakeOrdered,
