@@ -1134,6 +1134,13 @@ object RelationalOps {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q13_cust_distribution" -> (q13CustDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
     "q_topk_orders" -> (topkOrders _),
     "q_window_running" -> (windowRunning _),
     "q_semi_join" -> (semiJoin _),
@@ -1170,6 +1177,13 @@ object RelationalOps {
     "q5_local_supplier" -> q5Sql,
     "q7_volume_shipping" -> q7Sql,
     "q10_returned_items" -> q10Sql,
+    "q4_order_priority" -> q4Sql,
+    "q8_market_share" -> q8Sql,
+    "q13_cust_distribution" -> q13Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_qty_revenue" -> q17Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
+    "q22_idle_customers" -> q22Sql,
     "q_topk_orders" -> topkOrdersSql,
     "q_window_running" -> windowRunningSql,
     "q_semi_join" -> semiJoinSql,

@@ -98,6 +98,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(revs == revs.sorted, "q10 not ordered by (revenue desc, custkey)")
   }
 
+  test("q4/q13/q15/q17/q19/q22 semantic invariants") {
+    // q4: one row per priority; counts bounded by total orders
+    val nOrders = Tables.orders(spark, sf).count()
+    val q4 = RelationalOps.q4OrderPriority(spark, sf).collect()
+    assert(q4.nonEmpty && q4.map(_.getLong(1)).forall(n => n > 0 && n <= nOrders))
+    // q13: the zero-order bucket exists iff some customer has no orders,
+    // and the distribution's total equals the customer count
+    val q13 = RelationalOps.q13CustDistribution(spark, sf).collect()
+    assert(q13.map(_.getLong(1)).sum == Tables.customer(spark, sf).count())
+    // q15: all returned suppliers share the one maximal revenue
+    val q15 = RelationalOps.q15TopSupplier(spark, sf).collect()
+    assert(q15.nonEmpty && q15.map(_.getDouble(2)).distinct.length == 1)
+    // q17: single aggregate row; n_lines never exceeds the brand's lines
+    val q17 = RelationalOps.q17SmallQtyRevenue(spark, sf).collect()
+    assert(q17.length == 1)
+    // q19: single row; revenue null only when no line matches any band
+    val q19 = RelationalOps.q19DisjunctiveRevenue(spark, sf).collect()
+    assert(q19.length == 1)
+    // q22: every counted customer is above-average-funded & order-less,
+    // so total counted never exceeds the customer population
+    val q22 = RelationalOps.q22IdleCustomers(spark, sf).collect()
+    assert(q22.map(_.getLong(1)).sum <= Tables.customer(spark, sf).count())
+  }
+
+  test("q8 market share stays within [0,1]") {
+    val q8 = RelationalOps.q8MarketShare(spark, "/root/testdata/sf0.01").collect()
+    assert(q8.nonEmpty)
+    assert(q8.forall { r =>
+      val s = r.getDouble(1); s >= 0.0 && s <= 1.0
+    })
+  }
+
   test("funnel keeps users whose purchases all precede signup (converted=false)") {
     import spark.implicits._
     // user 1: purchase BEFORE signup (must appear, unconverted);
