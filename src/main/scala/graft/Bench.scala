@@ -17,21 +17,34 @@ package graft
   * full plan → action (`count`) pass. */
 object Bench {
 
+  /** JSON string literal with full escaping (quote, backslash, control
+    * chars) — a path or query name containing `"` or `\` must not
+    * produce an unparseable line for the driver. */
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** The driver-facing stdout line: total only, no per-query map.
     * Kept a pure function so BenchSpec can bound its size. */
   def compactLine(total: Double, sfDir: String): String = {
-    // "sf0.1" → 0.1; anything unparseable stays a JSON string
+    // "sf0.1" → 0.1; anything unparseable becomes an ESCAPED string
     val base = sfDir.split('/').last
     val sf = base.stripPrefix("sf")
-    val sfJson = sf.toDoubleOption.map(_.toString).getOrElse("\"" + base + "\"")
+    val sfJson = sf.toDoubleOption.map(_.toString).getOrElse(jsonStr(base))
     s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfJson}"""
   }
 
   /** The full line (per-query map included) written to the file copy. */
   def detailLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

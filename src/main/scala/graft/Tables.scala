@@ -21,15 +21,39 @@ object Tables {
     * per-row work (hashing, shingling, vector math). The local test
     * files arrive as ONE split, which would serialize the whole
     * narrow pipeline on one core; at production scale the source has
-    * enough splits and the repartition is skipped. The sizing check
-    * counts source FILES (analysis-only — `.rdd.getNumPartitions`
-    * would run the physical planner once per call just to read the
-    * split count); a non-file relation (memory stream, local data)
-    * reports zero files and keeps the repartition, which is what a
-    * one-partition local relation needs anyway. */
+    * enough splits and the repartition is skipped.
+    *
+    * The sizing check is analysis-only (`.rdd.getNumPartitions` would
+    * run the physical planner once per call just to read the split
+    * count). File COUNT alone is not split count — Spark bin-packs
+    * many small files into few scan partitions — so the estimate
+    * mirrors `FilePartition.maxSplitBytes` packing: splits ≈
+    * ceil((totalBytes + files·openCost) / maxPartitionBytes). The
+    * repartition is skipped only when that estimate already covers
+    * the session parallelism; a non-file relation (memory stream,
+    * local data) reports zero files and keeps the repartition, which
+    * is what a one-partition local relation needs anyway. */
   def parallelize(df: DataFrame): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.inputFiles.length >= n) df else df.repartition(n)
+    val sess = df.sparkSession
+    val n = sess.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val files = df.inputFiles
+    val estSplits =
+      if (files.isEmpty) 0
+      else {
+        val hconf = sess.sparkContext.hadoopConfiguration
+        import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+        val maxPart = byteStringAsBytes(
+          sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        val openCost = byteStringAsBytes(
+          sess.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+        val totalBytes = files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(hconf).getFileStatus(p).getLen
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        (((totalBytes + files.length * openCost) + maxPart - 1) / maxPart).toInt
+      }
+    if (estSplits >= n) df else df.repartition(n)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")

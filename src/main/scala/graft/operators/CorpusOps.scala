@@ -42,15 +42,23 @@ object CorpusOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val p = pairs.select(col("doc_a"), col("doc_b"))
+    // the driver path holds edges in an Array, so the threshold is
+    // meaningful only within Int range — clamp loudly-documented
+    // rather than letting `.toInt` overflow to a negative limit
+    val maxEdges = math.min(driverMaxEdges, (Int.MaxValue - 1).toLong).toInt
     // ONE driver job decides the path AND fetches the small case's
-    // edges: collect limit+1 rows — if the limit isn't hit, these are
-    // ALL the edges and no separate count pass runs (the pair plan is
+    // edges: collect limit+1 rows from the CACHED frame — if the
+    // limit isn't hit, these are ALL the edges and no separate count
+    // pass runs; if it is hit, the partitions the probe touched are
+    // already cached for the distributed path below (the pair plan is
     // typically a whole dedup pipeline; scheduling it twice doubles
     // the fill cost under a contended driver)
-    val probe = p.limit(driverMaxEdges.toInt + 1).collect()
+    val pc = p.cache()
+    val probe = pc.limit(maxEdges + 1).collect()
 
     val connectedLabels: DataFrame =
-      if (probe.length <= driverMaxEdges) {
+      if (probe.length <= maxEdges) {
+        pc.unpersist()
         // driver fast path: exact union-find over the (small) pair set.
         // find is ITERATIVE (walk to root, second pass re-points the
         // path) — a recursive version recurses as deep as the longest
@@ -78,7 +86,6 @@ object CorpusOps {
         // a label has travelled double per round, so convergence is
         // O(log diameter) rounds, not O(diameter) — a 10⁶-long path
         // component converges in ~20 rounds instead of 10⁶.
-        val pc = p.cache()
         val edges = pc.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionAll(pc.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .cache()

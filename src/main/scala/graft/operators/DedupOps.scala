@@ -106,6 +106,16 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_shared", "jaccard")
   }
 
+  /** ORACLE ASYMMETRY, deliberate: this mirror joins raw shingle
+    * STRINGS where the Spark side joins xxhash64(sh) — DuckDB has no
+    * xxhash64, and re-hashing both sides through the small-modulus
+    * rolling hash would introduce REAL collisions (birthday bound
+    * ~|distinct shingles|²/2e9, material at sf≥0.1) instead of
+    * xxhash64's ~2^-64. The two sides therefore diverge only if two
+    * distinct shingles shared by one doc pair collide under xxhash64
+    * — the same 2^-64 caveat documented for the minhash fingerprint;
+    * at production scale both sides of this operator are Spark and
+    * the asymmetry vanishes. */
   private[operators] val ngramJaccardSql =
     s"""WITH $shingleSetsSqlCte,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
