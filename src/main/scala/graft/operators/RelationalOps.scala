@@ -136,22 +136,34 @@ object RelationalOps {
   private val Q7NationB = "NATION_2"
 
   /** TPC-H Q7 shape: bilateral shipping volume between two nations by
-    * ship year. Fact-fact joins shuffle on their keys; both nation
-    * dims broadcast; the nation-pair filter lands before the
-    * aggregation so only matching rows reach the exchange. */
+    * ship year. The pair disjunction implies `supp_nation ∈ {A,B}`
+    * and `cust_nation ∈ {A,B}` — Catalyst does not extract common
+    * constraints out of an OR, so both memberships are joined in
+    * EXPLICITLY (nation filtered to 2/25 rows, broadcast) BEFORE the
+    * fact-fact shuffles: lineitem shrinks by the supplier-nation
+    * selectivity ahead of the orders join, and orders⋈customer drops
+    * out-of-pair customers ahead of the final join. Only the cross
+    * term (A,B)/(B,A) remains as a residual filter. */
   def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
-    val n1 = Tables.nation(s, d)
+    val pair = Seq(Q7NationA, Q7NationB)
+    val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val n2 = Tables.nation(s, d)
+    val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    Tables.supplier(s, d)
-      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+    val supp = Tables.supplier(s, d)
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-      .filter((col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
-        (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
