@@ -447,6 +447,338 @@ object RelationalOps {
        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        |GROUP BY c_nationkey""".stripMargin
 
+  // ------------------------------------------------ q2 min-cost supplier
+  //
+  // The reference schema has no partsupp table, so Q2's supply cost is
+  // adapted to the minimum OBSERVED unit price (l_extendedprice /
+  // l_quantity) a region's suppliers charged for a part — the same
+  // plan shape (correlated per-part min, decorrelated into an
+  // aggregate joined back) on the available columns.
+
+  /** TPC-H Q2 shape: for each STANDARD-type part, the ASIA supplier(s)
+    * whose minimum unit price for that part equals the part's global
+    * minimum among ASIA suppliers. The correlated MIN subquery
+    * decorrelates into one (part, supplier) aggregate reused for both
+    * sides; unit prices compare as 4-dp scaled integers so the
+    * min-equality join is exact on any engine. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val asiaSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val stdParts = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    val unit = (round(col("l_extendedprice") / col("l_quantity") * 1e4)).cast("long")
+    val cost = Tables.lineitem(s, d)
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(unit).as("unit_scaled"))
+    val minCost = cost.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("unit_scaled")).as("min_scaled"))
+    cost
+      .join(minCost, col("l_partkey") === col("mk") &&
+        col("unit_scaled") === col("min_scaled"))
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"),
+        (col("unit_scaled").cast("double") / 1e4).as("min_unit_price"))
+  }
+
+  private val q2Sql =
+    """WITH asia_supp AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(cast(round(l_extendedprice / l_quantity * 1e4) as bigint)) AS unit_scaled
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'STANDARD'
+      |    AND l_suppkey IN (SELECT s_suppkey FROM asia_supp)
+      |  GROUP BY 1, 2),
+      |min_cost AS (
+      |  SELECT l_partkey AS mk, min(unit_scaled) AS min_scaled
+      |  FROM cost GROUP BY 1)
+      |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+      |  cast(unit_scaled as double)/1e4 AS min_unit_price
+      |FROM cost
+      |JOIN min_cost ON l_partkey = mk AND unit_scaled = min_scaled
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN asia_supp ON l_suppkey = s_suppkey""".stripMargin
+
+  // ------------------------------------------------ q9 product profit
+  //
+  // Q9's profit uses partsupp.ps_supplycost; with no partsupp table
+  // the cost side is adapted to p_retailprice per unit — same shape:
+  // a part-name LIKE filter, 4 joins, profit per (nation, year).
+
+  /** TPC-H Q9 shape: per supplier-nation per order-year profit on
+    * widget parts (amount = disc revenue − retail cost·qty). Part dim
+    * filtered by the LIKE before broadcasting; both money terms are
+    * exact scaled sums folded into ONE aggregate. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val widgetParts = Tables.part(s, d).filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, d)
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(xsum(amount, 4).as("sum_profit"))
+  }
+
+  private val q9Sql =
+    s"""SELECT n_name AS nation, cast(year(o_orderdate) as int) AS o_year,
+       |  ${oSum("l_extendedprice*(1.0 - l_discount) - p_retailprice*l_quantity", 4)}
+       |    AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ q11 important stock
+  //
+  // Q11's inventory value (ps_availqty·ps_supplycost) is adapted to
+  // shipped value (l_quantity·p_retailprice) from one nation's
+  // suppliers — same shape: group-by-part value vs a global-total
+  // scalar threshold.
+
+  private val Q11MeanMultiple = 2.0
+
+  /** TPC-H Q11 shape: parts whose shipped value from NATION_3
+    * suppliers exceeds 2× the mean per-part value — a scale-free
+    * threshold (Q11's fixed fraction of the total goes vacuous as
+    * part count grows with SF). The global (total, count) is a 1-row
+    * broadcast (not a per-row scalar subquery); values are exact
+    * scaled-integer sums and the mean comparison uses the identical
+    * double expression on both engines. */
+  def q11ImportantStock(s: SparkSession, d: String): DataFrame = {
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(s, d)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_quantity") * col("p_retailprice") * 1e2).cast("long"))
+        .as("value_scaled"))
+    val total = value.agg(sum(col("value_scaled")).as("total_scaled"),
+      count(lit(1)).as("n_parts"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_scaled").cast("double") >
+        lit(Q11MeanMultiple) * col("total_scaled").cast("double") / col("n_parts"))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_scaled").cast("double") / 1e2).as("part_value"))
+  }
+
+  private val q11Sql =
+    s"""WITH v AS (
+       |  SELECT l_partkey,
+       |    cast(sum(cast(round(l_quantity*p_retailprice*1e2) as bigint)) as bigint)
+       |      AS value_scaled
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE l_suppkey IN (
+       |    SELECT s_suppkey FROM supplier
+       |    JOIN nation ON s_nationkey = n_nationkey
+       |    WHERE n_name = 'NATION_3')
+       |  GROUP BY 1)
+       |SELECT l_partkey AS p_partkey,
+       |  cast(value_scaled as double)/1e2 AS part_value
+       |FROM v
+       |WHERE cast(value_scaled as double) >
+       |  $Q11MeanMultiple * (SELECT cast(sum(value_scaled) as double) FROM v)
+       |    / (SELECT cast(count(*) as bigint) FROM v)""".stripMargin
+
+  // ------------------------------------------------ q12 shipping delay
+  //
+  // Q12 buckets by l_shipmode with a commit/receipt-date lateness
+  // predicate; neither column exists here, so the bucket is the
+  // order→ship delay itself — same shape: a two-bucket CASE
+  // aggregation of priority counts over the orders⋈lineitem join.
+
+  /** TPC-H Q12 shape: high/low-priority line counts split by whether
+    * the line shipped within 30 days of the order. Single fact-fact
+    * join on the order key, then a 2-group conditional aggregation —
+    * map-side partials make the exchange 2 rows per partition. */
+  def q12ShipDelay(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 30, "LATE")
+          .otherwise("ONTIME"))
+      .groupBy(col("delay_bucket"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  private val q12Sql =
+    """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 30
+      |         THEN 'LATE' ELSE 'ONTIME' END AS delay_bucket,
+      |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |        THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+      |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |        THEN 0 ELSE 1 END) as bigint) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ q16 supplier counts
+  //
+  // Q16 excludes suppliers with complaint comments; with no comment
+  // column the exclusion is low-balance suppliers — same shape:
+  // NOT IN subquery → broadcast anti join, then a distinct count per
+  // part attribute triple.
+
+  /** TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    * excluding one brand and excluding low-balance suppliers via a
+    * left-anti join. The supplier pairs come from lineitem (the
+    * part⋈supplier bridge this schema has); count(DISTINCT) runs
+    * per-group after a partial distinct below the exchange. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 2000.0)
+      .select(col("s_suppkey").as("xk"))
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excluded), col("l_suppkey") === col("xk"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  cast(count(DISTINCT l_suppkey) as bigint) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------ q20 part promotion
+  //
+  // Q20's "has excess stock" (availqty > half of shipped) becomes
+  // "shipped more than the threshold quantity in the year" — same
+  // nested-semi-join shape: an aggregate-filtered inner query feeds
+  // a semi join against one nation's suppliers.
+
+  private val Q20MinQty = 40L
+
+  /** TPC-H Q20 shape: NATION_3 suppliers who shipped >40 units of
+    * some large* part during 1996. The inner aggregate runs on
+    * (supplier, part) — bounded keys — and only its DISTINCT
+    * supplier ids travel to the outer semi join. */
+  def q20PartPromotion(s: SparkSession, d: String): DataFrame = {
+    val largeParts = Tables.part(s, d).filter(col("p_name").like("large%"))
+      .select(col("p_partkey"))
+    val bigShippers = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > Q20MinQty)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(bigShippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  private val q20Sql =
+    s"""SELECT s_suppkey, s_name, s_acctbal
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey
+       |    WHERE p_name LIKE 'large%'
+       |      AND l_shipdate >= timestamp '1996-01-01 00:00:00'
+       |      AND l_shipdate < timestamp '1997-01-01 00:00:00'
+       |    GROUP BY l_suppkey, l_partkey
+       |    HAVING sum(cast(l_quantity as bigint)) > $Q20MinQty)""".stripMargin
+
+  // ------------------------------------------------ q21 waiting supplier
+  //
+  // Q21's lateness (receiptdate > commitdate) has no source columns
+  // here; the adapted predicate keeps the EXISTS + NOT EXISTS
+  // correlated double self-join: a supplier "kept the order waiting"
+  // when its line shipped strictly after every other supplier's
+  // lines in a multi-supplier order.
+
+  /** TPC-H Q21 shape: per NATION_3 supplier, the number of
+    * multi-supplier orders where that supplier shipped strictly
+    * last. EXISTS → left-semi, NOT EXISTS → left-anti, both
+    * shuffling on the order key only; the nation filter semi-joins
+    * lineitem down before the self-joins. */
+  def q21WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val l1 = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(natSupp.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val l2 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+    l1
+      .join(l2, col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
+        "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey") &&
+        col("d3") >= col("l_shipdate"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  private val q21Sql =
+    """SELECT s_suppkey, s_name, cast(count(DISTINCT l_orderkey) as bigint) AS numwait
+      |FROM lineitem l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate >= l1.l_shipdate)
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ top-k
 
   /** Top-k with a total-order tiebreak; physical plan is TakeOrdered,
@@ -1153,6 +1485,13 @@ object RelationalOps {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "q22_idle_customers" -> (q22IdleCustomers _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_ship_delay" -> (q12ShipDelay _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_part_promotion" -> (q20PartPromotion _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q_topk_orders" -> (topkOrders _),
     "q_window_running" -> (windowRunning _),
     "q_semi_join" -> (semiJoin _),
@@ -1196,6 +1535,13 @@ object RelationalOps {
     "q17_small_qty_revenue" -> q17Sql,
     "q19_disjunctive_revenue" -> q19Sql,
     "q22_idle_customers" -> q22Sql,
+    "q2_min_cost_supplier" -> q2Sql,
+    "q9_product_profit" -> q9Sql,
+    "q11_important_stock" -> q11Sql,
+    "q12_ship_delay" -> q12Sql,
+    "q16_supplier_cnt" -> q16Sql,
+    "q20_part_promotion" -> q20Sql,
+    "q21_waiting_supplier" -> q21Sql,
     "q_topk_orders" -> topkOrdersSql,
     "q_window_running" -> windowRunningSql,
     "q_semi_join" -> semiJoinSql,

@@ -122,6 +122,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(q22.map(_.getLong(1)).sum <= Tables.customer(spark, sf).count())
   }
 
+  test("q2/q9/q11/q12/q16/q20/q21 semantic invariants (sf0.01)") {
+    val d = "/root/testdata/sf0.01"
+    // q2: every returned (part, supplier) price IS that part's min
+    val q2 = RelationalOps.q2MinCostSupplier(spark, d).collect()
+    assert(q2.nonEmpty)
+    val minByPart = q2.groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(6)).min)
+    assert(q2.forall(r => r.getDouble(6) == minByPart(r.getLong(0))))
+    // q12: exactly the two buckets, counts positive
+    val q12 = RelationalOps.q12ShipDelay(spark, d).collect()
+    assert(q12.map(_.getString(0)).toSet == Set("LATE", "ONTIME"))
+    // q16: the excluded brand never appears
+    val q16 = RelationalOps.q16SupplierCnt(spark, d).collect()
+    assert(q16.nonEmpty && q16.forall(_.getString(0) != "Brand#1"))
+    // q11/q9/q20/q21 are non-vacuous at this SF
+    assert(RelationalOps.q11ImportantStock(spark, d).count() > 0)
+    assert(RelationalOps.q9ProductProfit(spark, d).count() > 0)
+    assert(RelationalOps.q20PartPromotion(spark, d).count() > 0)
+    val q21 = RelationalOps.q21WaitingSupplier(spark, d).collect()
+    assert(q21.nonEmpty && q21.forall(_.getLong(2) > 0))
+  }
+
   test("q8 market share stays within [0,1]") {
     val q8 = RelationalOps.q8MarketShare(spark, "/root/testdata/sf0.01").collect()
     assert(q8.nonEmpty)
