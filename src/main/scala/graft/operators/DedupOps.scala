@@ -565,6 +565,56 @@ object DedupOps {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  // ------------------------------------------------- passage dedup
+
+  private val PassageTokens = 8
+
+  /** Cross-doc repeated-passage detection (the CCNet/C4 paragraph-
+    * dedup pass, chunk-based because this corpus has no newlines):
+    * each doc splits into non-overlapping 8-token chunks, chunks hash
+    * through the mirrored rolling hash, and a chunk fingerprint seen
+    * in MORE THAN ONE doc is reported with its spread and canonical
+    * (min-id) holder. Only (doc_id, fp) pairs shuffle — bytes per
+    * chunk are constant regardless of passage length — and the
+    * aggregation is partial/final on the fingerprint key, so a
+    * pathological passage shared by B docs costs O(B), never O(B²). */
+  def passageDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val nChunks = floor(size(toks) / PassageTokens).cast("int")
+    val chunks = when(nChunks < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * PassageTokens + 1, lit(PassageTokens)))))
+    docsParallel(s, d)
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), text.rollingHash(col("chunk")).as("passage_fp"))
+      .groupBy(col("passage_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
+  private val passageDedupSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(t) < $PassageTokens THEN cast([] as varchar[])
+       |      ELSE list_transform(range(0, cast(floor(len(t) / $PassageTokens) as int)),
+       |        i -> array_to_string(
+       |          list_slice(t, i * $PassageTokens + 1, i * $PassageTokens + $PassageTokens), ' '))
+       |      END) AS chunk
+       |  FROM t),
+       |fp AS (SELECT doc_id, ${fpSql("chunk")} AS passage_fp FROM ch)
+       |SELECT passage_fp,
+       |  cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+       |  cast(count(*) as bigint) AS n_occurrences,
+       |  min(doc_id) AS canonical_doc
+       |FROM fp
+       |GROUP BY 1
+       |HAVING count(DISTINCT doc_id) > 1""".stripMargin
+  }
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -572,12 +622,14 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
-    "dedup_embedding" -> (embeddingNearDup _))
+    "dedup_embedding" -> (embeddingNearDup _),
+    "dedup_passage" -> (passageDedup _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_embedding" -> embeddingNearDupSql)
+    "dedup_embedding" -> embeddingNearDupSql,
+    "dedup_passage" -> passageDedupSql)
 }

@@ -139,13 +139,62 @@ object PipelineOps {
        |QUALIFY rank <= $BottomK""".stripMargin
   }
 
+  /** Source → doc quota for the mixture sample (a 50/30/20 split of a
+    * 100-doc target). In a real run these come from the training
+    * recipe's mixture weights × total budget. */
+  private val MixtureQuotas: Seq[(String, Int)] =
+    Seq("src0" -> 50, "src1" -> 30, "src2" -> 20)
+
+  /** Training-mixture sampling: fill each source's quota with its
+    * rolling-hash-lowest docs — the "weighted data mixture" step that
+    * turns recipe weights into an exact deterministic subset. One
+    * shuffle on source through the bounded-heap top-k (k = max quota;
+    * only k rows per source survive the map side), then the per-source
+    * quota cut is a broadcast-free CASE filter. Sources outside the
+    * recipe are filtered at the scan. */
+  def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    val srcs = MixtureQuotas.map(_._1)
+    val maxQuota = MixtureQuotas.map(_._2).max
+    val base = Tables.documents(s, d)
+      .filter(col("source").isin(srcs: _*))
+      .select(col("doc_id"), col("source"),
+        text.rollingHash(col("text")).as("fp"))
+    val ranked = graft.functions.topk.perKey(base,
+      keys = Seq("source"),
+      order = Seq(graft.functions.topk.Order("fp"),
+        graft.functions.topk.Order("doc_id")),
+      k = maxQuota)
+    val quota = MixtureQuotas.foldLeft(lit(0)) { case (acc, (src, q)) =>
+      when(col("source") === src, q).otherwise(acc)
+    }
+    ranked.filter(col("rank") <= quota)
+      .select(col("doc_id"), col("source"), col("fp"), col("rank"))
+  }
+
+  private val sampleMixtureSql = {
+    val srcList = MixtureQuotas.map { case (s0, _) => s"'$s0'" }.mkString(", ")
+    val quotaCase = MixtureQuotas
+      .map { case (s0, q) => s"WHEN source = '$s0' THEN $q" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH f AS (
+       |  SELECT doc_id, source, ${TextOps.fpExprSql} AS fp FROM documents
+       |  WHERE source IN ($srcList))
+       |SELECT doc_id, source, fp,
+       |  cast(row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) as int)
+       |    AS rank
+       |FROM f
+       |QUALIFY rank <= $quotaCase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_bottomk" -> (sampleBottomK _),
-    "pack_shards" -> (packShards _))
+    "pack_shards" -> (packShards _),
+    "sample_mixture" -> (sampleMixture _))
 
   val oracle: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "sample_bottomk" -> sampleBottomKSql,
-    "pack_shards" -> packShardsSql)
+    "pack_shards" -> packShardsSql,
+    "sample_mixture" -> sampleMixtureSql)
 }

@@ -235,7 +235,144 @@ object TextOps {
        |  cast(len(regexp_extract_all(text, '$PhonePat')) as int) AS n_phones
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------- repetition
+
+  private val RepDupFracMax = 0.10
+  private val RepTopShareMax = 0.05
+
+  /** Gopher-style within-doc repetition metrics: duplicate-bigram
+    * fraction and most-frequent-bigram share, with the composite
+    * repetitive flag. Per-bigram counts need grouping, so this is
+    * explode → (doc, gram) count → per-doc rollup: two partial/final
+    * aggregations keyed by doc_id — shuffle volume is bounded by
+    * distinct (doc, gram) pairs, never the corpus crossed with
+    * itself, and docs without bigrams come back via the left join
+    * with zero counts. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"),
+      explode(text.ngrams(text.tokens(col("text")), 2)).as("g"))
+    val cnt = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val stats = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+    val topShare = when(col("n_grams") > 0,
+      col("top_cnt").cast("double") / col("n_grams").cast("double")).otherwise(0.0)
+    val dupFrac = when(col("n_grams") > 0,
+      (col("n_grams") - col("n_distinct")).cast("double")
+        / col("n_grams").cast("double")).otherwise(0.0)
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_2grams_distinct"),
+        topShare.as("top_share"),
+        dupFrac.as("dup_frac"),
+        (dupFrac > RepDupFracMax || topShare > RepTopShareMax)
+          .as("is_repetitive"))
+  }
+
+  private val repetitionSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(t) < 2 THEN cast([] as varchar[])
+       |           ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |           END) AS g
+       |  FROM t),
+       |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       |st AS (
+       |  SELECT doc_id, cast(sum(c) as bigint) AS n_grams,
+       |    cast(count(*) as bigint) AS n_distinct,
+       |    cast(max(c) as bigint) AS top_cnt
+       |  FROM cnt GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(n_grams, 0) AS n_2grams,
+       |  coalesce(n_distinct, 0) AS n_2grams_distinct,
+       |  CASE WHEN n_grams > 0
+       |    THEN cast(top_cnt as double) / cast(n_grams as double)
+       |    ELSE 0.0 END AS top_share,
+       |  CASE WHEN n_grams > 0
+       |    THEN cast(n_grams - n_distinct as double) / cast(n_grams as double)
+       |    ELSE 0.0 END AS dup_frac,
+       |  (CASE WHEN n_grams > 0
+       |     THEN cast(n_grams - n_distinct as double) / cast(n_grams as double)
+       |     ELSE 0.0 END > $RepDupFracMax
+       |   OR CASE WHEN n_grams > 0
+       |     THEN cast(top_cnt as double) / cast(n_grams as double)
+       |     ELSE 0.0 END > $RepTopShareMax) AS is_repetitive
+       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- gopher quality
+
+  private val GopherMeanLenMin = 3.0
+  private val GopherMeanLenMax = 10.0
+  private val GopherShortFracMax = 0.4
+  private val GopherMinTokens = 10
+
+  /** Gopher-rule word-shape filters (mean word length in [3,10],
+    * short-word fraction, minimum token count) as a narrow map —
+    * zero shuffle, fully codegen'd; integer length sums divide once
+    * at the end so both engines agree bit-exactly. */
+  def qualityGopher(s: SparkSession, d: String): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val nTok = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nShort = size(filter(toks, t => length(t) <= 2))
+    val meanLen = when(nTok > 0,
+      sumLen.cast("double") / nTok.cast("double")).otherwise(0.0)
+    val fracShort = when(nTok > 0,
+      nShort.cast("double") / nTok.cast("double")).otherwise(0.0)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      fracShort.as("frac_short_words"),
+      (nTok >= GopherMinTokens &&
+        meanLen >= GopherMeanLenMin && meanLen <= GopherMeanLenMax &&
+        fracShort <= GopherShortFracMax).as("keep"))
+  }
+
+  private val qualityGopherSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    cast(len(toks) as int) AS n_tok,
+       |    list_reduce(list_prepend(cast(0 as bigint),
+       |      list_transform(toks, x -> cast(length(x) as bigint))),
+       |      (acc, x) -> acc + x) AS sum_len,
+       |    cast(len(list_filter(toks, x -> length(x) <= 2)) as int) AS n_short
+       |  FROM t)
+       |SELECT doc_id,
+       |  n_tok AS n_tokens,
+       |  CASE WHEN n_tok > 0
+       |    THEN cast(sum_len as double) / cast(n_tok as double)
+       |    ELSE 0.0 END AS mean_word_len,
+       |  CASE WHEN n_tok > 0
+       |    THEN cast(n_short as double) / cast(n_tok as double)
+       |    ELSE 0.0 END AS frac_short_words,
+       |  (n_tok >= $GopherMinTokens
+       |   AND CASE WHEN n_tok > 0
+       |     THEN cast(sum_len as double) / cast(n_tok as double)
+       |     ELSE 0.0 END >= $GopherMeanLenMin
+       |   AND CASE WHEN n_tok > 0
+       |     THEN cast(sum_len as double) / cast(n_tok as double)
+       |     ELSE 0.0 END <= $GopherMeanLenMax
+       |   AND CASE WHEN n_tok > 0
+       |     THEN cast(n_short as double) / cast(n_tok as double)
+       |     ELSE 0.0 END <= $GopherShortFracMax) AS keep
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
+    "text_quality_gopher" -> (qualityGopher _),
     "text_redact" -> (redact _),
     "text_normalize" -> (normalize _),
     "text_token_count" -> (tokenCount _),
@@ -244,6 +381,8 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
+    "text_quality_gopher" -> qualityGopherSql,
     "text_redact" -> redactSql,
     "text_normalize" -> normalizeSql,
     "text_token_count" -> tokenCountSql,

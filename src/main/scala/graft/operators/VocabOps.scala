@@ -89,11 +89,97 @@ object VocabOps {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------------------------- bm25
+
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25TopK = 20
+
+  /** BM25 relevance of every document against a fixed query-term set
+    * — the retrieval-scoring pass a training-data curation run uses
+    * for quality/topicality ranking. Shape: because the query terms
+    * are a FIXED small list, per-term tf is a NARROW array count (no
+    * explode, no per-term shuffle); the only aggregation is ONE 1-row
+    * corpus summary (N, Σdl, per-term df as conditional sums)
+    * broadcast back over the scan, and the final top-K is a
+    * TakeOrdered. Scales as a single pass over the corpus.
+    *
+    * Determinism: the idf is the rational (N−df+0.5)/(df+0.5) form —
+    * no ln/exp (libm results aren't bit-portable across engines);
+    * contributions add in FIXED term order, so the double score is
+    * bit-identical on any partitioning and engine. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    val toks = text.tokens(col("text"))
+    val withTf = docs.select(
+      (col("doc_id") +:
+        size(toks).as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).as(s"tf$i")
+        }): _*)
+    val aggs =
+      count(lit(1)).as("n_docs") +:
+        sum(col("dl").cast("long")).as("sum_dl") +:
+        Bm25Terms.indices.map { i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+        }
+    val corpus = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(corpus))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contribs = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      val denom = tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      when(col(s"tf$i") > 0, idf * (tf * lit(2.2)) / denom).otherwise(lit(0.0))
+    }
+    scored
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        contribs.reduceLeft(_ + _).as("bm25"))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  private val bm25Sql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"cast(len(list_filter(toks, x -> x = '$t')) as int) AS tf$i"
+    }.mkString(",\n       |    ")
+    val dfCols = Bm25Terms.indices.map { i =>
+      s"cast(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) as bigint) AS df$i"
+    }.mkString(",\n       |    ")
+    val contribs = Bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |      ((cast(n_docs as double) - df$i + 0.5) / (cast(df$i as double) + 0.5))
+         |      * (cast(tf$i as double) * 2.2)
+         |      / (cast(tf$i as double)
+         |         + 1.2 * (0.25 + 0.75 * (cast(dl as double)
+         |             / (cast(sum_dl as double) / n_docs))))
+         |    ELSE 0.0 END""".stripMargin
+    }.mkString("(", "\n    + ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, cast(len(toks) as int) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |c AS (
+       |  SELECT cast(count(*) as bigint) AS n_docs,
+       |    cast(sum(cast(dl as bigint)) as bigint) AS sum_dl,
+       |    $dfCols
+       |  FROM t)
+       |SELECT doc_id, dl AS n_tokens, $contribs AS bm25
+       |FROM t, c
+       |WHERE $contribs > 0.0
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_df" -> (docFreq _),
-    "vocab_ngram_topk" -> (ngramTopK _))
+    "vocab_ngram_topk" -> (ngramTopK _),
+    "doc_bm25" -> (bm25 _))
 
   val oracle: Map[String, String] = Map(
     "vocab_df" -> docFreqSql,
-    "vocab_ngram_topk" -> ngramTopKSql)
+    "vocab_ngram_topk" -> ngramTopKSql,
+    "doc_bm25" -> bm25Sql)
 }

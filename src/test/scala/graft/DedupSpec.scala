@@ -133,4 +133,30 @@ class DedupSpec extends AnyFunSuite {
     assert(found.forall { case (a, b) => planted.contains((a, b)) || b - a == 100 },
       s"unexpected pairs: ${found.filterNot { case (a, b) => b - a == 100 }}")
   }
+
+  test("passage dedup: every reported passage spans >1 doc; exact dup docs share all chunks") {
+    val out = DedupOps.passageDedup(spark, sf).collect()
+    assert(out.nonEmpty, "corpus has exact dups, so shared passages must exist")
+    out.foreach { r =>
+      assert(r.getLong(1) > 1)                     // n_docs
+      assert(r.getLong(2) >= r.getLong(1))         // occurrences >= docs
+    }
+    // exact-duplicate doc pairs (same text) must share every full
+    // 8-token chunk: pick one duplicate pair from the exact-dedup op
+    val dups = DedupOps.exact(spark, sf)
+      .filter(col("n_copies") > 1).limit(1).collect()
+    if (dups.nonEmpty) {
+      val fps = out.map(_.getLong(0)).toSet
+      val docText = Tables.documents(spark, sf)
+        .filter(col("doc_id") === dups(0).getAs[Long]("keep_id"))
+        .select("text").as[String](org.apache.spark.sql.Encoders.STRING)
+        .head()
+      val toks = docText.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 8) {
+        val chunk = toks.take(8).mkString(" ")
+        val fp = chunk.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+        assert(fps.contains(fp), "first chunk of a duplicated doc not reported")
+      }
+    }
+  }
 }

@@ -46,4 +46,16 @@ class PipelineSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("mixture sample respects per-source quotas and is deterministic") {
+    val m1 = PipelineOps.sampleMixture(spark, sf).collect()
+    val bySrc = m1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // quotas 50/30/20 capped by the 25 docs each source holds at sf0.001
+    assert(bySrc.keySet.subsetOf(Set("src0", "src1", "src2")))
+    assert(bySrc.getOrElse("src0", 0) <= 50 && bySrc.getOrElse("src1", 0) <= 30 &&
+      bySrc.getOrElse("src2", 0) <= 20)
+    assert(bySrc.getOrElse("src2", 0) == 20, "src2 has 25 docs; quota 20 must fill")
+    val m2 = PipelineOps.sampleMixture(spark, sf).collect()
+    assert(m1.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
+  }
 }

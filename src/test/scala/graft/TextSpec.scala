@@ -49,4 +49,44 @@ class TextSpec extends AnyFunSuite {
       .first.getString(0)
     assert(top == "en", s"top predicted lang was $top")
   }
+
+  test("repetition: planted repetitive doc flags; counts reconcile") {
+    val s = TestSession.spark
+    val r = operators.TextOps.repetition(s, TestSession.sf).collect()
+    assert(r.length == 500)
+    r.foreach { row =>
+      val (n, dist) = (row.getLong(1), row.getLong(2))
+      assert(dist <= n, "distinct bigrams cannot exceed total")
+      val dup = row.getDouble(4)
+      assert(dup >= 0.0 && dup <= 1.0)
+      if (n > 0)
+        assert(math.abs(dup - (n - dist).toDouble / n) < 1e-12)
+    }
+    // a doc that is one bigram repeated is maximally repetitive
+    import s.implicits._
+    val planted = Seq((1L, "ab cd ab cd ab cd ab cd ab cd"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    // route the planted frame through the same expressions
+    val toks = graft.functions.text.tokens(col("text"))
+    val grams = planted.select(col("doc_id"),
+      explode(graft.functions.text.ngrams(toks, 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("d"))
+      .collect().map(r0 => r0.getLong(0) -> (r0.getLong(1), r0.getLong(2))).toMap
+    assert(grams(1L)._2 == 2 && grams(1L)._1 == 9) // "ab cd"/"cd ab" repeated
+    assert(grams(2L)._1 == grams(2L)._2)           // all distinct
+  }
+
+  test("gopher quality: bounds hold and keep is the conjunction") {
+    val g = operators.TextOps.qualityGopher(TestSession.spark, TestSession.sf)
+      .collect()
+    assert(g.length == 500)
+    g.foreach { row =>
+      val (n, mean, short0, keep) =
+        (row.getInt(1), row.getDouble(2), row.getDouble(3), row.getBoolean(4))
+      assert(short0 >= 0.0 && short0 <= 1.0)
+      val expect = n >= 10 && mean >= 3.0 && mean <= 10.0 && short0 <= 0.4
+      assert(keep == expect)
+    }
+  }
 }

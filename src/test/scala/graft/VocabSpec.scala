@@ -110,4 +110,33 @@ class VocabSpec extends AnyFunSuite {
     val got = top.filter(r => r.getString(0) == lang && r.getInt(3) == 1).head
     assert((got.getString(1), got.getLong(2)) == (want._1._2, want._2))
   }
+
+  test("bm25: scores positive, ranked desc, and agree with a driver recompute") {
+    val out = VocabOps.bm25(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "not ranked by score desc")
+    // driver-side recompute of the top doc's score from raw text
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty)).toMap
+    val terms = Seq("spark", "join", "window")
+    val n = docs.size.toDouble
+    val sumDl = docs.values.map(_.length.toLong).sum.toDouble
+    val avgdl = sumDl / n
+    val dfs = terms.map(t => docs.values.count(_.contains(t)).toDouble)
+    def score(toks: Array[String]): Double = {
+      val dl = toks.length.toDouble
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else ((n - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      }.sum
+    }
+    val top = out.head
+    assert(math.abs(score(docs(top.getLong(0))) - top.getDouble(2)) < 1e-9)
+  }
 }
