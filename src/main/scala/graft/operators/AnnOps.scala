@@ -349,6 +349,81 @@ object AnnOps {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  // ----------------------------------------------------- knn join
+
+  private val KnnK = 5
+  private val KnnTables = 4
+  private val KnnBits = 4
+  private val KnnBucketCap = 64
+
+  /** All-pairs kNN join: top-k cosine neighbors for EVERY corpus
+    * vector (not just a query block) — the batch-embedding-pipeline
+    * primitive behind near-dup clustering, diversity sampling and
+    * retrieval-index bootstrap. Candidates are LSH-bucket-local with
+    * the same representative-cap discipline as the dedup family: each
+    * bucket contributes member↔rep pairs only (cap lowest-id reps), so
+    * a bucket of B vectors emits O(B·cap) candidates, never O(B²), and
+    * only (id, id) pairs shuffle — embeddings re-attach after the
+    * distinct. Per-vector ranking runs through the custom bounded-heap
+    * top-k (no partition sort). Recall vs brute force is spec-bounded
+    * in AnnSpec. */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val banded = e
+      .select(col("vec_id"),
+        explode(DedupOps.lshBuckets(col("embedding"), KnnTables, KnnBits, 64)).as("b"))
+      .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+    val reps = graft.functions.topk.perKey(banded,
+      keys = Seq("tbl", "bv"),
+      order = Seq(graft.functions.topk.Order("vec_id")),
+      k = KnnBucketCap)
+      .select(col("tbl"), col("bv"), col("vec_id").as("rep_id"))
+    val mr = banded.join(reps, Seq("tbl", "bv"))
+      .filter(col("vec_id") =!= col("rep_id"))
+    val cand = mr.select(col("vec_id").as("a"), col("rep_id").as("b"))
+      .unionAll(mr.select(col("rep_id").as("a"), col("vec_id").as("b")))
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .withColumn("cos", vector.cosine(col("ea"), col("eb")))
+      .select(col("a").as("query_id"), col("b"), col("cos"))
+    graft.functions.topk.perKey(scored,
+      keys = Seq("query_id"),
+      order = Seq(graft.functions.topk.Order("cos", ascending = false),
+        graft.functions.topk.Order("b")),
+      k = KnnK)
+      .select(col("query_id").as("vec_id"), col("b").as("neighbor_id"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private def knnJoinSql = {
+    val cos = vector.sql.cosine("e1.embedding", "e2.embedding")
+    s"""WITH cb AS (
+       |${DedupOps.bandedSql("embeddings", "vec_id", KnnTables, KnnBits)}),
+       |reps AS (
+       |  SELECT tbl, bv, vec_id AS rep_id FROM cb
+       |  QUALIFY row_number() OVER (PARTITION BY tbl, bv ORDER BY vec_id)
+       |    <= $KnnBucketCap),
+       |mr AS (
+       |  SELECT cb.vec_id, r.rep_id
+       |  FROM cb JOIN reps r USING (tbl, bv)
+       |  WHERE cb.vec_id <> r.rep_id),
+       |cand AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT vec_id AS a, rep_id AS b FROM mr
+       |    UNION ALL
+       |    SELECT rep_id AS a, vec_id AS b FROM mr))
+       |SELECT c.a AS vec_id, c.b AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY c.a
+       |       ORDER BY $cos DESC, c.b) as int) AS rank,
+       |  round($cos, 6) AS cosine
+       |FROM cand c
+       |JOIN embeddings e1 ON c.a = e1.vec_id
+       |JOIN embeddings e2 ON c.b = e2.vec_id
+       |QUALIFY rank <= $KnnK""".stripMargin
+  }
+
   // -------------------------------------------------- normalization
 
   /** Unit-norm projection of the embedding column — the standard
@@ -382,11 +457,13 @@ object AnnOps {
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _),
+    "ann_knn_join" -> (knnJoin _),
     "emb_normalize" -> (normalizeEmbeddings _))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
+    "ann_knn_join" -> knnJoinSql,
     "emb_normalize" -> normalizeEmbeddingsSql)
 }

@@ -84,4 +84,37 @@ class AnnSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.2,
       s"sampled-training ivf recall = ${recalls.sum / recalls.size}")
   }
+
+  test("knn join: every vector gets k ranked neighbors; recall vs exact top-5") {
+    val knn = AnnOps.knnJoin(spark, sf).collect()
+    val byVec = knn.groupBy(_.getLong(0))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(byVec.size == n, "every corpus vector must appear")
+    byVec.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-match")
+      val ranks = rows.map(_.getInt(2)).sorted
+      assert(ranks.sameElements(1 to rows.length))
+    }
+    // exact top-5 per vector by brute force on the driver (500×500 ok here)
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = embs.keys.toArray
+    val recalls = ids.map { v =>
+      val top = ids.filter(_ != v)
+        .map(u => (u, cos(embs(v), embs(u))))
+        .sortBy { case (u, c) => (-c, u) }.take(5).map(_._1).toSet
+      val got = byVec(v).map(_.getLong(1)).toSet
+      got.intersect(top).size.toDouble / 5.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.3, s"knn-join mean recall vs exact = $mean")
+  }
 }
