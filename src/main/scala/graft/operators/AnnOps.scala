@@ -453,11 +453,64 @@ object AnnOps {
        |FROM embeddings""".stripMargin
   }
 
+  // ------------------------------------------------ label centroids
+
+  /** Per-label mean embedding (the classifier-prototype / cluster-
+    * summary aggregation): posexplode → (label, dim) means via the
+    * same value-sorted sequential fold the IVF centroids use (a
+    * distributed avg() sums floats in partition order — last-ulp
+    * nondeterminism), reassembled per label. Output is scalar digests
+    * of each centroid (head / fold-sum / norm) — array cells don't
+    * canonicalize in the driver's row-sorted hash compare. Two
+    * partial/final shuffles, keys bounded by |labels|×dims. */
+  def centroidPerLabel(s: SparkSession, d: String): DataFrame = {
+    val dims = DedupOps.embParallel(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (a, x) => a + x.cast("double"))
+          / size(col("vs")))
+      .withColumn("n", size(col("vs")))
+    dims.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"),
+        max(col("n")).as("n_vecs"))
+      .select(col("label"), col("n_vecs").cast("long").as("n_vecs"),
+        round(element_at(col("dm"), 1).getField("m"), 6).as("centroid_head"),
+        round(aggregate(col("dm"), lit(0.0), (a, x) => a + x.getField("m")), 6)
+          .as("centroid_sum"),
+        round(sqrt(aggregate(col("dm"), lit(0.0),
+          (a, x) => a + x.getField("m") * x.getField("m"))), 6)
+          .as("centroid_norm"))
+  }
+
+  private val centroidPerLabelSql =
+    """WITH d AS (
+      |  SELECT label, dd.dim AS dim, embedding[dd.dim + 1] AS v
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) dd),
+      |m AS (
+      |  SELECT label, dim,
+      |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+      |                (a, x) -> a + cast(x as double)) / count(v) AS m,
+      |    count(v) AS n
+      |  FROM d GROUP BY label, dim),
+      |c AS (
+      |  SELECT label, list(m ORDER BY dim) AS ms, max(n) AS n_vecs
+      |  FROM m GROUP BY label)
+      |SELECT label, cast(n_vecs as bigint) AS n_vecs,
+      |  round(ms[1], 6) AS centroid_head,
+      |  round(list_reduce(list_prepend(cast(0.0 as double), ms),
+      |        (a, x) -> a + x), 6) AS centroid_sum,
+      |  round(sqrt(list_reduce(list_prepend(cast(0.0 as double), ms),
+      |        (a, x) -> a + x*x)), 6) AS centroid_norm
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _),
     "ann_knn_join" -> (knnJoin _),
+    "emb_centroid_label" -> (centroidPerLabel _),
     "emb_normalize" -> (normalizeEmbeddings _))
 
   val oracle: Map[String, String] = Map(
@@ -465,5 +518,6 @@ object AnnOps {
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
     "ann_knn_join" -> knnJoinSql,
+    "emb_centroid_label" -> centroidPerLabelSql,
     "emb_normalize" -> normalizeEmbeddingsSql)
 }

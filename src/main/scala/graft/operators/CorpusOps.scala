@@ -231,13 +231,48 @@ object CorpusOps {
        |  (coalesce(h.n_hit, 0) * 2 >= c.n_shingles) AS is_contaminated
        |FROM counts c LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** Dataset-card statistics per source: doc/language counts, token
+    * totals and means, char bounds — the summary table a corpus
+    * release ships. One partial/final aggregation over a narrow
+    * tokenize map; means divide exact integer sums once at the end,
+    * so every figure is bit-stable under repartitioning. */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(graft.functions.text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_tok")).cast("double") / count(lit(1))).as("mean_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  private val corpusStatsSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""SELECT source,
+       |  cast(count(*) as bigint) AS n_docs,
+       |  cast(count(DISTINCT lang) as bigint) AS n_langs,
+       |  cast(sum(cast(len($toks) as bigint)) as bigint) AS total_tokens,
+       |  cast(sum(cast(len($toks) as bigint)) as double)
+       |    / cast(count(*) as bigint) AS mean_tokens,
+       |  cast(sum(n_chars) as double) / cast(count(*) as bigint) AS mean_chars,
+       |  min(n_chars) AS min_chars,
+       |  max(n_chars) AS max_chars
+       |FROM documents
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
     "clean_corpus" -> (cleanCorpus _),
-    "corpus_decontaminate" -> (decontaminate _))
+    "corpus_decontaminate" -> (decontaminate _),
+    "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
     "clean_corpus" -> cleanCorpusSql,
-    "corpus_decontaminate" -> decontaminateSql)
+    "corpus_decontaminate" -> decontaminateSql,
+    "corpus_stats" -> corpusStatsSql)
 }

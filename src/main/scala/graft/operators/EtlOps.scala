@@ -228,7 +228,58 @@ object EtlOps {
        |CROSS JOIN types t
        |LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour_ts = g.hour_ts""".stripMargin
 
+  // ------------------------------------------------- anomaly detection
+
+  private val ZThreshold = 3.0
+
+  /** Telemetry anomaly detection: per-event-type z-score outliers —
+    * the monitoring pass the reference's range checks (etl_job.py:
+    * 63-70) grow into once static bounds give way to learned ones.
+    * Mean/variance come from exact scaled-integer (sum, sum-of-
+    * squares) per type — one partial/final aggregation, broadcast
+    * back over the scan, so the whole thing is two passes and one
+    * tiny shuffle. sqrt is IEEE-exact (correctly rounded), so z is
+    * bit-identical cross-engine. At 100 TB the bigint sum-of-squares
+    * needs DECIMAL(38) headroom — the aggregation shape is unchanged.
+    */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val vc = round(col("value") * 1e2).cast("long")
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(vc).as("s1"), sum(vc * vc).as("s2"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n")) / col("n"))
+          .as("std_c"))
+    Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (vc.cast("double") - col("mean_c")) / col("std_c"))
+      .filter(abs(col("z")) > ZThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+  }
+
+  private val zscoreOutliersSql =
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    cast(sum(cast(round(value*1e2) as bigint)) as double)
+       |      / cast(count(*) as bigint) AS mean_c,
+       |    sqrt((cast(sum(cast(round(value*1e2) as bigint)
+       |               * cast(round(value*1e2) as bigint)) as double)
+       |          - cast(sum(cast(round(value*1e2) as bigint)) as double)
+       |            * cast(sum(cast(round(value*1e2) as bigint)) as bigint)
+       |            / cast(count(*) as bigint))
+       |         / cast(count(*) as bigint)) AS std_c
+       |  FROM events GROUP BY 1)
+       |SELECT event_id, event_type, value,
+       |  round((cast(round(value*1e2) as double) - mean_c) / std_c, 6) AS z
+       |FROM events JOIN st USING (event_type)
+       |WHERE abs((cast(round(value*1e2) as double) - mean_c) / std_c)
+       |  > $ZThreshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_zscore_outliers" -> (zscoreOutliers _),
     "etl_validate" -> (validate _),
     "etl_dedup_hour" -> (dedupHour _),
     "etl_hourly_rollup" -> (hourlyRollup _),
@@ -239,6 +290,7 @@ object EtlOps {
     "etl_gap_fill" -> (gapFill _))
 
   val oracle: Map[String, String] = Map(
+    "etl_zscore_outliers" -> zscoreOutliersSql,
     "etl_validate" -> validateSql,
     "etl_dedup_hour" -> dedupHourSql,
     "etl_hourly_rollup" -> hourlyRollupSql,

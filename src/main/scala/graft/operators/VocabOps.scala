@@ -173,13 +173,83 @@ object VocabOps {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // --------------------------------------------------------- lm score
+
+  /** Bigram language-model fluency score — the KenLM-perplexity-
+    * filter analog: each doc's mean corpus-bigram probability
+    * p(w2|w1) = C(w1w2)/C(w1·), where the counts come from the whole
+    * corpus (the corpus is its own LM). High scores = docs made of
+    * common continuations; near-zero = word salad. Shapes: two
+    * global bigram aggregations (partial/final, keys = distinct
+    * grams), then a per-doc rollup; only (doc, gram) pairs shuffle.
+    *
+    * Determinism: per-doc summation of float probabilities is made
+    * order-independent by scaling each p to an integer
+    * (round(p·10¹²)) before the sum — the same exact-sum discipline
+    * as the money aggregates; both engines divide once at the end. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    val g = docs.select(col("doc_id"),
+      explode(text.ngrams(text.tokens(col("text")), 2)).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val c2 = g.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", element_at(split(col("g"), " "), 1))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val p = col("c2").cast("double") / col("c1")
+    val perDoc = g
+      .join(c2, "g")
+      .join(c1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(sum(round(p * 1e12).cast("long")).as("sp"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          col("sp").cast("double") / (lit(1e12) * col("n_bigrams")))
+          .otherwise(0.0).as("lm_score"))
+  }
+
+  private val lmScoreSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(CASE WHEN len(t) < 2 THEN cast([] as varchar[])
+       |        ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       |        END) AS g
+       |    FROM t)),
+       |c2 AS (SELECT g, cast(count(*) as bigint) AS c2 FROM g GROUP BY 1),
+       |c1 AS (
+       |  SELECT string_split(g, ' ')[1] AS w1, cast(sum(c2) as bigint) AS c1
+       |  FROM c2 GROUP BY 1),
+       |pd AS (
+       |  SELECT g.doc_id,
+       |    cast(sum(cast(round(cast(c2.c2 as double) / c1.c1 * 1e12) as bigint))
+       |      as bigint) AS sp,
+       |    cast(count(*) as bigint) AS n_bigrams
+       |  FROM g JOIN c2 USING (g) JOIN c1 USING (w1)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(n_bigrams, 0) AS n_bigrams,
+       |  CASE WHEN n_bigrams > 0
+       |    THEN cast(sp as double) / (1e12 * n_bigrams)
+       |    ELSE 0.0 END AS lm_score
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_df" -> (docFreq _),
     "vocab_ngram_topk" -> (ngramTopK _),
-    "doc_bm25" -> (bm25 _))
+    "doc_bm25" -> (bm25 _),
+    "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
     "vocab_df" -> docFreqSql,
     "vocab_ngram_topk" -> ngramTopKSql,
-    "doc_bm25" -> bm25Sql)
+    "doc_bm25" -> bm25Sql,
+    "text_lm_score" -> lmScoreSql)
 }

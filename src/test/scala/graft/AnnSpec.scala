@@ -117,4 +117,19 @@ class AnnSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.length
     assert(mean >= 0.3, s"knn-join mean recall vs exact = $mean")
   }
+
+  test("label centroids: digests match a driver-side mean recompute") {
+    val out = AnnOps.centroidPerLabel(spark, sf).collect()
+    assert(out.nonEmpty)
+    val embs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => r.get(0) -> r.getSeq[Float](1).toArray)
+    val one = out.head
+    val label = one.get(0)
+    val vecs = embs.filter(_._1 == label).map(_._2)
+    assert(one.getLong(1) == vecs.length)
+    val dim0 = vecs.map(_(0).toDouble).sorted.sum / vecs.length
+    assert(math.abs(one.getDouble(2) - dim0) < 1e-5,
+      s"centroid head ${one.getDouble(2)} vs recomputed $dim0")
+  }
 }

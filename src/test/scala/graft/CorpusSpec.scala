@@ -69,4 +69,18 @@ class CorpusSpec extends AnyFunSuite {
         s"near-dup pair ($a,$b) both kept")
     }
   }
+
+  test("corpus stats reconcile with direct counts") {
+    val st = CorpusOps.corpusStats(spark, TestSession.sf).collect()
+    val docs = Tables.documents(spark, TestSession.sf)
+    assert(st.map(_.getLong(1)).sum == docs.count())
+    st.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(4) > 0, "mean_tokens positive")
+      assert(r.getLong(6) <= r.getLong(7), "min_chars <= max_chars")
+    }
+    val one = st.head
+    val direct = docs.filter(col("source") === one.getString(0)).count()
+    assert(direct == one.getLong(1))
+  }
 }

@@ -57,4 +57,20 @@ class EtlSpec extends AnyFunSuite {
       col("filled_value") =!= col("avg_value")).count() == 0)
     gf.unpersist()
   }
+
+  test("zscore outliers: all |z| > 3 and match a driver-side recompute") {
+    val out = EtlOps.zscoreOutliers(spark, TestSession.sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 3.0))
+    // recompute one event type's stats exactly as the operator defines them
+    val et = out.head.getString(1)
+    val vals = Tables.events(spark, TestSession.sf)
+      .filter(col("event_type") === et).select("value").collect()
+      .map(r => math.round(r.getDouble(0) * 100).toDouble)
+    val s1 = vals.sum; val s2 = vals.map(v => v * v).sum; val n = vals.length
+    val mean = s1 / n
+    val std = math.sqrt((s2 - s1 * s1 / n) / n)
+    val flagged = vals.count(v => math.abs((v - mean) / std) > 3.0)
+    assert(out.count(_.getString(1) == et) == flagged)
+  }
 }

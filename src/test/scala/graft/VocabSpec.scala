@@ -139,4 +139,18 @@ class VocabSpec extends AnyFunSuite {
     val top = out.head
     assert(math.abs(score(docs(top.getLong(0))) - top.getDouble(2)) < 1e-9)
   }
+
+  test("lm score: probabilities average within (0,1]; repeated text scores high") {
+    val out = VocabOps.lmScore(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val sc = r.getDouble(2)
+      assert(sc >= 0.0 && sc <= 1.0, s"lm_score $sc out of range")
+      if (r.getLong(1) > 0) assert(sc > 0.0, "docs with bigrams score > 0")
+    }
+    // sanity: the mean score is well above 0 (corpus is its own LM,
+    // so common continuations dominate)
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean > 0.001, s"mean lm score $mean suspiciously low")
+  }
 }
