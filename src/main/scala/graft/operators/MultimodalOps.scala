@@ -115,11 +115,45 @@ object MultimodalOps {
       |  cast(frame_idx * frame_size as int) AS byte_offset, n_frames
       |FROM f""".stripMargin
 
+  /** Binary-content dedup: exact duplicate media detection by
+    * SHA-256 of the payload bytes — the standard first pass of a
+    * multimodal corpus (cheap, catches re-crawled/re-encoded-copy
+    * files before any perceptual hashing). The hash computes map-side
+    * (narrow, codegen'd), and only (hash, id, n_bytes) triples
+    * shuffle — never the payloads. A payload duplicated B times costs
+    * O(B) in the partial/final aggregation. */
+  def payloadDedup(s: SparkSession, d: String): DataFrame =
+    payloadDedupFromDocs(Tables.documents(s, d))
+
+  /** `docs` needs (doc_id, text); text stands in for the payload
+    * bytes (a real corpus hashes the binary column directly). */
+  private[graft] def payloadDedupFromDocs(docs: DataFrame): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    docs
+      .select(col("doc_id"),
+        sha2(payload, 256).as("content_sha"),
+        octet_length(payload).cast("long").as("n_bytes"))
+      .groupBy(col("content_sha"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_bytes")).as("n_bytes"))
+  }
+
+  private val payloadDedupSql =
+    """SELECT sha256(text) AS content_sha,
+      |  min(doc_id) AS keep_id,
+      |  cast(count(*) as bigint) AS n_copies,
+      |  cast(max(octet_length(encode(text))) as bigint) AS n_bytes
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_dedup_payload" -> (payloadDedup _))
 
   val oracle: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql,
-    "mm_frame_sample" -> frameSampleSql)
+    "mm_frame_sample" -> frameSampleSql,
+    "mm_dedup_payload" -> payloadDedupSql)
 }

@@ -21,4 +21,21 @@ class MultimodalSpec extends AnyFunSuite {
         r.getInt(4), r.getString(5))).toSet
     assert(typed == expr)
   }
+
+  test("payload dedup: planted binary duplicates collapse to min id") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, "same payload bytes"),
+      (3L, "same payload bytes"),
+      (7L, "unique payload")).toDF("doc_id", "text")
+    val out = MultimodalOps.payloadDedupFromDocs(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(3L -> 2L, 7L -> 1L),
+      "duplicate payloads must collapse to the min doc_id with count 2")
+    // corpus path: every doc accounted for exactly once
+    val total = MultimodalOps.payloadDedup(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
 }
