@@ -186,7 +186,66 @@ object StreamingOps {
        |JOIN nation n ON c.c_nationkey = n.n_nationkey
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- anomaly alerts
+
+  private val AlertZ = 3.0
+
+  /** Streaming anomaly alerting: per-(event_type, 6h window) outlier
+    * counts against STATIC per-type stats — the alerting view a
+    * monitoring pipeline keeps over live telemetry. The stats
+    * (exact scaled-integer mean/std, same construction as
+    * etl_zscore_outliers) are a tiny broadcast stream-static join —
+    * the only state the streaming form holds is the windowed count.
+    * StreamingSpec runs the identical plan over MemoryStream with a
+    * watermark and gets the identical batch answer. */
+  def zscoreAlerts(s: SparkSession, d: String): DataFrame =
+    zscoreAlertsImpl(Tables.events(s, d), Tables.events(s, d))
+
+  /** `stream` is the live side (batch frame in Verify; MemoryStream
+    * in StreamingSpec); `hist` is the static history the stats come
+    * from. */
+  private[graft] def zscoreAlertsImpl(stream: DataFrame, hist: DataFrame): DataFrame = {
+    val vc = round(col("value") * 1e2).cast("long")
+    val stats = hist
+      .groupBy(col("event_type"))
+      .agg(sum(vc).as("s1"), sum(vc * vc).as("s2"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n")).as("mean_c"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n")) / col("n"))
+          .as("std_c"))
+    stream
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (vc.cast("double") - col("mean_c")) / col("std_c"))
+      .filter(abs(col("z")) > AlertZ)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_outliers"))
+  }
+
+  private val zscoreAlertsSql =
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    cast(sum(cast(round(value*1e2) as bigint)) as double)
+       |      / cast(count(*) as bigint) AS mean_c,
+       |    sqrt((cast(sum(cast(round(value*1e2) as bigint)
+       |               * cast(round(value*1e2) as bigint)) as double)
+       |          - cast(sum(cast(round(value*1e2) as bigint)) as double)
+       |            * cast(sum(cast(round(value*1e2) as bigint)) as bigint)
+       |            / cast(count(*) as bigint))
+       |         / cast(count(*) as bigint)) AS std_c
+       |  FROM events GROUP BY 1)
+       |SELECT date_trunc('day', ts)
+       |    + cast(floor(hour(ts) / 6) * 6 as bigint) * INTERVAL 1 HOUR
+       |    AS window_start,
+       |  event_type, $oCount AS n_outliers
+       |FROM events JOIN st USING (event_type)
+       |WHERE abs((cast(round(value*1e2) as double) - mean_c) / std_c) > $AlertZ
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_zscore_alerts" -> (zscoreAlerts _),
     "stream_enrich" -> (enrich _),
     "stream_tumbling" -> (tumbling _),
     "stream_sessionize" -> (sessionize _),
@@ -194,6 +253,7 @@ object StreamingOps {
     "stream_dedup" -> (streamDedup _))
 
   val oracle: Map[String, String] = Map(
+    "stream_zscore_alerts" -> zscoreAlertsSql,
     "stream_enrich" -> enrichSql,
     "stream_tumbling" -> tumblingSql,
     "stream_sessionize" -> sessionizeSql,

@@ -37,6 +37,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming zscore alerts equal the batch operator (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val ev = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingOps.zscoreAlertsImpl(ev, Tables.events(spark, sf))
+      .writeStream.format("memory").queryName("zalert_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_outliers"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val streamed = key(spark.table("zalert_out"))
+      assert(streamed.nonEmpty, "no outlier windows in the stream output")
+      assert(streamed == key(StreamingOps.zscoreAlerts(spark, sf)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sf)
