@@ -22,9 +22,20 @@ object TimeQuery {
       (System.nanoTime() - t0) / 1e9
     }
     if (args.nonEmpty) {
+      val showPlan = sys.env.contains("SPARK_GRAFT_FINAL_PLAN")
       args.foreach { q =>
         val cold = time(q); val warm = time(q)
         println(f"[timequery] $q%-28s cold=$cold%7.2fs warm=$warm%7.2fs")
+        if (showPlan) {
+          // AQE rewrites the plan during execution; executedPlan after
+          // an action shows the FINAL join strategies
+          val df = SparkEntry.queries(q)(spark, sfDir)
+          df.count()
+          val p = df.queryExecution.executedPlan.toString
+          val smj = "SortMergeJoin".r.findAllIn(p).length
+          val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+          println(s"[timequery] $q final-plan smj=$smj bhj=$bhj")
+        }
       }
     } else {
       val all = SparkEntry.queries.keys.toSeq.sorted.map(q => q -> time(q))
