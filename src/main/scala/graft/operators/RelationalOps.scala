@@ -814,6 +814,32 @@ object RelationalOps {
         "order_seq", "running_spend")
   }
 
+  /** Sliding 7-day revenue per customer — a RANGE (interval) window
+    * frame, the time-based complement of windowRunning's ROWS frame:
+    * every order sees the exact-integer sum of that customer's
+    * orders in the trailing week, however many rows that is. One
+    * shuffle on the partition key; the frame bound is evaluated on
+    * epoch seconds so both engines cut the window identically. */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-6L * 86400, 0)
+    Tables.orders(s, d)
+      .withColumn("week_spend",
+        sum(round(col("o_totalprice") * 100.0).cast("long")).over(w)
+          .cast("double") / 100.0)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "week_spend")
+  }
+
+  private val windowRangeSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  cast(sum(cast(round(o_totalprice*1e2) as bigint)) OVER w as double)/1e2
+      |    AS week_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin
+
   private val windowRunningSql =
     """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
       |  row_number() OVER w AS order_seq,
@@ -1494,6 +1520,7 @@ object RelationalOps {
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q_topk_orders" -> (topkOrders _),
     "q_window_running" -> (windowRunning _),
+    "q_window_range" -> (windowRange _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
     "q_rollup_nation" -> (rollupNation _),
@@ -1544,6 +1571,7 @@ object RelationalOps {
     "q21_waiting_supplier" -> q21Sql,
     "q_topk_orders" -> topkOrdersSql,
     "q_window_running" -> windowRunningSql,
+    "q_window_range" -> windowRangeSql,
     "q_semi_join" -> semiJoinSql,
     "q_anti_join" -> antiJoinSql,
     "q_rollup_nation" -> rollupNationSql,

@@ -143,6 +143,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(q21.nonEmpty && q21.forall(_.getLong(2) > 0))
   }
 
+  test("range window: week_spend covers exactly the trailing 7 days") {
+    val rows = RelationalOps.windowRange(spark, sf).collect()
+      .map { r =>
+        val epoch = r.getAs[java.time.LocalDateTime](2)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        (r.getLong(0), epoch, r.getDouble(3), r.getDouble(4))
+      }
+    // driver recompute for one busy customer
+    val byCust = rows.groupBy(_._1)
+    val (cust, orders) = byCust.maxBy(_._2.length)
+    orders.foreach { case (_, ts, _, spend) =>
+      val lo = ts - 6L * 86400
+      val expect = orders.filter { case (_, t2, _, _) =>
+        t2 >= lo && t2 <= ts
+      }.map { case (_, _, p, _) => math.round(p * 100) }.sum / 100.0
+      assert(math.abs(expect - spend) < 1e-9,
+        s"customer $cust at epoch $ts: expected $expect got $spend")
+    }
+  }
+
   test("q8 market share stays within [0,1]") {
     val q8 = RelationalOps.q8MarketShare(spark, "/root/testdata/sf0.01").collect()
     assert(q8.nonEmpty)
