@@ -33,4 +33,14 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""queries":{"""))
     assert(manyQueries.forall { case (k, _) => line.contains("\"" + k + "\":") })
   }
+
+  test("strings with quotes/backslashes/control chars stay valid JSON") {
+    val nasty = "a\"b\\c\nd\te"
+    assert(Bench.jsonStr(nasty) == "\"a\\\"b\\\\c\\nd\\te\"")
+    val line = Bench.compactLine(1.0, s"/data/$nasty")
+    // the fallback sf string must be escaped, not embedded raw
+    assert(line.contains("\\\"b\\\\c"), s"unescaped: $line")
+    val detail = Bench.detailLine(1.0, Seq(nasty -> 0.5), nasty)
+    assert(detail.contains(Bench.jsonStr(nasty) + ":0.5"))
+  }
 }
