@@ -1496,6 +1496,31 @@ object RelationalOps {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
 
+  // ------------------------------------------------- exact percentiles
+
+  /** EXACT per-group percentiles (complement of q_approx_stats'
+    * sketches): Spark's `percentile` aggregate — a per-group sort
+    * with linear interpolation, the right tool when groups fit a
+    * reducer (|event types| groups here; for heavy groups the sketch
+    * path is the scale escape hatch). Outputs round to 4 dp because
+    * the two engines' interpolation formulas differ in the last ulp
+    * (lo + (hi-lo)·f vs lo·(1-f) + hi·f). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
+  private val percentilesSql =
+    s"""SELECT event_type, $oCount AS n,
+       |  round(quantile_cont(value, 0.5), 4) AS p50,
+       |  round(quantile_cont(value, 0.9), 4) AS p90,
+       |  round(quantile_cont(value, 0.99), 4) AS p99
+       |FROM events
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1535,6 +1560,7 @@ object RelationalOps {
     "q_salted_agg" -> (saltedAgg _),
     "q_asof_join" -> (asofJoin _),
     "q_approx_stats" -> (approxStats _),
+    "q_percentiles" -> (percentiles _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_big_orders" -> (q18BigOrders _),
@@ -1585,6 +1611,7 @@ object RelationalOps {
     "q_corr_subquery" -> corrSubquerySql,
     "q_salted_agg" -> saltedAggSql,
     "q_asof_join" -> asofJoinSql,
+    "q_percentiles" -> percentilesSql,
     "q6_forecast_revenue" -> q6Sql,
     "q14_promo_revenue" -> q14Sql,
     "q18_big_orders" -> q18Sql,
