@@ -124,6 +124,11 @@ object CorpusOps {
         // regression can never return silently-wrong labels
         if (!converged) throw new IllegalStateException(
           s"label propagation did not converge within $maxRounds doubling rounds")
+        // labels is localCheckpointed (materialized independently),
+        // so the loop's inputs can release their storage now — a
+        // long-lived session shouldn't accumulate per-call caches
+        edges.unpersist()
+        pc.unpersist()
         labels
       }
 
