@@ -40,18 +40,20 @@ object Tables {
     val estSplits =
       if (files.isEmpty) 0
       else {
-        val hconf = sess.sparkContext.hadoopConfiguration
         import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
         val maxPart = byteStringAsBytes(
           sess.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
         val openCost = byteStringAsBytes(
           sess.conf.get("spark.sql.files.openCostInBytes", "4MB"))
-        val totalBytes = files.iterator.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          try p.getFileSystem(hconf).getFileStatus(p).getLen
-          catch { case _: java.io.IOException => 0L }
-        }.sum
-        (((totalBytes + files.length * openCost) + maxPart - 1) / maxPart).toInt
+        // total size from the ALREADY-LISTED relation statistics (the
+        // FileIndex materialized lengths during analysis) — no
+        // per-file driver RPCs, which would serialize over thousands
+        // of files at production scale. Must be the ANALYZED plan:
+        // the raw logical plan may still hold an UnresolvedDataSource
+        // leaf, which cannot compute stats.
+        val totalBytes = df.queryExecution.analyzed.stats.sizeInBytes
+        (((totalBytes + files.length * openCost) + maxPart - 1) / maxPart)
+          .min(Int.MaxValue).toInt
       }
     if (estSplits >= n) df else df.repartition(n)
   }

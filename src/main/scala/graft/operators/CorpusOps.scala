@@ -242,7 +242,7 @@ object CorpusOps {
     * tokenize map; means divide exact integer sums once at the end,
     * so every figure is bit-stable under repartitioning. */
   def corpusStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.parallelize(Tables.documents(s, d))
       .select(col("source"), col("lang"), col("n_chars"),
         size(graft.functions.text.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))

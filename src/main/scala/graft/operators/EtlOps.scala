@@ -242,9 +242,16 @@ object EtlOps {
     * bit-identical cross-engine. At 100 TB the bigint sum-of-squares
     * needs DECIMAL(38) headroom — the aggregation shape is unchanged.
     */
-  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
-    val vc = round(col("value") * 1e2).cast("long")
-    val stats = Tables.events(s, d)
+  /** The 2-dp scaled-integer value (shared with the streaming alert
+    * operator — ONE definition so the two oracles can't drift). */
+  private[graft] def zscoreValueScaled: Column =
+    round(col("value") * 1e2).cast("long")
+
+  /** Per-event-type exact (mean, std) of the scaled value. Shared by
+    * the batch outlier report and the streaming alert operator. */
+  private[graft] def zscoreStats(events: DataFrame): DataFrame = {
+    val vc = zscoreValueScaled
+    events
       .groupBy(col("event_type"))
       .agg(sum(vc).as("s1"), sum(vc * vc).as("s2"), count(lit(1)).as("n"))
       .select(col("event_type"),
@@ -252,8 +259,29 @@ object EtlOps {
         sqrt((col("s2").cast("double") -
           col("s1").cast("double") * col("s1") / col("n")) / col("n"))
           .as("std_c"))
+  }
+
+  /** SQL mirror of [[zscoreStats]] as a CTE body named `st`, and the
+    * matching z expression — shared with the streaming oracle. */
+  private[graft] val zscoreStatsSqlCte: String =
+    """st AS (
+      |  SELECT event_type,
+      |    cast(sum(cast(round(value*1e2) as bigint)) as double)
+      |      / cast(count(*) as bigint) AS mean_c,
+      |    sqrt((cast(sum(cast(round(value*1e2) as bigint)
+      |               * cast(round(value*1e2) as bigint)) as double)
+      |          - cast(sum(cast(round(value*1e2) as bigint)) as double)
+      |            * cast(sum(cast(round(value*1e2) as bigint)) as bigint)
+      |            / cast(count(*) as bigint))
+      |         / cast(count(*) as bigint)) AS std_c
+      |  FROM events GROUP BY 1)""".stripMargin
+  private[graft] val zscoreZSql: String =
+    "(cast(round(value*1e2) as double) - mean_c) / std_c"
+
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val vc = zscoreValueScaled
     Tables.events(s, d)
-      .join(broadcast(stats), Seq("event_type"))
+      .join(broadcast(zscoreStats(Tables.events(s, d))), Seq("event_type"))
       .withColumn("z", (vc.cast("double") - col("mean_c")) / col("std_c"))
       .filter(abs(col("z")) > ZThreshold)
       .select(col("event_id"), col("event_type"), col("value"),
@@ -261,22 +289,11 @@ object EtlOps {
   }
 
   private val zscoreOutliersSql =
-    s"""WITH st AS (
-       |  SELECT event_type,
-       |    cast(sum(cast(round(value*1e2) as bigint)) as double)
-       |      / cast(count(*) as bigint) AS mean_c,
-       |    sqrt((cast(sum(cast(round(value*1e2) as bigint)
-       |               * cast(round(value*1e2) as bigint)) as double)
-       |          - cast(sum(cast(round(value*1e2) as bigint)) as double)
-       |            * cast(sum(cast(round(value*1e2) as bigint)) as bigint)
-       |            / cast(count(*) as bigint))
-       |         / cast(count(*) as bigint)) AS std_c
-       |  FROM events GROUP BY 1)
+    s"""WITH $zscoreStatsSqlCte
        |SELECT event_id, event_type, value,
-       |  round((cast(round(value*1e2) as double) - mean_c) / std_c, 6) AS z
+       |  round($zscoreZSql, 6) AS z
        |FROM events JOIN st USING (event_type)
-       |WHERE abs((cast(round(value*1e2) as double) - mean_c) / std_c)
-       |  > $ZThreshold""".stripMargin
+       |WHERE abs($zscoreZSql) > $ZThreshold""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_zscore_outliers" -> (zscoreOutliers _),

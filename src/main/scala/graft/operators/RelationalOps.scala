@@ -702,7 +702,7 @@ object RelationalOps {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .join(broadcast(largeParts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
       .filter(col("qty") > Q20MinQty)
       .select(col("l_suppkey")).distinct()
     Tables.supplier(s, d)
@@ -724,7 +724,7 @@ object RelationalOps {
        |      AND l_shipdate >= timestamp '1996-01-01 00:00:00'
        |      AND l_shipdate < timestamp '1997-01-01 00:00:00'
        |    GROUP BY l_suppkey, l_partkey
-       |    HAVING sum(cast(l_quantity as bigint)) > $Q20MinQty)""".stripMargin
+       |    HAVING sum(cast(round(l_quantity) as bigint)) > $Q20MinQty)""".stripMargin
 
   // ------------------------------------------------ q21 waiting supplier
   //

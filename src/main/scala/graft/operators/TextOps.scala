@@ -249,7 +249,9 @@ object TextOps {
     * itself, and docs without bigrams come back via the left join
     * with zero counts. */
   def repetition(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // parallelized: the bigram explode is CPU-heavy and the local
+    // single-file scan would otherwise serialize it on one core
+    val docs = Tables.parallelize(Tables.documents(s, d))
     val grams = docs.select(col("doc_id"),
       explode(text.ngrams(text.tokens(col("text")), 2)).as("g"))
     val cnt = grams.groupBy(col("doc_id"), col("g"))

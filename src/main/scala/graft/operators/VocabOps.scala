@@ -110,12 +110,15 @@ object VocabOps {
   def bm25(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallelize(Tables.documents(s, d))
     val toks = text.tokens(col("text"))
+    // cached: referenced by the 1-row corpus aggregate AND the
+    // scored crossJoin — one tokenize pass, not two
     val withTf = docs.select(
       (col("doc_id") +:
         size(toks).as("dl") +:
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === t)).as(s"tf$i")
         }): _*)
+      .cache()
     val aggs =
       count(lit(1)).as("n_docs") +:
         sum(col("dl").cast("long")).as("sum_dl") +:
@@ -189,9 +192,13 @@ object VocabOps {
     * as the money aggregates; both engines divide once at the end. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.parallelize(Tables.documents(s, d))
+    // cached: the exploded gram relation feeds the c2 aggregation
+    // (and through it c1) AND the per-doc probe join — without the
+    // cache the full-corpus tokenize+explode runs three times
     val g = docs.select(col("doc_id"),
       explode(text.ngrams(text.tokens(col("text")), 2)).as("g"))
       .withColumn("w1", element_at(split(col("g"), " "), 1))
+      .cache()
     val c2 = g.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = c2.withColumn("w1", element_at(split(col("g"), " "), 1))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
