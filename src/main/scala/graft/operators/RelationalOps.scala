@@ -1521,6 +1521,43 @@ object RelationalOps {
        |FROM events
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- fuzzy join
+
+  private val FuzzyTau = 2
+
+  /** Blocked fuzzy self-join on part names: pairs of DISTINCT names
+    * within Levenshtein distance ≤ 2, candidate generation blocked on
+    * the last token (the classic blocking-key pattern — same contract
+    * as the LSH dedup family: the block key is part of the operator's
+    * declared semantics, so recall misses across blocks are by
+    * design, not a bug). Distinct-then-block keeps the pair join
+    * O(Σ block²) over UNIQUE names — at 100 TB the name domain is
+    * orders of magnitude smaller than the fact table, and the
+    * edit-distance evaluation never touches un-blocked pairs. Both
+    * engines ship the same dynamic-programming levenshtein, so the
+    * distance column hash-matches exactly. */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .select(col("p_name")).distinct()
+      .withColumn("blk", regexp_extract(col("p_name"), "([^ ]+)$", 1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk").as("blk_b"), col("p_name").as("name_b"))
+    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= FuzzyTau)
+      .select(col("name_a"), col("name_b"), col("dist"))
+  }
+
+  private val fuzzyJoinSql =
+    s"""WITH names AS (
+       |  SELECT DISTINCT p_name,
+       |    regexp_extract(p_name, '([^ ]+)$$', 1) AS blk
+       |  FROM part)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  cast(levenshtein(a.p_name, b.p_name) as bigint) AS dist
+       |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyTau""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1561,6 +1598,7 @@ object RelationalOps {
     "q_asof_join" -> (asofJoin _),
     "q_approx_stats" -> (approxStats _),
     "q_percentiles" -> (percentiles _),
+    "q_fuzzy_join" -> (fuzzyJoin _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_big_orders" -> (q18BigOrders _),
@@ -1612,6 +1650,7 @@ object RelationalOps {
     "q_salted_agg" -> saltedAggSql,
     "q_asof_join" -> asofJoinSql,
     "q_percentiles" -> percentilesSql,
+    "q_fuzzy_join" -> fuzzyJoinSql,
     "q6_forecast_revenue" -> q6Sql,
     "q14_promo_revenue" -> q14Sql,
     "q18_big_orders" -> q18Sql,

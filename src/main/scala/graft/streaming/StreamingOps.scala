@@ -186,6 +186,72 @@ object StreamingOps {
        |JOIN nation n ON c.c_nationkey = n.n_nationkey
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- sliding window
+
+  /** 24h windows sliding every 6h per event type — the overlapping-
+    * window rollup (each event lands in 4 windows). Same `window()`
+    * expression in batch and streaming; the oracle assigns each row
+    * its 4 epoch-aligned window starts explicitly (floor-to-6h minus
+    * k·6h, k=0..3). At scale this is a single partial/final
+    * aggregation — the ×4 fan-out happens inside the window
+    * expression, not as a shuffle. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  private val slidingSql =
+    s"""WITH ks AS (SELECT unnest([0,1,2,3]) AS k),
+       |assigned AS (
+       |  SELECT date_trunc('day', ts)
+       |      + cast(floor(hour(ts)/6)*6 - 6*k as bigint) * INTERVAL 1 HOUR
+       |      AS window_start,
+       |    event_type, value
+       |  FROM events CROSS JOIN ks)
+       |SELECT window_start, event_type, $oCount AS n_events,
+       |  ${oSum("value", 2)} AS sum_value
+       |FROM assigned GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------- stream-stream interval join
+
+  /** Stream-stream interval join: each error event matched to the
+    * SAME user's purchases in the following hour — conversion-after-
+    * failure attribution. In the streaming form both sides carry
+    * watermarks and the join condition bounds the event-time range,
+    * so each side's state store is capped at (watermark + 1h) of
+    * rows; StreamingSpec runs it over two MemoryStreams and matches
+    * this batch evaluation. Batch plan: one shuffle on user_id, AQE
+    * picks the join strategy. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame =
+    intervalJoinImpl(Tables.events(s, d), Tables.events(s, d))
+
+  /** `errs`/`purchases` are the two live sides (batch frames in
+    * Verify; watermarked MemoryStreams in StreamingSpec). */
+  private[graft] def intervalJoinImpl(errs: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errs.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    e.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("err_ts") &&
+        col("purchase_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("err_id"), col("purchase_id"), col("user_id"),
+        col("err_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  private val intervalJoinSql =
+    """SELECT a.event_id AS err_id, b.event_id AS purchase_id, a.user_id,
+      |  cast(a.ts as timestamp) AS err_ts,
+      |  cast(b.ts as timestamp) AS purchase_ts,
+      |  b.value AS purchase_value
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'error' AND b.event_type = 'purchase'
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin
+
   // ------------------------------------------------- anomaly alerts
 
   private val AlertZ = 3.0
@@ -203,19 +269,12 @@ object StreamingOps {
 
   /** `stream` is the live side (batch frame in Verify; MemoryStream
     * in StreamingSpec); `hist` is the static history the stats come
-    * from. */
+    * from. The stats construction (and its SQL mirror) is SHARED
+    * with `etl_zscore_outliers` — one definition, no oracle drift. */
   private[graft] def zscoreAlertsImpl(stream: DataFrame, hist: DataFrame): DataFrame = {
-    val vc = round(col("value") * 1e2).cast("long")
-    val stats = hist
-      .groupBy(col("event_type"))
-      .agg(sum(vc).as("s1"), sum(vc * vc).as("s2"), count(lit(1)).as("n"))
-      .select(col("event_type"),
-        (col("s1").cast("double") / col("n")).as("mean_c"),
-        sqrt((col("s2").cast("double") -
-          col("s1").cast("double") * col("s1") / col("n")) / col("n"))
-          .as("std_c"))
+    val vc = graft.operators.EtlOps.zscoreValueScaled
     stream
-      .join(broadcast(stats), Seq("event_type"))
+      .join(broadcast(graft.operators.EtlOps.zscoreStats(hist)), Seq("event_type"))
       .withColumn("z", (vc.cast("double") - col("mean_c")) / col("std_c"))
       .filter(abs(col("z")) > AlertZ)
       .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
@@ -225,29 +284,21 @@ object StreamingOps {
   }
 
   private val zscoreAlertsSql =
-    s"""WITH st AS (
-       |  SELECT event_type,
-       |    cast(sum(cast(round(value*1e2) as bigint)) as double)
-       |      / cast(count(*) as bigint) AS mean_c,
-       |    sqrt((cast(sum(cast(round(value*1e2) as bigint)
-       |               * cast(round(value*1e2) as bigint)) as double)
-       |          - cast(sum(cast(round(value*1e2) as bigint)) as double)
-       |            * cast(sum(cast(round(value*1e2) as bigint)) as bigint)
-       |            / cast(count(*) as bigint))
-       |         / cast(count(*) as bigint)) AS std_c
-       |  FROM events GROUP BY 1)
+    s"""WITH ${graft.operators.EtlOps.zscoreStatsSqlCte}
        |SELECT date_trunc('day', ts)
        |    + cast(floor(hour(ts) / 6) * 6 as bigint) * INTERVAL 1 HOUR
        |    AS window_start,
        |  event_type, $oCount AS n_outliers
        |FROM events JOIN st USING (event_type)
-       |WHERE abs((cast(round(value*1e2) as double) - mean_c) / std_c) > $AlertZ
+       |WHERE abs(${graft.operators.EtlOps.zscoreZSql}) > $AlertZ
        |GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_zscore_alerts" -> (zscoreAlerts _),
     "stream_enrich" -> (enrich _),
     "stream_tumbling" -> (tumbling _),
+    "stream_sliding" -> (sliding _),
+    "stream_join" -> (intervalJoin _),
     "stream_sessionize" -> (sessionize _),
     "stream_session_native" -> (sessionWindowNative _),
     "stream_dedup" -> (streamDedup _))
@@ -256,6 +307,8 @@ object StreamingOps {
     "stream_zscore_alerts" -> zscoreAlertsSql,
     "stream_enrich" -> enrichSql,
     "stream_tumbling" -> tumblingSql,
+    "stream_sliding" -> slidingSql,
+    "stream_join" -> intervalJoinSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_session_native" -> sessionWindowNativeSql,
     "stream_dedup" -> streamDedupSql)

@@ -187,4 +187,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true),
       "a user with only pre-signup purchases must still appear")
   }
+
+  test("fuzzy join: pairs share the block token, respect tau, and find known near-names") {
+    val rows = RelationalOps.fuzzyJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d) =>
+      assert(a < b, s"pair order: $a !< $b")
+      assert(a.split(' ').last == b.split(' ').last, s"blocked pair ($a,$b)")
+      assert(d >= 1 && d <= 2, s"distance out of range: ($a,$b,$d)")
+    }
+    // 'cold X' vs 'old X' is edit distance 1 and shares every noun block
+    assert(rows.exists { case (a, b, d) =>
+      a.startsWith("cold ") && b.startsWith("old ") && d == 1 })
+  }
 }

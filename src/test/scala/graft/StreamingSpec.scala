@@ -151,6 +151,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg equals the batch operator (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .select(col("w.start").cast("timestamp_ntz").cast("string"),
+          col("event_type"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = StreamingOps.sliding(spark, sf)
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // every event lands in exactly 4 overlapping windows
+      val nEvents = Tables.events(spark, sf).count()
+      val totalAcrossWindows = StreamingOps.sliding(spark, sf)
+        .agg(sum(col("n_events"))).collect()(0).getLong(0)
+      assert(totalAcrossWindows == 4 * nEvents)
+    } finally q.stop()
+  }
+
+  test("stream_join operator: two watermarked streams equal its batch evaluation") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect().toSeq
+    val memE = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val memP = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    def side(m: MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]) =
+      m.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+    val q = StreamingOps.intervalJoinImpl(side(memE), side(memP))
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      memE.addData(rows); memP.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("sj_out").select("err_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamingOps.intervalJoin(spark, sf).select("err_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("native session_window works under streaming with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
