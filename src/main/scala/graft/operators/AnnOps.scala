@@ -349,6 +349,247 @@ object AnnOps {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  // --------------------------------------------------------------- pq
+
+  private val PqM = 4          // subspaces (64 dims → 4 × 16)
+  private val PqDims = 16      // dims per subspace
+  private val PqCells = 16     // centroids per sub-quantizer
+  private val PqShortlist = 50 // ADC shortlist re-scored exactly
+
+  /** Sub-vector j (0-based) of a 64-dim embedding, as an explicit
+    * 16-element build — the same expression shape the oracle uses, so
+    * both engines slice identically. */
+  private def subVec(emb: Column, j: Column): Column =
+    transform(sequence(lit(1), lit(PqDims)),
+      i => element_at(emb, (j * PqDims + i).cast("int")))
+
+  /** Squared L2 between two float arrays — double subtraction per
+    * element, sequential double fold (bit-stable, oracle-mirrored). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One k-means sweep over sub-vectors, keyed by (subspace, cell):
+    * same value-sorted-fold means as the IVF sweep, just with the
+    * subspace id carried through. */
+  private def pqKmeansStep(su: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = su.join(broadcast(cents), "j")
+      .withColumn("dist", l2sq(col("semb"), col("c_emb")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
+        first(col("semb")).as("semb"))
+      .select(col("j"), col("best.cell_id").as("cell_id"), col("semb"))
+    assigned
+      .select(col("j"), col("cell_id"), posexplode(col("semb")).as(Seq("dim", "v")))
+      .groupBy("j", "cell_id", "dim")
+      .agg(sort_array(collect_list(col("v"))).as("vs"))
+      .withColumn("m",
+        aggregate(col("vs"), lit(0.0), (a, x) => a + x.cast("double"))
+          / size(col("vs")))
+      .groupBy("j", "cell_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("j"), col("cell_id"),
+        expr("transform(dm, x -> cast(x.m as float))").as("c_emb"))
+  }
+
+  /** Product-quantization ANN: the OTHER classic scale path next to
+    * IVF. Four 16-dim sub-quantizers (16 centroids each) train on the
+    * same bounded qhash sample IVF uses; every corpus vector is then
+    * encoded as 4 small codes, and query scoring is asymmetric-
+    * distance computation — a (query × subspace × cell) lookup table
+    * of partial dot products, folded in fixed subspace order, so the
+    * full corpus scan touches only codes, never float arrays. The
+    * ADC shortlist (top-`PqShortlist` per query) is re-scored with
+    * exact cosine and re-ranked. At 10⁹ vectors the scan reads
+    * 4 bytes of codes per vector instead of 256 bytes of floats, and
+    * the exact math touches only shortlist·|queries| rows. Every fold
+    * is fixed-order double arithmetic — the DuckDB mirror reproduces
+    * codes, ADC scores and the final ranking bit-for-bit. */
+  def pq(s: SparkSession, d: String): DataFrame =
+    pqImpl(DedupOps.embParallel(s, d), queriesDf(s, d), PqShortlist)
+
+  /** `shortK` overridable so specs can force shortlist ≥ corpus —
+    * then the exact re-score covers everything and the result must
+    * equal brute force rank-for-rank. */
+  private[graft] def pqImpl(e0: DataFrame, queries: DataFrame, shortK: Int): DataFrame = {
+    import graft.functions.topk
+    // cached: feeds the training sample, the encode pass and the
+    // shortlist re-score
+    val e = Tables.parallelize(e0).cache()
+    val n = e.count()
+    val M = 1000000007L
+    val frac = math.min(1.0, TrainPerCell.toDouble * PqCells / math.max(1L, n))
+    val sampled = e
+      .select(col("vec_id"), col("embedding"), qhash(col("vec_id")).as("h"))
+    val train = (if (frac >= 1.0) sampled
+                 else sampled.filter(col("h") < lit((frac * M).toLong)))
+      .localCheckpoint()
+
+    def subbed(df: DataFrame, idC: String, embC: String): DataFrame =
+      df.select(col(idC), col(embC),
+          explode(sequence(lit(0), lit(PqM - 1))).as("j"))
+        .select(col(idC), col("j"), subVec(col(embC), col("j")).as("semb"))
+
+    // seeds: the PqCells lowest-hash sample rows, sliced per subspace
+    val seedRows = train.orderBy(col("h"), col("vec_id")).limit(PqCells)
+      .select(
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+          .cast("int").as("cell_id"),
+        col("embedding"))
+    val seed = subbed(seedRows, "cell_id", "embedding")
+      .select(col("j"), col("cell_id"), col("semb").as("c_emb"))
+    val trainSub = subbed(train, "vec_id", "embedding")
+    val cents = pqKmeansStep(trainSub, pqKmeansStep(trainSub, seed)).cache()
+
+    // encode: nearest sub-centroid per (vector, subspace) — the only
+    // full-corpus pass, all narrow until the (vec_id, j) argmin
+    val codes = subbed(e, "vec_id", "embedding")
+      .join(broadcast(cents), "j")
+      .withColumn("dist", l2sq(col("semb"), col("c_emb")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.cell_id").as("cell_id"))
+
+    // ADC lookup table: |queries| × PqM × PqCells rows, broadcast
+    val qn = queries.withColumn("qnorm", vector.norm(col("q_emb")))
+    val qsub = qn.select(col("query_id"), col("qnorm"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("j"),
+        col("q_emb"))
+      .select(col("query_id"), col("qnorm"), col("j"),
+        subVec(col("q_emb"), col("j")).as("qs"))
+    val qtab = qsub.join(cents, "j")
+      .select(col("query_id"), col("qnorm"), col("j"), col("cell_id"),
+        vector.dot(col("qs"), col("c_emb")).as("dotp"),
+        vector.dot(col("c_emb"), col("c_emb")).as("cn2"))
+
+    // ADC score: partial dots folded in fixed subspace order
+    val approx = codes.join(broadcast(qtab), Seq("j", "cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"), col("qnorm"))
+      .agg(array_sort(collect_list(struct(col("j"), col("dotp"), col("cn2"))))
+        .as("parts"))
+      .withColumn("adot",
+        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("dotp")))
+      .withColumn("an2",
+        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("cn2")))
+      .withColumn("approx", col("adot") / (col("qnorm") * sqrt(col("an2"))))
+
+    val short = topk.perKey(
+      approx.select("query_id", "vec_id", "approx"),
+      keys = Seq("query_id"),
+      order = Seq(topk.Order("approx", ascending = false), topk.Order("vec_id")),
+      k = shortK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val scored = short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, "neighbor_id")
+  }
+
+  /** DuckDB mirror of the ENTIRE PQ pipeline — sample → per-subspace
+    * seeds → two k-means sweeps → corpus encoding → ADC table →
+    * fixed-order score folds → shortlist → exact re-rank. Same
+    * determinism contract as the IVF mirror. */
+  private def pqSql: String = {
+    def sub(emb: String, j: String) =
+      s"list_transform(range(1, ${PqDims + 1}), i -> $emb[$j*$PqDims + i])"
+    def l2(a: String, b: String) =
+      "list_reduce(list_prepend(cast(0.0 as double), " +
+        s"list_transform(range(1, ${PqDims + 1}), i -> " +
+        s"(cast($a[i] as double) - cast($b[i] as double)) * " +
+        s"(cast($a[i] as double) - cast($b[i] as double)))), (acc, x) -> acc + x)"
+    def kmeansAssign(src: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.j, t.vec_id, t.semb, s.cell_id
+         |  FROM $src t JOIN $cents s ON t.j = s.j
+         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
+         |    ORDER BY ${l2("t.semb", "s.c_emb")}, s.cell_id) = 1)""".stripMargin
+    def kmeansMeans(asg: String, out: String): String =
+      s"""${out}_d AS (
+         |  SELECT j, cell_id, d.dim AS dim, semb[d.dim + 1] AS v
+         |  FROM $asg, (SELECT unnest(range(0, $PqDims)) AS dim) d),
+         |${out}_m AS (
+         |  SELECT j, cell_id, dim,
+         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+         |                (a, x) -> a + cast(x as double)) / count(v) AS m
+         |  FROM ${out}_d GROUP BY j, cell_id, dim),
+         |$out AS (
+         |  SELECT j, cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
+         |  FROM ${out}_m GROUP BY j, cell_id)""".stripMargin
+    s"""WITH ${qhashCtes("hh")},
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |train AS (
+       |  SELECT hh.vec_id, hh.embedding, hh.h
+       |  FROM hh, params
+       |  WHERE $TrainPerCell.0 * $PqCells / params.n >= 1.0
+       |     OR hh.h < cast(trunc($TrainPerCell.0 * $PqCells / params.n
+       |                          * 1000000007) as bigint)),
+       |js AS (SELECT unnest(range(0, $PqM)) AS j),
+       |seedrows AS (
+       |  SELECT cast(row_number() OVER (ORDER BY h, vec_id) - 1 as int) AS cell_id,
+       |         embedding
+       |  FROM train
+       |  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $PqCells),
+       |seed AS (
+       |  SELECT j, cell_id, ${sub("embedding", "j")} AS c_emb
+       |  FROM seedrows, js),
+       |tsub AS (
+       |  SELECT vec_id, j, ${sub("embedding", "j")} AS semb
+       |  FROM train, js),
+       |${kmeansAssign("tsub", "seed", "a1")},
+       |${kmeansMeans("a1", "cent1")},
+       |${kmeansAssign("tsub", "cent1", "a2")},
+       |${kmeansMeans("a2", "cent2")},
+       |esub AS (
+       |  SELECT vec_id, j, ${sub("embedding", "j")} AS semb
+       |  FROM embeddings, js),
+       |codes AS (
+       |  SELECT t.vec_id, t.j, s.cell_id
+       |  FROM esub t JOIN cent2 s ON t.j = s.j
+       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
+       |    ORDER BY ${l2("t.semb", "s.c_emb")}, s.cell_id) = 1),
+       |qn AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |         ${vector.sql.norm("embedding")} AS qnorm
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |qtab AS (
+       |  SELECT q.query_id, q.qnorm, s.j, s.cell_id,
+       |    list_reduce(list_prepend(cast(0.0 as double),
+       |      list_transform(range(1, ${PqDims + 1}),
+       |        i -> cast(q.q_emb[s.j*$PqDims + i] * s.c_emb[i] as double))),
+       |      (acc, x) -> acc + x) AS dotp,
+       |    ${vector.sql.dot("s.c_emb", "s.c_emb")} AS cn2
+       |  FROM qn q, cent2 s),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id, q.qnorm,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(q.dotp ORDER BY q.j)),
+       |                (a, x) -> a + x) AS adot,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(q.cn2 ORDER BY q.j)),
+       |                (a, x) -> a + x) AS an2
+       |  FROM codes c JOIN qtab q ON c.j = q.j AND c.cell_id = q.cell_id
+       |  WHERE c.vec_id <> q.query_id
+       |  GROUP BY q.query_id, c.vec_id, q.qnorm),
+       |short AS (
+       |  SELECT query_id, vec_id
+       |  FROM approx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adot / (qnorm * sqrt(an2)) DESC, vec_id) <= $PqShortlist)
+       |SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY s.query_id
+       |    ORDER BY ${vector.sql.cosine("e.embedding", "q.embedding")} DESC,
+       |             s.vec_id) as int) AS rank,
+       |  round(${vector.sql.cosine("e.embedding", "q.embedding")}, 6) AS cosine
+       |FROM short s
+       |JOIN embeddings e ON s.vec_id = e.vec_id
+       |JOIN embeddings q ON s.query_id = q.vec_id
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   // ----------------------------------------------------- knn join
 
   private val KnnK = 5
@@ -509,6 +750,7 @@ object AnnOps {
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _),
+    "ann_pq" -> (pq _),
     "ann_knn_join" -> (knnJoin _),
     "emb_centroid_label" -> (centroidPerLabel _),
     "emb_normalize" -> (normalizeEmbeddings _))
@@ -517,6 +759,7 @@ object AnnOps {
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
+    "ann_pq" -> pqSql,
     "ann_knn_join" -> knnJoinSql,
     "emb_centroid_label" -> centroidPerLabelSql,
     "emb_normalize" -> normalizeEmbeddingsSql)

@@ -85,6 +85,22 @@ class AnnSpec extends AnyFunSuite {
       s"sampled-training ivf recall = ${recalls.sum / recalls.size}")
   }
 
+  test("pq: shortlist covering the corpus degenerates to brute force; default recall sane") {
+    val e = Tables.embeddings(spark, sf)
+    // shortlist >= N => the exact re-score covers every vector and the
+    // ADC ordering is irrelevant: output must equal brute force
+    val full = asMap(AnnOps.pqImpl(e, queriesDf, shortK = 100000))
+    assert(full == exact, "pq with corpus-wide shortlist must equal brute force")
+    val got = asMap(AnnOps.pq(spark, sf))
+    assert(got.keySet == exact.keySet)
+    assert(got.values.forall(_.size == 10))
+    val recalls = exact.map { case (q, nbrs) =>
+      got(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean pq recall@10 = $mean")
+  }
+
   test("knn join: every vector gets k ranked neighbors; recall vs exact top-5") {
     val knn = AnnOps.knnJoin(spark, sf).collect()
     val byVec = knn.groupBy(_.getLong(0))
