@@ -1521,6 +1521,38 @@ object RelationalOps {
        |FROM events
        |GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------- rank functions
+
+  /** The rank-function family (rank / dense_rank / percent_rank /
+    * cume_dist) per nation over a COARSE balance bucket, so ties are
+    * real and the four functions genuinely differ. Rank values depend
+    * only on the bucket (never on intra-tie row order), so results
+    * are deterministic under ties; percent_rank/cume_dist are
+    * ratios of exact integers — bit-identical double division in
+    * both engines. One shuffle on the partition key. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bucket").desc)
+    Tables.customer(s, d)
+      .withColumn("bucket", floor(col("c_acctbal") / 1000).cast("long"))
+      .select(col("c_nationkey"), col("c_custkey"), col("bucket"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  private val windowRankSql =
+    """SELECT c_nationkey, c_custkey,
+      |  cast(floor(c_acctbal / 1000) as bigint) AS bucket,
+      |  cast(rank() OVER w as bigint) AS rnk,
+      |  cast(dense_rank() OVER w as bigint) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY cast(floor(c_acctbal / 1000) as bigint) DESC)""".stripMargin
+
   // ------------------------------------------------------- fuzzy join
 
   private val FuzzyTau = 2
@@ -1599,6 +1631,7 @@ object RelationalOps {
     "q_approx_stats" -> (approxStats _),
     "q_percentiles" -> (percentiles _),
     "q_fuzzy_join" -> (fuzzyJoin _),
+    "q_window_rank" -> (windowRank _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_big_orders" -> (q18BigOrders _),
@@ -1651,6 +1684,7 @@ object RelationalOps {
     "q_asof_join" -> asofJoinSql,
     "q_percentiles" -> percentilesSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_window_rank" -> windowRankSql,
     "q6_forecast_revenue" -> q6Sql,
     "q14_promo_revenue" -> q14Sql,
     "q18_big_orders" -> q18Sql,

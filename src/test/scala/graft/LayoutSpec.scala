@@ -33,4 +33,58 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() ==
       Tables.lineitem(spark, sf).count())
   }
+
+  test("zValue matches a reference bit interleave") {
+    import spark.implicits._
+    def refZ(xs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits; j <- xs.indices)
+        if (((xs(j) >> i) & 1L) != 0L) z |= 1L << (i * xs.size + j)
+      z
+    }
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map(p => refZ(Seq(p._1, p._2), 16)))
+  }
+
+  test("z-order keeps both dimensions prunable; single-column sort only one") {
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        (col("value") * 100).cast("long").as("v100"))
+    val nFiles = 16
+    Layout.writeZOrdered(ev, s"$base/z", Seq("user_id", "v100"), nFiles)
+    Layout.writeRangeSorted(ev, s"$base/x", "user_id", nFiles)
+
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("user_id"), max("user_id"), min("v100"), max("v100"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // band predicate on the SECOND dimension: middle 10% of v100
+    val (vLo, vHi) = {
+      val r = ev.agg(min("v100"), max("v100")).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val mid = (mn + mx) / 2; val w = (mx - mn) / 20
+      (mid - w, mid + w)
+    }
+    def overlapping(bs: Array[(Long, Long, Long, Long)]): Int =
+      bs.count { case (_, _, lo, hi) => hi >= vLo && lo <= vHi }
+
+    val zB = boxes(s"$base/z"); val xB = boxes(s"$base/x")
+    assert(zB.length > 1 && xB.length > 1)
+    // x-sorted layout: every file spans the full v100 range -> no pruning
+    assert(overlapping(xB) == xB.length,
+      s"expected the v100 band to hit every x-sorted file: ${overlapping(xB)}/${xB.length}")
+    // z-ordered layout: the band prunes a real fraction of the files
+    assert(overlapping(zB) < zB.length,
+      s"z-order should prune some files: ${overlapping(zB)}/${zB.length}")
+    // and rows are preserved
+    assert(spark.read.parquet(s"$base/z").count() == ev.count())
+  }
 }
