@@ -57,6 +57,62 @@ object VocabOps {
        |FROM df, nd""".stripMargin
   }
 
+  private val TfidfK = 5
+
+  /** Per-document top-K TF-IDF terms — the keyword-extraction /
+    * retrieval-indexing primitive (what goes in a sparse index or a
+    * dataset card's "characteristic terms"). tf and df come from ONE
+    * tokenize+explode pass (df is derived from the distinct (doc,
+    * token) counts, not a second scan); idf is the rational
+    * (N−df+0.5)/(df+0.5) form — no ln, so the score is bit-identical
+    * cross-engine; ranking runs through the bounded-heap top-k. Only
+    * (doc, token, count) triples shuffle — partial aggregation
+    * collapses each partition's token multiset map-side. */
+  def docTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    // cached: reused as the score input AND the df aggregation source
+    val tf = docs
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nd))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs").cast("double") - col("doc_freq") + lit(0.5)) /
+            (col("doc_freq").cast("double") + lit(0.5))))
+    graft.functions.topk.perKey(
+      scored.select("doc_id", "token", "tf", "score"),
+      keys = Seq("doc_id"),
+      order = Seq(graft.functions.topk.Order("score", ascending = false),
+        graft.functions.topk.Order("token")),
+      k = TfidfK)
+      .select(col("doc_id"), col("token"), col("tf"), col("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
+  private val docTfidfSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val score = "cast(tf as double) * ((cast(n_docs as double) - doc_freq + 0.5)" +
+      " / (cast(doc_freq as double) + 0.5))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, cast(count(*) as bigint) AS tf
+       |  FROM tok GROUP BY 1, 2),
+       |df AS (
+       |  SELECT token, cast(count(*) as bigint) AS doc_freq
+       |  FROM tf GROUP BY 1),
+       |nd AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
+       |SELECT doc_id, token, tf,
+       |  cast(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY $score DESC, token) as int) AS rank,
+       |  round($score, 6) AS score
+       |FROM tf JOIN df USING (token), nd
+       |QUALIFY rank <= $TfidfK""".stripMargin
+  }
+
   private val TopK = 20
 
   /** Top-K bigrams per language by occurrence count, ranked through
@@ -250,12 +306,14 @@ object VocabOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_df" -> (docFreq _),
+    "doc_tfidf" -> (docTfidf _),
     "vocab_ngram_topk" -> (ngramTopK _),
     "doc_bm25" -> (bm25 _),
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
     "vocab_df" -> docFreqSql,
+    "doc_tfidf" -> docTfidfSql,
     "vocab_ngram_topk" -> ngramTopKSql,
     "doc_bm25" -> bm25Sql,
     "text_lm_score" -> lmScoreSql)

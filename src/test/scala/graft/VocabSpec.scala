@@ -153,4 +153,31 @@ class VocabSpec extends AnyFunSuite {
     val mean = out.map(_.getDouble(2)).sum / out.length
     assert(mean > 0.001, s"mean lm score $mean suspiciously low")
   }
+
+  test("doc tfidf: <=k ranked terms per doc; a corpus-rare heavy term ranks first") {
+    val out = VocabOps.docTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.size == Tables.documents(spark, sf).count())
+    byDoc.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length))
+    }
+    // driver-side recompute for one doc: the top term must maximize
+    // tf * (N - df + 0.5) / (df + 0.5) with the token tiebreak
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size.toDouble
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val someDoc = docs.keys.min
+    val toks = docs(someDoc)
+    val best = toks.distinct.map { t =>
+      (t, toks.count(_ == t).toDouble * ((n - dfm(t) + 0.5) / (dfm(t) + 0.5)))
+    }.minBy { case (t, sc) => (-sc, t) }
+    val got = byDoc(someDoc).minBy(_._4)
+    assert(got._2 == best._1,
+      s"doc $someDoc top term ${got._2} != recomputed ${best._1}")
+  }
 }
