@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -186,15 +186,74 @@ object PipelineOps {
        |QUALIFY rank <= $quotaCase""".stripMargin
   }
 
+  private val WeightedK = 100
+  private val WeightCap = 16
+
+  /** Iterated-quadratic-map hash (mod 1e9+7) of a long column — the
+    * same integer construction the ANN/LSH family uses, so any
+    * 64-bit-int engine reproduces it. */
+  private def wqhash(c: Column): Column = {
+    val M = lit(1000000007L)
+    val h0 = ((c % M) * lit(999983L) + lit(424243L)) % M
+    val h1 = (h0 * h0 + h0 * lit(48271L) + lit(11L)) % M
+    (h1 * h1 + h1 * lit(48271L) + lit(11L)) % M
+  }
+
+  /** Weighted sampling without replacement (length-weighted): each
+    * doc gets an integer weight w ∈ [1, WeightCap] from its length,
+    * its priority is the MINIMUM of w independent hash draws
+    * (`min_{j≤w} h(doc_id·WeightCap + j)` — for any two docs the
+    * pairwise odds of winning are w_a : w_b, the classic
+    * priority-sampling construction), and the sample is the global
+    * bottom-`WeightedK` by (priority, doc_id). Entirely integer
+    * arithmetic → the DuckDB oracle reproduces every draw. At scale:
+    * the w draws are a fold over a generated sequence INSIDE one
+    * narrow projection (no explode, no replicated rows), so the scan
+    * is shuffle-free and the only data movement is the TakeOrdered
+    * top-k of WeightedK rows per partition → driver-merged k. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = (least(floor(col("n_chars") / lit(400.0)), lit(WeightCap - 1))
+      .cast("long") + lit(1L)).as("weight")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), w)
+      .withColumn("priority",
+        array_min(transform(sequence(lit(1L), col("weight")),
+          j => wqhash(col("doc_id") * lit(WeightCap.toLong) + j))))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedK)
+  }
+
+  private val sampleWeightedSql = {
+    def h0(x: String) = s"((($x) % 1000000007) * 999983 + 424243) % 1000000007"
+    def sq(x: String) = s"(($x)*($x) + ($x)*48271 + 11) % 1000000007"
+    // stepwise CTE-free nesting: list lambdas can't reference CTE
+    // columns, so the three hash rounds nest textually (same
+    // arithmetic, each intermediate < 2^63 like the Column form)
+    val hash = sq(s"(${sq(s"(${h0(s"doc_id*$WeightCap + j")})")})")
+    s"""WITH wd AS (
+       |  SELECT doc_id, lang,
+       |    cast(least(floor(n_chars / 400.0), ${WeightCap - 1}) as bigint)
+       |      + 1 AS weight
+       |  FROM documents)
+       |SELECT doc_id, lang, weight,
+       |  list_min(list_transform(range(1, cast(weight+1 as int)),
+       |    j -> $hash)) AS priority
+       |FROM wd
+       |ORDER BY priority, doc_id
+       |LIMIT $WeightedK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_bottomk" -> (sampleBottomK _),
     "pack_shards" -> (packShards _),
-    "sample_mixture" -> (sampleMixture _))
+    "sample_mixture" -> (sampleMixture _),
+    "sample_weighted" -> (sampleWeighted _))
 
   val oracle: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "sample_bottomk" -> sampleBottomKSql,
     "pack_shards" -> packShardsSql,
-    "sample_mixture" -> sampleMixtureSql)
+    "sample_mixture" -> sampleMixtureSql,
+    "sample_weighted" -> sampleWeightedSql)
 }

@@ -1590,6 +1590,110 @@ object RelationalOps {
        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
        |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyTau""".stripMargin
 
+  // ---------------------------------------------------- sessionization
+
+  /** Batch sessionization gap: 30 minutes, in microseconds. */
+  private val SessionGapUs = 1800L * 1000000L
+
+  /** Batch sessionization (gaps-and-islands): per-user sessions split
+    * on >30-min inactivity, one row per session with start/end/count
+    * and an exact value sum. Two windows over the SAME (user_id, ts,
+    * event_id) ordering — Catalyst evaluates both in one sort within
+    * one hash-partitioned exchange on user_id, then the session
+    * rollup reuses that partitioning (groupBy keys are a superset of
+    * user_id), so the whole operator is one shuffle. At 100 TB the
+    * state per user is a sort of that user's events only — no global
+    * sort anywhere. The streaming twin is `stream_sessionize`
+    * (StreamingOps); this is the backfill form of the same semantics. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us",
+        lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") >
+            lit(SessionGapUs), 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        xsum(col("value"), 2).as("sum_value"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq
+       |  FROM flagged)
+       |SELECT user_id, session_seq,
+       |  cast(min(ts) as timestamp) AS session_start,
+       |  cast(max(ts) as timestamp) AS session_end,
+       |  $oCount AS n_events,
+       |  ${oSum("value", 2)} AS sum_value
+       |FROM sess GROUP BY user_id, session_seq""".stripMargin
+
+  // ------------------------------------------------------------- scd2
+
+  /** Type-2 slowly-changing dimension build from an event log: per
+    * user, collapse consecutive runs of the same event_type into
+    * validity intervals (valid_from inclusive, valid_to = next
+    * change, NULL while current). The run id is the classic
+    * gaps-and-islands difference of two row_numbers — both windows
+    * share the user_id partitioning, so like `q_sessionize` this is
+    * one exchange + one per-user sort, then a rollup on a superset of
+    * the partition key and a lead() over the collapsed (small) run
+    * table. This is how a 100 TB warehouse derives dimension history
+    * from immutable fact logs — no mutable-row UPDATE path needed. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .withColumn("run_id",
+        (row_number().over(wAll) - row_number().over(wTyp)).cast("long"))
+      .groupBy(col("user_id"), col("event_type"), col("run_id"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_type"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "n_events", "is_current")
+  }
+
+  private val scd2Sql =
+    """WITH runs AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS run_id,
+      |    ts
+      |  FROM events),
+      |collapsed AS (
+      |  SELECT user_id, event_type,
+      |    cast(min(ts) as timestamp) AS valid_from,
+      |    cast(count(*) as bigint) AS n_events
+      |  FROM runs GROUP BY user_id, event_type, run_id)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER w AS valid_to,
+      |  n_events,
+      |  lead(valid_from) OVER w IS NULL AS is_current
+      |FROM collapsed
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1644,7 +1748,9 @@ object RelationalOps {
     "q_pivot" -> (pivotNative _),
     "q_inter_event" -> (interEvent _),
     "q_ntile" -> (ntileQuartiles _),
-    "q_first_last" -> (firstLast _))
+    "q_first_last" -> (firstLast _),
+    "q_sessionize" -> (sessionize _),
+    "q_scd2" -> (scd2 _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1697,5 +1803,7 @@ object RelationalOps {
     "q_pivot" -> pivotNativeSql,
     "q_inter_event" -> interEventSql,
     "q_ntile" -> ntileQuartilesSql,
-    "q_first_last" -> firstLastSql)
+    "q_first_last" -> firstLastSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_scd2" -> scd2Sql)
 }

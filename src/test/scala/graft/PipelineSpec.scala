@@ -58,4 +58,25 @@ class PipelineSpec extends AnyFunSuite {
     val m2 = PipelineOps.sampleMixture(spark, sf).collect()
     assert(m1.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
   }
+
+  test("weighted sample: k rows, bounded weights, deterministic, length-biased") {
+    val s1 = PipelineOps.sampleWeighted(spark, sf).collect()
+    assert(s1.length == 100)
+    s1.foreach { r =>
+      val w = r.getLong(2)
+      assert(w >= 1 && w <= 16, s"weight out of range: $w")
+    }
+    val s2 = PipelineOps.sampleWeighted(spark, sf).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString)))
+    // selection must skew toward heavier docs: the sampled mean weight
+    // exceeds the corpus mean (each extra unit of weight is an extra
+    // independent chance at a low priority)
+    val sampledMean = s1.map(_.getLong(2)).sum.toDouble / s1.length
+    val corpusMean = Tables.documents(spark, sf)
+      .select((least(floor(col("n_chars") / lit(400.0)), lit(15))
+        .cast("long") + lit(1L)).as("w"))
+      .agg(avg("w")).head().getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean weight $sampledMean not above corpus mean $corpusMean")
+  }
 }

@@ -201,4 +201,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists { case (a, b, d) =>
       a.startsWith("cold ") && b.startsWith("old ") && d == 1 })
   }
+
+  test("sessionize: gaps split at 30 min, events are conserved, one shuffle family") {
+    val sessions = RelationalOps.sessionize(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    val agg = sessions.agg(sum("n_events"), count(lit(1))).head()
+    assert(agg.getLong(0) == nEvents, "every event lands in exactly one session")
+    // session spans: start <= end always; consecutive sessions of one
+    // user are separated by MORE than the gap (else they'd have merged)
+    assert(sessions.filter(col("session_start") > col("session_end")).count() == 0)
+    val byUser = sessions.orderBy("user_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("session_start"),
+        r.getAs[java.time.LocalDateTime]("session_end")))
+    byUser.sliding(2).foreach {
+      case Array((u1, _, e1), (u2, s2, _)) if u1 == u2 =>
+        assert(java.time.Duration.between(e1, s2).toNanos > 1800L * 1000000000L,
+          s"user $u1 sessions closer than the gap")
+      case _ =>
+    }
+  }
+
+  test("scd2: per-user history is contiguous with exactly one open interval") {
+    val hist = RelationalOps.scd2(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(hist.agg(sum("n_events")).head().getLong(0) == nEvents)
+    val open = hist.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1)
+    assert(open.count() == 0, "each user must have exactly one current row")
+    // intervals chain: valid_to of a row equals valid_from of the next
+    val rows = hist.orderBy("user_id", "valid_from", "event_type").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("valid_from"),
+        Option(r.getAs[java.time.LocalDateTime]("valid_to"))))
+    rows.sliding(2).foreach {
+      case Array((u1, _, Some(t1)), (u2, f2, _)) if u1 == u2 =>
+        assert(t1 == f2, s"user $u1 history has a hole at $t1")
+      case _ =>
+    }
+  }
 }
