@@ -590,6 +590,295 @@ object AnnOps {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  // ------------------------------------------------------------ ivfpq
+
+  /** IVF + PQ composed — the production 100 TB ANN layout (the
+    * FAISS "IVFPQ" shape): the coarse quantizer prunes the corpus to
+    * `nProbe` cells per query, and WITHIN those cells the scan reads
+    * 4-byte PQ codes instead of 256-byte float arrays, so the
+    * per-query work is (probed fraction of N) × (bytes of a code).
+    * Both quantizers train on the SAME bounded qhash sample (the IVF
+    * sample — ≥ the PQ-only sample since cells ≥ PqCells); codes
+    * encode raw vectors, not residuals — a documented simplification
+    * (residual encoding needs a per-cell re-center that doubles the
+    * mirror's CTE chain for ~no recall delta at this dimensionality).
+    * ADC shortlist re-scored exactly, like `ann_pq`. Every stage is
+    * the same deterministic integer/sorted-fold construction as the
+    * parent operators, so the DuckDB mirror reproduces the full
+    * pipeline bit-for-bit. */
+  def ivfpq(s: SparkSession, d: String): DataFrame =
+    ivfpqImpl(DedupOps.embParallel(s, d), queriesDf(s, d), nCells = 0,
+      nProbe = DefaultNProbe, shortK = PqShortlist)
+
+  /** Spec hooks: nProbe = all cells AND shortK ≥ corpus degenerates
+    * to exact brute force. */
+  private[graft] def ivfpqImpl(e0: DataFrame, queries: DataFrame,
+                               nCells: Int, nProbe: Int, shortK: Int,
+                               trainPerCell: Int = TrainPerCell): DataFrame = {
+    import graft.functions.topk
+    val e = Tables.parallelize(e0).cache()
+    val n = e.count()
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(4, math.sqrt(n.toDouble).toInt)
+    val M = 1000000007L
+    val frac = math.min(1.0, trainPerCell.toDouble * cells / math.max(1L, n))
+    val sampled = e
+      .select(col("vec_id"), col("embedding"), qhash(col("vec_id")).as("h"))
+    val train = (if (frac >= 1.0) sampled
+                 else sampled.filter(col("h") < lit((frac * M).toLong)))
+      .localCheckpoint()
+
+    // coarse quantizer: identical construction to ann_ivf
+    val seed = train
+      .orderBy(col("h"), col("vec_id")).limit(cells)
+      .select(
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+          .cast("int").as("cell_id"),
+        col("embedding").as("c_emb"))
+    val trainVecs = train.select(col("vec_id"), col("embedding"))
+    val cents = kmeansStep(trainVecs, kmeansStep(trainVecs, seed)).cache()
+
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist", -vector.cosine(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"))
+
+    // sub-quantizers: identical construction to ann_pq, but trained
+    // on the (larger) IVF sample
+    def subbed(df: DataFrame, idC: String, embC: String): DataFrame =
+      df.select(col(idC), col(embC),
+          explode(sequence(lit(0), lit(PqM - 1))).as("j"))
+        .select(col(idC), col("j"), subVec(col(embC), col("j")).as("semb"))
+    val pseedRows = train.orderBy(col("h"), col("vec_id")).limit(PqCells)
+      .select(
+        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+          .cast("int").as("cell_id"),
+        col("embedding"))
+    val pseed = subbed(pseedRows, "cell_id", "embedding")
+      .select(col("j"), col("cell_id"), col("semb").as("c_emb"))
+    val trainSub = subbed(train, "vec_id", "embedding")
+    val pcents = pqKmeansStep(trainSub, pqKmeansStep(trainSub, pseed)).cache()
+
+    val codes = subbed(e, "vec_id", "embedding")
+      .join(broadcast(pcents), "j")
+      .withColumn("dist", l2sq(col("semb"), col("c_emb")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("j"), col("best.cell_id").as("code"))
+
+    // query side: nProbe coarse cells + the ADC lookup table
+    val probes = topk.perKey(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
+        .select("query_id", "cell_id", "dist"),
+      keys = Seq("query_id"),
+      order = Seq(topk.Order("dist"), topk.Order("cell_id")),
+      k = nProbe)
+      .select("query_id", "cell_id")
+    val qn = queries.withColumn("qnorm", vector.norm(col("q_emb")))
+    val qsub = qn.select(col("query_id"), col("qnorm"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("j"),
+        col("q_emb"))
+      .select(col("query_id"), col("qnorm"), col("j"),
+        subVec(col("q_emb"), col("j")).as("qs"))
+    val qtab = qsub.join(pcents, "j")
+      .select(col("query_id"), col("qnorm"), col("j"),
+        col("cell_id").as("code"),
+        vector.dot(col("qs"), col("c_emb")).as("dotp"),
+        vector.dot(col("c_emb"), col("c_emb")).as("cn2"))
+
+    // candidates = vectors in probed cells; their codes ADC-score
+    // against the broadcast table — the corpus's float arrays are
+    // never read past the encode pass
+    val cand = assigned.join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val approx = cand.join(codes, "vec_id")
+      .join(broadcast(qtab), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("qnorm"))
+      .agg(array_sort(collect_list(struct(col("j"), col("dotp"), col("cn2"))))
+        .as("parts"))
+      .withColumn("adot",
+        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("dotp")))
+      .withColumn("an2",
+        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("cn2")))
+      .withColumn("approx", col("adot") / (col("qnorm") * sqrt(col("an2"))))
+
+    val short = topk.perKey(
+      approx.select("query_id", "vec_id", "approx"),
+      keys = Seq("query_id"),
+      order = Seq(topk.Order("approx", ascending = false), topk.Order("vec_id")),
+      k = shortK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+
+    val scored = short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "neighbor_id", "cos")
+    rankTopK(scored, "neighbor_id")
+  }
+
+  /** DuckDB mirror of the composed pipeline: the IVF chain (sample →
+    * seeds → two coarse k-means sweeps → full assignment → probes)
+    * feeding the PQ chain (sub-quantizer training on the same sample →
+    * corpus encoding → ADC over PROBED CELLS ONLY → shortlist → exact
+    * re-rank). */
+  private def ivfpqSql: String = {
+    // --- coarse (64-dim) helpers, as in ivfSql
+    val dotTS = "list_reduce(list_prepend(cast(0.0 as double), " +
+      "list_transform(range(1, 65), i -> cast(t.embedding[i]*s.c_emb[i] as double))), " +
+      "(acc, x) -> acc + x)"
+    def dot(a: String, b: String) = "list_reduce(list_prepend(cast(0.0 as double), " +
+      s"list_transform(range(1, 65), i -> cast($a[i]*$b[i] as double))), " +
+      "(acc, x) -> acc + x)"
+    def cAssign(src: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.vec_id, t.embedding, t.nrm, s.cell_id
+         |  FROM $src t, $cents s
+         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
+         |    ORDER BY -(${dot("t.embedding", "s.c_emb")} / (t.nrm * s.cnorm)),
+         |             s.cell_id) = 1)""".stripMargin
+    def cMeans(asg: String, out: String): String =
+      s"""${out}_d AS (
+         |  SELECT cell_id, d.dim AS dim, t.embedding[d.dim + 1] AS v
+         |  FROM $asg t, (SELECT unnest(range(0, 64)) AS dim) d),
+         |${out}_m AS (
+         |  SELECT cell_id, dim,
+         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+         |                (a, x) -> a + cast(x as double)) / count(v) AS m
+         |  FROM ${out}_d GROUP BY cell_id, dim),
+         |${out}_e AS (
+         |  SELECT cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
+         |  FROM ${out}_m GROUP BY cell_id),
+         |$out AS (
+         |  SELECT cell_id, c_emb, ${vector.sql.norm("c_emb")} AS cnorm
+         |  FROM ${out}_e)""".stripMargin
+    // --- sub-space (16-dim) helpers, as in pqSql
+    def sub(emb: String, j: String) =
+      s"list_transform(range(1, ${PqDims + 1}), i -> $emb[$j*$PqDims + i])"
+    def l2(a: String, b: String) =
+      "list_reduce(list_prepend(cast(0.0 as double), " +
+        s"list_transform(range(1, ${PqDims + 1}), i -> " +
+        s"(cast($a[i] as double) - cast($b[i] as double)) * " +
+        s"(cast($a[i] as double) - cast($b[i] as double)))), (acc, x) -> acc + x)"
+    def pAssign(src: String, cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT t.j, t.vec_id, t.semb, s.cell_id
+         |  FROM $src t JOIN $cents s ON t.j = s.j
+         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
+         |    ORDER BY ${l2("t.semb", "s.c_emb")}, s.cell_id) = 1)""".stripMargin
+    def pMeans(asg: String, out: String): String =
+      s"""${out}_d AS (
+         |  SELECT j, cell_id, d.dim AS dim, semb[d.dim + 1] AS v
+         |  FROM $asg, (SELECT unnest(range(0, $PqDims)) AS dim) d),
+         |${out}_m AS (
+         |  SELECT j, cell_id, dim,
+         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+         |                (a, x) -> a + cast(x as double)) / count(v) AS m
+         |  FROM ${out}_d GROUP BY j, cell_id, dim),
+         |$out AS (
+         |  SELECT j, cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
+         |  FROM ${out}_m GROUP BY j, cell_id)""".stripMargin
+    s"""WITH ${qhashCtes("hh")},
+       |params AS (
+       |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,
+       |         count(*) AS n
+       |  FROM embeddings),
+       |train AS (
+       |  SELECT hh.vec_id, hh.embedding, hh.h,
+       |         ${vector.sql.norm("hh.embedding")} AS nrm
+       |  FROM hh, params
+       |  WHERE $TrainPerCell.0 * params.cells / params.n >= 1.0
+       |     OR hh.h < cast(trunc($TrainPerCell.0 * params.cells / params.n
+       |                          * 1000000007) as bigint)),
+       |seed AS (
+       |  SELECT cast(row_number() OVER (ORDER BY t.h, t.vec_id) - 1 as int) AS cell_id,
+       |         t.embedding AS c_emb, t.nrm AS cnorm
+       |  FROM train t, params p
+       |  QUALIFY row_number() OVER (ORDER BY t.h, t.vec_id) <= p.cells),
+       |${cAssign("train", "seed", "a1")},
+       |${cMeans("a1", "cent1")},
+       |${cAssign("train", "cent1", "a2")},
+       |${cMeans("a2", "cent2")},
+       |corpus AS (
+       |  SELECT vec_id, embedding, ${vector.sql.norm("embedding")} AS nrm
+       |  FROM embeddings),
+       |${cAssign("corpus", "cent2", "asg")},
+       |probes AS (
+       |  SELECT t.vec_id AS query_id, s.cell_id
+       |  FROM (SELECT * FROM corpus WHERE vec_id < $NQueries) t, cent2 s
+       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
+       |    ORDER BY -($dotTS / (t.nrm * s.cnorm)), s.cell_id) <= $DefaultNProbe),
+       |js AS (SELECT unnest(range(0, $PqM)) AS j),
+       |pseedrows AS (
+       |  SELECT cast(row_number() OVER (ORDER BY h, vec_id) - 1 as int) AS cell_id,
+       |         embedding
+       |  FROM train
+       |  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $PqCells),
+       |pseed AS (
+       |  SELECT j, cell_id, ${sub("embedding", "j")} AS c_emb
+       |  FROM pseedrows, js),
+       |tsub AS (
+       |  SELECT vec_id, j, ${sub("embedding", "j")} AS semb
+       |  FROM train, js),
+       |${pAssign("tsub", "pseed", "pa1")},
+       |${pMeans("pa1", "pcent1")},
+       |${pAssign("tsub", "pcent1", "pa2")},
+       |${pMeans("pa2", "pcent2")},
+       |esub AS (
+       |  SELECT vec_id, j, ${sub("embedding", "j")} AS semb
+       |  FROM embeddings, js),
+       |codes AS (
+       |  SELECT t.vec_id, t.j, s.cell_id
+       |  FROM esub t JOIN pcent2 s ON t.j = s.j
+       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
+       |    ORDER BY ${l2("t.semb", "s.c_emb")}, s.cell_id) = 1),
+       |qn AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |         ${vector.sql.norm("embedding")} AS qnorm
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |qtab AS (
+       |  SELECT q.query_id, q.qnorm, s.j, s.cell_id,
+       |    list_reduce(list_prepend(cast(0.0 as double),
+       |      list_transform(range(1, ${PqDims + 1}),
+       |        i -> cast(q.q_emb[s.j*$PqDims + i] * s.c_emb[i] as double))),
+       |      (acc, x) -> acc + x) AS dotp,
+       |    ${vector.sql.dot("s.c_emb", "s.c_emb")} AS cn2
+       |  FROM qn q, pcent2 s),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM asg a JOIN probes p USING (cell_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |approx AS (
+       |  SELECT q.query_id, c.vec_id, q.qnorm,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(q.dotp ORDER BY q.j)),
+       |                (a, x) -> a + x) AS adot,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(q.cn2 ORDER BY q.j)),
+       |                (a, x) -> a + x) AS an2
+       |  FROM cand x
+       |  JOIN codes c ON x.vec_id = c.vec_id
+       |  JOIN qtab q ON c.j = q.j AND c.cell_id = q.cell_id
+       |    AND q.query_id = x.query_id
+       |  GROUP BY q.query_id, c.vec_id, q.qnorm),
+       |short AS (
+       |  SELECT query_id, vec_id
+       |  FROM approx
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adot / (qnorm * sqrt(an2)) DESC, vec_id) <= $PqShortlist)
+       |SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY s.query_id
+       |    ORDER BY ${vector.sql.cosine("e.embedding", "q.embedding")} DESC,
+       |             s.vec_id) as int) AS rank,
+       |  round(${vector.sql.cosine("e.embedding", "q.embedding")}, 6) AS cosine
+       |FROM short s
+       |JOIN embeddings e ON s.vec_id = e.vec_id
+       |JOIN embeddings q ON s.query_id = q.vec_id
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   // ----------------------------------------------------- knn join
 
   private val KnnK = 5
@@ -751,6 +1040,7 @@ object AnnOps {
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _),
     "ann_pq" -> (pq _),
+    "ann_ivfpq" -> (ivfpq _),
     "ann_knn_join" -> (knnJoin _),
     "emb_centroid_label" -> (centroidPerLabel _),
     "emb_normalize" -> (normalizeEmbeddings _))
@@ -760,6 +1050,7 @@ object AnnOps {
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
     "ann_pq" -> pqSql,
+    "ann_ivfpq" -> ivfpqSql,
     "ann_knn_join" -> knnJoinSql,
     "emb_centroid_label" -> centroidPerLabelSql,
     "emb_normalize" -> normalizeEmbeddingsSql)

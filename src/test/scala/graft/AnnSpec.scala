@@ -101,6 +101,23 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.2, s"mean pq recall@10 = $mean")
   }
 
+  test("ivfpq: probe-all + corpus-wide shortlist is exact; default recall sane") {
+    val e = Tables.embeddings(spark, sf)
+    // probing every cell makes the candidate set the whole corpus and
+    // shortlist >= N makes the exact re-score cover it: brute force
+    val full = asMap(AnnOps.ivfpqImpl(e, queriesDf, nCells = 16,
+      nProbe = 16, shortK = 100000))
+    assert(full == exact, "probe-all ivfpq with corpus shortlist must be exact")
+    val got = asMap(AnnOps.ivfpq(spark, sf))
+    assert(got.keySet == exact.keySet)
+    assert(got.values.forall(_.size == 10))
+    val recalls = exact.map { case (q, nbrs) =>
+      got(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"mean ivfpq recall@10 = $mean")
+  }
+
   test("knn join: every vector gets k ranked neighbors; recall vs exact top-5") {
     val knn = AnnOps.knnJoin(spark, sf).collect()
     val byVec = knn.groupBy(_.getLong(0))
