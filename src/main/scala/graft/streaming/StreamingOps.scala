@@ -214,6 +214,50 @@ object StreamingOps {
        |  ${oSum("value", 2)} AS sum_value
        |FROM assigned GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- windowed heavy hitters
+
+  private val TopKPerWindow = 3
+
+  /** Per-window top-k heavy hitters: the 3 busiest event types in
+    * every 6h window — the streaming "trending now" rollup. Batch
+    * form: one windowed partial/final count (cardinality bounded by
+    * windows × types), then the bounded-heap top-k — the rank never
+    * sees raw events. Streaming form (StreamingSpec): the SAME
+    * windowed count runs incrementally with a watermark, and the
+    * rank is applied per micro-batch epoch on the (tiny) aggregate
+    * state — at 100 TB/day the stateful side holds one counter per
+    * (window, type), not per event. */
+  def topkPerWindow(s: SparkSession, d: String): DataFrame =
+    rankWindows(Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events")))
+
+  /** Rank stage shared by the batch operator and the streaming
+    * spec's per-epoch evaluation — one definition, no drift. */
+  private[graft] def rankWindows(counts: DataFrame): DataFrame =
+    graft.functions.topk.perKey(counts,
+      keys = Seq("window_start"),
+      order = Seq(graft.functions.topk.Order("n_events", ascending = false),
+        graft.functions.topk.Order("event_type")),
+      k = TopKPerWindow)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("rank"))
+
+  private val topkPerWindowSql =
+    s"""WITH counts AS (
+       |  SELECT date_trunc('day', ts)
+       |      + cast(floor(hour(ts) / 6) * 6 as bigint) * INTERVAL 1 HOUR
+       |      AS window_start,
+       |    event_type, $oCount AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT window_start, event_type, n_events,
+       |  cast(row_number() OVER (PARTITION BY window_start
+       |    ORDER BY n_events DESC, event_type) as int) AS rank
+       |FROM counts
+       |QUALIFY rank <= $TopKPerWindow""".stripMargin
+
   // ------------------------------------- stream-stream interval join
 
   /** Stream-stream interval join: each error event matched to the
@@ -298,6 +342,7 @@ object StreamingOps {
     "stream_enrich" -> (enrich _),
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
+    "stream_topk" -> (topkPerWindow _),
     "stream_join" -> (intervalJoin _),
     "stream_sessionize" -> (sessionize _),
     "stream_session_native" -> (sessionWindowNative _),
@@ -308,6 +353,7 @@ object StreamingOps {
     "stream_enrich" -> enrichSql,
     "stream_tumbling" -> tumblingSql,
     "stream_sliding" -> slidingSql,
+    "stream_topk" -> topkPerWindowSql,
     "stream_join" -> intervalJoinSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_session_native" -> sessionWindowNativeSql,

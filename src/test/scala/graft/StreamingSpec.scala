@@ -183,6 +183,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_topk: ranking the streamed window counts equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect().toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("topk_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      // per-epoch evaluation: the SAME rank stage the batch operator
+      // uses, applied to the streamed aggregate state
+      val streamed = StreamingOps.rankWindows(
+        spark.table("topk_counts")
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n_events")))
+        .collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val batch = StreamingOps.topkPerWindow(spark, sf)
+        .collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // rank never exceeds k and is dense from 1 within a window
+      val byWindow = batch.groupBy(_._1)
+      byWindow.values.foreach { rs =>
+        val ranks = rs.map(_._4).toSeq.sorted
+        assert(ranks == (1 to ranks.size), s"ranks not dense: $ranks")
+        assert(ranks.size <= 3)
+      }
+    } finally q.stop()
+  }
+
   test("stream_join operator: two watermarked streams equal its batch evaluation") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Tables.events(spark, sf)
