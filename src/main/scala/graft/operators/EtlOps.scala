@@ -228,6 +228,91 @@ object EtlOps {
        |CROSS JOIN types t
        |LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour_ts = g.hour_ts""".stripMargin
 
+  // ---------------------------------------------- linear interpolation
+
+  /** Linear interpolation across hourly gaps — the numeric upgrade of
+    * `etl_gap_fill`'s carry-forward: a missing hour gets
+    * prev + (next−prev)·(t−t_prev)/(t_next−t_prev); leading/trailing
+    * gaps clamp to the nearest observation. Same grid × types frame
+    * as gap_fill (one per-type sort), with BOTH bracketing
+    * observations found by ignoreNulls last/first over the two
+    * half-open frames — no self-join, no per-gap scan. Every engine
+    * computes the same IEEE double expression in the same
+    * association, so the oracle hash-matches exactly: positions are
+    * integer epoch-hours and the observed values are the 2-dp exact
+    * averages. */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+      .agg(xavg(col("value"), 2).as("avg_value"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).cast("timestamp_ntz").as("h0"),
+        date_trunc("hour", max(col("ts"))).cast("timestamp_ntz").as("h1"))
+      .select(explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hour_ts"))
+      .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pos = (unix_micros(col("hour_ts").cast("timestamp")) /
+      lit(3600000000L)).cast("double")
+    val obsPos = when(col("avg_value").isNotNull, pos)
+    grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .withColumn("pos", pos)
+      .withColumn("prev_v", last(col("avg_value"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_p", last(obsPos, ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first(col("avg_value"), ignoreNulls = true).over(wNext))
+      .withColumn("next_p", first(obsPos, ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hour_ts"), col("avg_value"),
+        when(col("avg_value").isNotNull, col("avg_value"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            col("prev_v") + (col("next_v") - col("prev_v")) *
+              ((col("pos") - col("prev_p")) / (col("next_p") - col("prev_p"))))
+          .otherwise(coalesce(col("prev_v"), col("next_v")))
+          .as("filled_value"),
+        col("avg_value").isNull.as("was_gap"))
+  }
+
+  private val interpolateSql =
+    s"""WITH b AS (
+       |  SELECT cast(date_trunc('hour', min(ts)) as timestamp) AS h0,
+       |         cast(date_trunc('hour', max(ts)) as timestamp) AS h1
+       |  FROM events),
+       |grid AS (
+       |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |hourly AS (
+       |  SELECT event_type, cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+       |    ${oAvg("value", 2)} AS avg_value
+       |  FROM events GROUP BY 1, 2),
+       |framed AS (
+       |  SELECT t.event_type, cast(g.hour_ts as timestamp) AS hour_ts,
+       |    h.avg_value,
+       |    cast(epoch_us(g.hour_ts) // 3600000000 as double) AS pos,
+       |    last_value(h.avg_value IGNORE NULLS) OVER wp AS prev_v,
+       |    last_value(CASE WHEN h.avg_value IS NOT NULL
+       |      THEN cast(epoch_us(g.hour_ts) // 3600000000 as double) END
+       |      IGNORE NULLS) OVER wp AS prev_p,
+       |    first_value(h.avg_value IGNORE NULLS) OVER wn AS next_v,
+       |    first_value(CASE WHEN h.avg_value IS NOT NULL
+       |      THEN cast(epoch_us(g.hour_ts) // 3600000000 as double) END
+       |      IGNORE NULLS) OVER wn AS next_p
+       |  FROM grid g
+       |  CROSS JOIN types t
+       |  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour_ts = g.hour_ts
+       |  WINDOW wp AS (PARTITION BY t.event_type ORDER BY g.hour_ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wn AS (PARTITION BY t.event_type ORDER BY g.hour_ts
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, hour_ts, avg_value,
+       |  CASE WHEN avg_value IS NOT NULL THEN avg_value
+       |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+       |         THEN prev_v + (next_v - prev_v) * ((pos - prev_p) / (next_p - prev_p))
+       |       ELSE coalesce(prev_v, next_v) END AS filled_value,
+       |  avg_value IS NULL AS was_gap
+       |FROM framed""".stripMargin
+
   // ------------------------------------------------- anomaly detection
 
   private val ZThreshold = 3.0
@@ -304,7 +389,8 @@ object EtlOps {
     "etl_success_rate" -> (successRate _),
     "etl_recent_runs" -> (recentRuns _),
     "etl_freshness" -> (freshness _),
-    "etl_gap_fill" -> (gapFill _))
+    "etl_gap_fill" -> (gapFill _),
+    "etl_interpolate" -> (interpolate _))
 
   val oracle: Map[String, String] = Map(
     "etl_zscore_outliers" -> zscoreOutliersSql,
@@ -315,5 +401,6 @@ object EtlOps {
     "etl_success_rate" -> successRateSql,
     "etl_recent_runs" -> recentRunsSql,
     "etl_freshness" -> freshnessSql,
-    "etl_gap_fill" -> gapFillSql)
+    "etl_gap_fill" -> gapFillSql,
+    "etl_interpolate" -> interpolateSql)
 }

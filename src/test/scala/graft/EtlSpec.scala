@@ -73,4 +73,28 @@ class EtlSpec extends AnyFunSuite {
     val flagged = vals.count(v => math.abs((v - mean) / std) > 3.0)
     assert(out.count(_.getString(1) == et) == flagged)
   }
+
+  test("interpolate: observed hours unchanged, gap fills lie between brackets") {
+    val rows = EtlOps.interpolate(spark, TestSession.sf)
+      .orderBy("event_type", "hour_ts").collect()
+    assert(rows.nonEmpty && rows.forall(!_.isNullAt(3)),
+      "every grid hour must be filled")
+    rows.filter(!_.getBoolean(4)).foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3), "observed hour must pass through")
+    }
+    // each gap's fill is within [min, max] of its bracketing values:
+    // walk per type, tracking the previous/next observed values
+    rows.groupBy(_.getString(0)).values.foreach { tr =>
+      val obs = tr.zipWithIndex.filter(!_._1.getBoolean(4)).map(_._2)
+      tr.zipWithIndex.filter(_._1.getBoolean(4)).foreach { case (r, i) =>
+        val before = obs.filter(_ < i).lastOption.map(j => tr(j).getDouble(3))
+        val after = obs.find(_ > i).map(j => tr(j).getDouble(3))
+        val lo = Seq(before, after).flatten.min
+        val hi = Seq(before, after).flatten.max
+        val v = r.getDouble(3)
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+          s"fill $v outside bracket [$lo,$hi] at ${r.get(1)}")
+      }
+    }
+  }
 }
