@@ -296,9 +296,11 @@ object AnnOps {
   // the identical DataFrame). Same pattern as the dedup family's
   // shared shingle relation.
 
+  // NB: embParallel is already parallelized AND memo-cached — reuse
+  // it as-is (a second parallelize would re-shuffle and double-cache
+  // the same vectors)
   private def annCorpus(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, "ann_corpus", d)(
-      Tables.parallelize(DedupOps.embParallel(s, d)))
+    DedupOps.embParallel(s, d)
 
   private def annCells(s: SparkSession, d: String): Int = {
     val n = annCorpus(s, d).count()
@@ -512,17 +514,13 @@ object AnnOps {
         vector.dot(col("qs"), col("c_emb")).as("dotp"),
         vector.dot(col("c_emb"), col("c_emb")).as("cn2"))
 
-    // ADC score: partial dots folded in fixed subspace order
-    val approx = codes.join(broadcast(qtab), Seq("j", "cell_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"), col("qnorm"))
-      .agg(array_sort(collect_list(struct(col("j"), col("dotp"), col("cn2"))))
-        .as("parts"))
-      .withColumn("adot",
-        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("dotp")))
-      .withColumn("an2",
-        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("cn2")))
-      .withColumn("approx", col("adot") / (col("qnorm") * sqrt(col("an2"))))
+    // ADC score: per-subspace partial dots summed in FIXED subspace
+    // order — each conditional sum sees exactly one non-null value
+    // per group (j is a key of the joined row), so the grouped agg is
+    // exact and the final d0+d1+d2+d3 association is deterministic in
+    // any engine; no per-group list materialization or sort
+    val approx = adcFold(codes.join(broadcast(qtab), Seq("j", "cell_id"))
+      .filter(col("vec_id") =!= col("query_id")))
 
     val short = topk.perKey(
       approx.select("query_id", "vec_id", "approx"),
@@ -613,15 +611,15 @@ object AnnOps {
        |      (acc, x) -> acc + x) AS dotp,
        |    ${vector.sql.dot("s.c_emb", "s.c_emb")} AS cn2
        |  FROM qn q, cent2 s),
-       |approx AS (
+       |approx0 AS (
        |  SELECT q.query_id, c.vec_id, q.qnorm,
-       |    list_reduce(list_prepend(cast(0.0 as double), list(q.dotp ORDER BY q.j)),
-       |                (a, x) -> a + x) AS adot,
-       |    list_reduce(list_prepend(cast(0.0 as double), list(q.cn2 ORDER BY q.j)),
-       |                (a, x) -> a + x) AS an2
+       |    ${adcSumsSql("q")}
        |  FROM codes c JOIN qtab q ON c.j = q.j AND c.cell_id = q.cell_id
        |  WHERE c.vec_id <> q.query_id
        |  GROUP BY q.query_id, c.vec_id, q.qnorm),
+       |approx AS (
+       |  SELECT query_id, vec_id, qnorm, $adcTotalsSql
+       |  FROM approx0),
        |short AS (
        |  SELECT query_id, vec_id
        |  FROM approx
@@ -659,6 +657,36 @@ object AnnOps {
       annPqCodes(s, d), annPqCents(s, d), annCorpus(s, d),
       annCents(s, d), queriesDf(s, d),
       nProbe = DefaultNProbe, shortK = PqShortlist)
+
+  /** SQL twin of [[adcFold]]'s grouped conditional sums. */
+  private def adcSumsSql(q: String): String =
+    (0 until PqM).flatMap { j =>
+      Seq(s"sum(CASE WHEN $q.j = $j THEN $q.dotp END) AS d$j",
+        s"sum(CASE WHEN $q.j = $j THEN $q.cn2 END) AS c$j")
+    }.mkString(",\n    ")
+
+  /** SQL twin of [[adcFold]]'s fixed-order totals. */
+  private def adcTotalsSql: String =
+    (0 until PqM).map(j => s"d$j").mkString(" + ") + " AS adot, " +
+      (0 until PqM).map(j => s"c$j").mkString(" + ") + " AS an2"
+
+  /** ADC fold shared by ann_pq and ann_ivfpq: input rows carry
+    * (query_id, vec_id, qnorm, j, dotp, cn2); each per-subspace
+    * conditional sum sees exactly ONE non-null value per group, so
+    * the grouped aggregation is exact regardless of partitioning and
+    * the d0+d1+d2+d3 association is fixed — deterministic in any
+    * engine with no per-group list sort. */
+  private def adcFold(parts: DataFrame): DataFrame = {
+    val sums = (0 until PqM).flatMap { j =>
+      Seq(sum(when(col("j") === j, col("dotp"))).as(s"d$j"),
+        sum(when(col("j") === j, col("cn2"))).as(s"c$j"))
+    }
+    parts.groupBy(col("query_id"), col("vec_id"), col("qnorm"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("adot", (0 until PqM).map(j => col(s"d$j")).reduce(_ + _))
+      .withColumn("an2", (0 until PqM).map(j => col(s"c$j")).reduce(_ + _))
+      .withColumn("approx", col("adot") / (col("qnorm") * sqrt(col("an2"))))
+  }
 
   /** Sub-vector explosion shared by the PQ stages. */
   private def subbed(df: DataFrame, idC: String, embC: String): DataFrame =
@@ -752,16 +780,8 @@ object AnnOps {
     val cand = assigned.join(broadcast(probes), "cell_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-    val approx = cand.join(codes, "vec_id")
-      .join(broadcast(qtab), Seq("query_id", "j", "code"))
-      .groupBy(col("query_id"), col("vec_id"), col("qnorm"))
-      .agg(array_sort(collect_list(struct(col("j"), col("dotp"), col("cn2"))))
-        .as("parts"))
-      .withColumn("adot",
-        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("dotp")))
-      .withColumn("an2",
-        aggregate(col("parts"), lit(0.0), (a, x) => a + x.getField("cn2")))
-      .withColumn("approx", col("adot") / (col("qnorm") * sqrt(col("an2"))))
+    val approx = adcFold(cand.join(codes, "vec_id")
+      .join(broadcast(qtab), Seq("query_id", "j", "code")))
 
     val short = topk.perKey(
       approx.select("query_id", "vec_id", "approx"),
@@ -909,17 +929,17 @@ object AnnOps {
        |  SELECT p.query_id, a.vec_id
        |  FROM asg a JOIN probes p USING (cell_id)
        |  WHERE a.vec_id <> p.query_id),
-       |approx AS (
+       |approx0 AS (
        |  SELECT q.query_id, c.vec_id, q.qnorm,
-       |    list_reduce(list_prepend(cast(0.0 as double), list(q.dotp ORDER BY q.j)),
-       |                (a, x) -> a + x) AS adot,
-       |    list_reduce(list_prepend(cast(0.0 as double), list(q.cn2 ORDER BY q.j)),
-       |                (a, x) -> a + x) AS an2
+       |    ${adcSumsSql("q")}
        |  FROM cand x
        |  JOIN codes c ON x.vec_id = c.vec_id
        |  JOIN qtab q ON c.j = q.j AND c.cell_id = q.cell_id
        |    AND q.query_id = x.query_id
        |  GROUP BY q.query_id, c.vec_id, q.qnorm),
+       |approx AS (
+       |  SELECT query_id, vec_id, qnorm, $adcTotalsSql
+       |  FROM approx0),
        |short AS (
        |  SELECT query_id, vec_id
        |  FROM approx
