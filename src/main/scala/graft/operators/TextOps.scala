@@ -372,7 +372,105 @@ object TextOps {
        |FROM m""".stripMargin
   }
 
+  // ----------------------------------------- feature-hash embeddings
+
+  private val HashDim = 64
+  private val HashMod = 1000000007L
+
+  /** Feature-hashing ("hashing trick") document embeddings: every
+    * token hashes to one of 64 dimensions with a ±1 sign (bit 6 of
+    * the rolling hash), signed counts accumulate per dimension, and
+    * the dense integer vector L2-normalizes into the same 64-dim
+    * float space the `embeddings` table uses — the cheap, stateless,
+    * vocabulary-free text→vector step that closes the documents →
+    * embedding → ANN pipeline (sign hashing keeps the estimate
+    * unbiased, Weinberger et al.'s construction). Shuffle volume is
+    * (doc × distinct dim) pairs — ≤64 rows per doc regardless of
+    * document length, with map-side partial aggregation collapsing
+    * token multiplicity first. */
+  private[graft] def hashEmbedVectors(docs: DataFrame): DataFrame = {
+    val dense = hashEmbedDense(docs)
+    dense.select(col("doc_id"),
+      when(col("norm2") > 0,
+        transform(col("vec"),
+          x => (x.cast("double") / sqrt(col("norm2").cast("double")))
+            .cast("float")))
+        .otherwise(transform(col("vec"), _ => lit(0.0f)))
+        .as("embedding"))
+  }
+
+  /** The integer core: dense signed-count vector per doc (dim order),
+    * plus its exact integer squared norm. Every doc appears, even
+    * token-free ones (zero vector) — the grid join guarantees it. */
+  private def hashEmbedDense(docs: DataFrame): DataFrame = {
+    val h = text.rollingHash(col("token"))
+    val counts = docs
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), (h % HashDim).cast("int").as("dim"),
+        when(h % lit(2L * HashDim) < lit(HashDim.toLong), 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "dim").agg(sum(col("sign")).as("cnt"))
+    val grid = docs.select(col("doc_id"))
+      .crossJoin(broadcast(
+        docs.sparkSession.range(HashDim).select(col("id").cast("int").as("dim"))))
+    grid.join(counts, Seq("doc_id", "dim"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cnt")))).as("entries"))
+      .select(col("doc_id"),
+        expr("transform(entries, e -> e.cnt)").as("vec"))
+      .withColumn("norm2",
+        aggregate(col("vec"), lit(0L), (acc, x) => acc + x * x))
+  }
+
+  /** Oracle-checked view: float arrays don't hash-compare across
+    * engines (dtype width), so the query publishes the exact integer
+    * invariants of the embedding — nonzero count, integer squared
+    * norm, and a positional polynomial digest of the signed counts —
+    * which pin the full vector bit-for-bit. */
+  def hashEmbed(s: SparkSession, d: String): DataFrame =
+    hashEmbedDense(Tables.parallelize(Tables.documents(s, d)))
+      .select(col("doc_id"),
+        size(filter(col("vec"), x => x =!= 0L)).as("nnz"),
+        col("norm2"),
+        aggregate(col("vec"), lit(0L),
+          (acc, x) => ((acc * 31 + x) % HashMod + HashMod) % HashMod)
+          .as("digest"))
+
+  private val hashEmbedSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val tokHash = "list_reduce(list_prepend(cast(0 as bigint), " +
+      "list_transform(list_filter(string_split_regex(token, ''), c -> c <> ''), " +
+      "c -> cast(ascii(c) as bigint))), (acc, x) -> (acc * 31 + x) % $M)"
+        .replace("$M", HashMod.toString)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents),
+       |hs AS (
+       |  SELECT doc_id, $tokHash AS h FROM tok),
+       |counts AS (
+       |  SELECT doc_id, cast(h % $HashDim as int) AS dim,
+       |    cast(sum(CASE WHEN h % ${2 * HashDim} < $HashDim
+       |             THEN 1 ELSE -1 END) as bigint) AS cnt
+       |  FROM hs GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT doc_id, cast(unnest(range(0, $HashDim)) as int) AS dim
+       |  FROM documents),
+       |vecs AS (
+       |  SELECT g.doc_id, list(coalesce(c.cnt, 0) ORDER BY g.dim) AS vec
+       |  FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.dim
+       |  GROUP BY g.doc_id)
+       |SELECT doc_id,
+       |  cast(len(list_filter(vec, x -> x <> 0)) as int) AS nnz,
+       |  list_reduce(list_prepend(cast(0 as bigint), vec),
+       |    (acc, x) -> acc + x * x) AS norm2,
+       |  list_reduce(list_prepend(cast(0 as bigint), vec),
+       |    (acc, x) -> ((acc * 31 + x) % $HashMod + $HashMod) % $HashMod)
+       |    AS digest
+       |FROM vecs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_hash_embed" -> (hashEmbed _),
     "text_repetition" -> (repetition _),
     "text_quality_gopher" -> (qualityGopher _),
     "text_redact" -> (redact _),
@@ -383,6 +481,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "doc_hash_embed" -> hashEmbedSql,
     "text_repetition" -> repetitionSql,
     "text_quality_gopher" -> qualityGopherSql,
     "text_redact" -> redactSql,

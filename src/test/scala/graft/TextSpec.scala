@@ -89,4 +89,26 @@ class TextSpec extends AnyFunSuite {
       assert(keep == expect)
     }
   }
+
+  test("hash embeddings: unit norm, 64 dims, deterministic, digest view consistent") {
+    val docs = Tables.documents(spark, TestSession.sf)
+    val vecs = TextOps.hashEmbedVectors(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.nonEmpty)
+    vecs.values.foreach { v =>
+      assert(v.length == 64)
+      val n2 = v.map(x => x.toDouble * x).sum
+      assert(n2 == 0.0 || math.abs(n2 - 1.0) < 1e-6, s"norm^2 = $n2")
+    }
+    val again = TextOps.hashEmbedVectors(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs == again)
+    // the oracle view's nnz equals the vector's nonzero component count
+    val nnz = TextOps.hashEmbed(spark, TestSession.sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nnz.keySet == vecs.keySet)
+    nnz.foreach { case (id, k) =>
+      assert(vecs(id).count(_ != 0.0f) == k, s"doc $id nnz mismatch")
+    }
+  }
 }
