@@ -25,7 +25,7 @@ object SparkEntry {
       AnnOps.queries ++ TextOps.queries ++ VocabOps.queries ++
       MultimodalOps.queries ++
       IngestOps.queries ++ CorpusOps.queries ++ Upsert.queries ++
-      PipelineOps.queries ++ ReferencePipeline.queries ++
+      PipelineOps.queries ++ ReferencePipeline.queries ++ GraphOps.queries ++
       graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,6 +36,6 @@ object SparkEntry {
       AnnOps.oracle ++ TextOps.oracle ++ VocabOps.oracle ++
       MultimodalOps.oracle ++
       IngestOps.oracle ++ CorpusOps.oracle ++ Upsert.oracle ++
-      PipelineOps.oracle ++ ReferencePipeline.oracle ++
+      PipelineOps.oracle ++ ReferencePipeline.oracle ++ GraphOps.oracle ++
       graft.streaming.StreamingOps.oracle
 }

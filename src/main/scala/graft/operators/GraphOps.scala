@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.B extension — iterative graph analytics over the star schema.
+  *
+  * The reference's warehouse (README SQL over a telemetry time
+  * series) has no graph surface, but a 100 TB commerce warehouse
+  * derives entity-importance signals from the order graph; PageRank
+  * over the customer↔supplier bipartite graph is the canonical
+  * shape (same loop skeleton as `dedup_clusters`' label
+  * propagation: per-iteration join + aggregate, lineage cut between
+  * rounds).
+  *
+  * Determinism contract: ranks are BIGINT NANORANKS (units of 1e-9).
+  * Every iteration is integer-only — contribution = rank div degree,
+  * damping = (85·sum) div 100 — so sums are exact under ANY
+  * partitioning and the DuckDB mirror reproduces every iteration
+  * bit-for-bit (no float accumulation order anywhere). The dust lost
+  * to integer division is deterministic and identical in both
+  * engines.
+  */
+object GraphOps {
+
+  private val Iterations = 3
+
+  /** Customer↔supplier PageRank (3 unrolled iterations).
+    *
+    * Edges: DISTINCT (customer, supplier) pairs observed through
+    * orders⋈lineitem, both directions (node ids: 2·custkey for
+    * customers, 2·suppkey+1 for suppliers — disjoint integer spaces,
+    * no string keys in the shuffle). Per iteration: one join of the
+    * rank vector to the (src, dst, deg) edge list + one integer-sum
+    * aggregation on dst — the textbook distributed PageRank step.
+    * At 100 TB: edge list partitions by src, rank vector is
+    * |nodes| ≪ |edges| rows, and hub skew hits the AGGREGATION
+    * (integer sum — partial/final, no per-node list), never a
+    * collect. Output: suppliers ranked by final nanorank. */
+  def pagerankSupplier(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"))
+      .distinct()
+    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src").cache()
+    val nodes = deg.select(col("src").as("node"), col("deg")).cache()
+    val n = nodes.count()
+
+    val unit = 1000000000L
+    val r0 = unit / n
+    val base = (15L * unit) / (100L * n)
+
+    var ranks = nodes.select(col("node"), lit(r0).as("r"))
+    (1 to Iterations).foreach { _ =>
+      val sums = edgesD
+        .join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+        // materialize each round: cuts the 3-round lineage and keeps
+        // every iteration a single join+agg job, as label propagation
+        // does between rounds
+        .localCheckpoint()
+    }
+    ranks.filter(col("node") % 2 === 1)
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+        col("r").as("rank_nano"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"), "s_suppkey")
+      .select("s_suppkey", "s_name", "rank_nano")
+  }
+
+  private val pagerankSql = {
+    def iter(prev: String, out: String): String =
+      s"""${out}_s AS (
+         |  SELECT e.dst AS node, cast(sum(p.r // e.deg) as bigint) AS m
+         |  FROM edges e JOIN $prev p ON e.src = p.node
+         |  GROUP BY e.dst),
+         |$out AS (
+         |  SELECT n.node,
+         |    (SELECT base FROM params) + (85 * coalesce(s.m, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN ${out}_s s ON n.node = s.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+       |         l.l_suppkey * 2 + 1 AS supp_node
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges0 AS (
+       |  SELECT cust_node AS src, supp_node AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp_node AS src, cust_node AS dst FROM pairs),
+       |deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM edges0 GROUP BY src),
+       |edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT src AS node FROM deg),
+       |params AS (
+       |  SELECT 1000000000 // count(*) AS r0,
+       |         15000000000 // (100 * count(*)) AS base
+       |  FROM nodes),
+       |it0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM nodes),
+       |${iter("it0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")}
+       |SELECT (t.node - 1) // 2 AS s_suppkey, s.s_name, t.r AS rank_nano
+       |FROM it3 t JOIN supplier s ON (t.node - 1) // 2 = s.s_suppkey
+       |WHERE t.node % 2 = 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank_supplier" -> (pagerankSupplier _))
+
+  val oracle: Map[String, String] = Map(
+    "q_pagerank_supplier" -> pagerankSql)
+}

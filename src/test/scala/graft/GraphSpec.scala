@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("pagerank: mass conserved up to integer dust, degree correlates with rank") {
+    val pr = GraphOps.pagerankSupplier(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pr.nonEmpty)
+    assert(pr.forall(_._2 > 0), "every reachable supplier keeps positive rank")
+    // supplier mass is a fraction of total unit mass; integer division
+    // only ever LOSES dust, so the full-graph sum stays <= 1e9
+    val edges = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+    val degBySupp = edges.groupBy("s").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val suppMass = pr.map(_._2).sum
+    assert(suppMass <= 1000000000L, s"supplier mass $suppMass exceeds unit")
+    // rank should order with degree on the extremes: the mean rank of
+    // the top-degree decile must exceed the bottom decile's
+    val byDeg = pr.sortBy { case (k, _) => degBySupp.getOrElse(k, 0L) }
+    val k = math.max(1, pr.length / 10)
+    val lo = byDeg.take(k).map(_._2.toDouble).sum / k
+    val hi = byDeg.takeRight(k).map(_._2.toDouble).sum / k
+    assert(hi > lo, s"high-degree suppliers must outrank low-degree ($hi vs $lo)")
+  }
+
+  test("pagerank is invariant to input partitioning") {
+    val a = GraphOps.pagerankSupplier(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = GraphOps.pagerankSupplier(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(a == b, "nanorank arithmetic must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
