@@ -39,18 +39,26 @@ object GraphOps {
     * (integer sum — partial/final, no per-node list), never a
     * collect. Output: suppliers ranked by final nanorank. */
   def pagerankSupplier(s: SparkSession, d: String): DataFrame = {
+    // materialize the graph ONCE: pairs (the orders⋈lineitem distinct
+    // — the only fact-fact shuffle) and the degree table. The three
+    // unrolled rounds then stay LAZY against these in-memory
+    // relations, so the whole rank computation is one job — for a
+    // variable/large iteration count, re-introduce a per-round
+    // checkpoint exactly as dedup_clusters' label propagation does.
     val pairs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("cust_node"),
         (col("l_suppkey") * 2 + 1).as("supp_node"))
       .distinct()
+      .localCheckpoint()
     val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, "src").cache()
-    val nodes = deg.select(col("src").as("node"), col("deg")).cache()
-    val n = nodes.count()
+      .localCheckpoint()
+    val edgesD = edges.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val n = deg.count()
 
     val unit = 1000000000L
     val r0 = unit / n
@@ -66,10 +74,6 @@ object GraphOps {
         .join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
-        // materialize each round: cuts the 3-round lineage and keeps
-        // every iteration a single join+agg job, as label propagation
-        // does between rounds
-        .localCheckpoint()
     }
     ranks.filter(col("node") % 2 === 1)
       .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
