@@ -165,15 +165,11 @@ object AnnOps {
     * FAISS trains on 64-256 points per centroid). */
   private val TrainPerCell = 256
 
-  /** Iterated-quadratic-map hash of an id (mod 1e9+7) — deterministic
-    * integer arithmetic with all operands < 2^63, reproducible in any
-    * 64-bit-int engine (the oracle inlines the same formula). */
-  private def qhash(c: Column): Column = {
-    val M = lit(1000000007L)
-    val h0 = ((c.cast("long") % M) * lit(999983L) + lit(424243L)) % M
-    val h1 = (h0 * h0 + h0 * lit(48271L) + lit(11L)) % M
-    (h1 * h1 + h1 * lit(48271L) + lit(11L)) % M
-  }
+  /** Iterated-quadratic-map hash of an id — THE shared definition in
+    * [[graft.functions.ihash]] (the oracle mirrors the same formula
+    * via qhashCtes below). */
+  private def qhash(c: Column): Column =
+    graft.functions.ihash.quad(c.cast("long"))
 
   /** The same hash as a SQL CTE chain: `<name>(vec_id, embedding, h)`
     * over the `embeddings` table (stepwise h0→h1→h so each squaring
@@ -302,15 +298,19 @@ object AnnOps {
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupOps.embParallel(s, d)
 
-  private def annCells(s: SparkSession, d: String): Int = {
-    val n = annCorpus(s, d).count()
-    math.max(4, math.sqrt(n.toDouble).toInt)
-  }
+  // one count job per (session, dataset), not one per memo builder
+  private val cellCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def annN(s: SparkSession, d: String): Long =
+    cellCounts.getOrElseUpdate((s, d), annCorpus(s, d).count())
+
+  private def annCells(s: SparkSession, d: String): Int =
+    math.max(4, math.sqrt(annN(s, d).toDouble).toInt)
 
   private def annTrain(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "ann_train", d) {
-      val e = annCorpus(s, d)
-      trainSample(e, e.count(), annCells(s, d), TrainPerCell)
+      trainSample(annCorpus(s, d), annN(s, d), annCells(s, d), TrainPerCell)
     }
 
   private def annCents(s: SparkSession, d: String): DataFrame =
@@ -320,6 +320,80 @@ object AnnOps {
   private def annAssigned(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "ann_assigned", d)(
       coarseAssign(annCorpus(s, d), annCents(s, d)))
+
+  // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
+  // ---- mirrors must stay bit-identical, so the deterministic-fold
+  // ---- SQL lives here, not per-mirror)
+
+  /** 64-dim dot with the t/s table aliases pre-bound. */
+  private val sqlDotTS = "list_reduce(list_prepend(cast(0.0 as double), " +
+    "list_transform(range(1, 65), i -> cast(t.embedding[i]*s.c_emb[i] as double))), " +
+    "(acc, x) -> acc + x)"
+
+  /** 64-dim dot over arbitrary expressions. */
+  private def sqlDot(a: String, b: String) =
+    "list_reduce(list_prepend(cast(0.0 as double), " +
+      s"list_transform(range(1, 65), i -> cast($a[i]*$b[i] as double))), " +
+      "(acc, x) -> acc + x)"
+
+  /** Coarse k-means assignment CTE (argmin with explicit tiebreak). */
+  private def cAssignSql(src: String, cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT t.vec_id, t.embedding, t.nrm, s.cell_id
+       |  FROM $src t, $cents s
+       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
+       |    ORDER BY -(${sqlDot("t.embedding", "s.c_emb")} / (t.nrm * s.cnorm)),
+       |             s.cell_id) = 1)""".stripMargin
+
+  /** Coarse k-means centroid means (value-sorted sequential fold). */
+  private def cMeansSql(asg: String, out: String): String =
+    s"""${out}_d AS (
+       |  SELECT cell_id, d.dim AS dim, t.embedding[d.dim + 1] AS v
+       |  FROM $asg t, (SELECT unnest(range(0, 64)) AS dim) d),
+       |${out}_m AS (
+       |  SELECT cell_id, dim,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+       |                (a, x) -> a + cast(x as double)) / count(v) AS m
+       |  FROM ${out}_d GROUP BY cell_id, dim),
+       |${out}_e AS (
+       |  SELECT cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
+       |  FROM ${out}_m GROUP BY cell_id),
+       |$out AS (
+       |  SELECT cell_id, c_emb, ${vector.sql.norm("c_emb")} AS cnorm
+       |  FROM ${out}_e)""".stripMargin
+
+  /** Sub-vector slice of a 64-dim embedding. */
+  private def pqSubSql(emb: String, j: String) =
+    s"list_transform(range(1, ${PqDims + 1}), i -> $emb[$j*$PqDims + i])"
+
+  /** Squared L2 between sub-vectors (fixed-order double fold). */
+  private def pqL2Sql(a: String, b: String) =
+    "list_reduce(list_prepend(cast(0.0 as double), " +
+      s"list_transform(range(1, ${PqDims + 1}), i -> " +
+      s"(cast($a[i] as double) - cast($b[i] as double)) * " +
+      s"(cast($a[i] as double) - cast($b[i] as double)))), (acc, x) -> acc + x)"
+
+  /** Per-subspace k-means assignment CTE. */
+  private def pAssignSql(src: String, cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT t.j, t.vec_id, t.semb, s.cell_id
+       |  FROM $src t JOIN $cents s ON t.j = s.j
+       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
+       |    ORDER BY ${pqL2Sql("t.semb", "s.c_emb")}, s.cell_id) = 1)""".stripMargin
+
+  /** Per-subspace centroid means (value-sorted fold, j carried). */
+  private def pMeansSql(asg: String, out: String): String =
+    s"""${out}_d AS (
+       |  SELECT j, cell_id, d.dim AS dim, semb[d.dim + 1] AS v
+       |  FROM $asg, (SELECT unnest(range(0, $PqDims)) AS dim) d),
+       |${out}_m AS (
+       |  SELECT j, cell_id, dim,
+       |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
+       |                (a, x) -> a + cast(x as double)) / count(v) AS m
+       |  FROM ${out}_d GROUP BY j, cell_id, dim),
+       |$out AS (
+       |  SELECT j, cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
+       |  FROM ${out}_m GROUP BY j, cell_id)""".stripMargin
 
   /** DuckDB mirror of the ENTIRE IVF pipeline — sample → hash-ordered
     * seeds → two k-means sweeps → full assignment → nProbe probes →
@@ -331,34 +405,12 @@ object AnnOps {
     * value the fused expression computes per pair, just evaluated
     * once per vector. */
   private def ivfSql: String = {
-    val dotTS = "list_reduce(list_prepend(cast(0.0 as double), " +
-      "list_transform(range(1, 65), i -> cast(t.embedding[i]*s.c_emb[i] as double))), " +
-      "(acc, x) -> acc + x)"
-    def dot(a: String, b: String) = "list_reduce(list_prepend(cast(0.0 as double), " +
-      s"list_transform(range(1, 65), i -> cast($a[i]*$b[i] as double))), " +
-      "(acc, x) -> acc + x)"
+    val dotTS = sqlDotTS
+    def dot(a: String, b: String) = sqlDot(a, b)
     def kmeansAssign(src: String, cents: String, out: String): String =
-      s"""$out AS (
-         |  SELECT t.vec_id, t.embedding, t.nrm, s.cell_id
-         |  FROM $src t, $cents s
-         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
-         |    ORDER BY -(${dot("t.embedding", "s.c_emb")} / (t.nrm * s.cnorm)),
-         |             s.cell_id) = 1)""".stripMargin
+      cAssignSql(src, cents, out)
     def kmeansMeans(asg: String, out: String): String =
-      s"""${out}_d AS (
-         |  SELECT cell_id, d.dim AS dim, t.embedding[d.dim + 1] AS v
-         |  FROM $asg t, (SELECT unnest(range(0, 64)) AS dim) d),
-         |${out}_m AS (
-         |  SELECT cell_id, dim,
-         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
-         |                (a, x) -> a + cast(x as double)) / count(v) AS m
-         |  FROM ${out}_d GROUP BY cell_id, dim),
-         |${out}_e AS (
-         |  SELECT cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
-         |  FROM ${out}_m GROUP BY cell_id),
-         |$out AS (
-         |  SELECT cell_id, c_emb, ${vector.sql.norm("c_emb")} AS cnorm
-         |  FROM ${out}_e)""".stripMargin
+      cMeansSql(asg, out)
     s"""WITH ${qhashCtes("hh")},
        |params AS (
        |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,
@@ -464,71 +516,50 @@ object AnnOps {
     * then the exact re-score covers everything and the result must
     * equal brute force rank-for-rank. */
   private[graft] def pqImpl(e0: DataFrame, queries: DataFrame, shortK: Int): DataFrame = {
-    import graft.functions.topk
     // cached: feeds the training sample, the encode pass and the
-    // shortlist re-score
+    // shortlist re-score. Sample bounded by TrainPerCell·PqCells
+    // (PQ needs concentration per sub-centroid, not per √N cell).
     val e = Tables.parallelize(e0).cache()
     val n = e.count()
-    val M = 1000000007L
-    val frac = math.min(1.0, TrainPerCell.toDouble * PqCells / math.max(1L, n))
-    val sampled = e
-      .select(col("vec_id"), col("embedding"), qhash(col("vec_id")).as("h"))
-    val train = (if (frac >= 1.0) sampled
-                 else sampled.filter(col("h") < lit((frac * M).toLong)))
-      .localCheckpoint()
+    val train = trainSample(e, n, PqCells, TrainPerCell)
+    val pcents = pqCentsFromTrain(train).cache()
+    val codes = pqEncode(e, pcents)
+    // ADC over the WHOLE code table (no coarse pruning — that's
+    // ann_ivfpq): every corpus vector scores against the broadcast
+    // lookup table, reading only its 4 codes
+    val approx = adcFold(codes
+      .join(broadcast(pqQueryTab(queries, pcents)), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("query_id")))
+    adcShortRescore(approx, e, queries, shortK)
+  }
 
-    def subbed(df: DataFrame, idC: String, embC: String): DataFrame =
-      df.select(col(idC), col(embC),
-          explode(sequence(lit(0), lit(PqM - 1))).as("j"))
-        .select(col(idC), col("j"), subVec(col(embC), col("j")).as("semb"))
-
-    // seeds: the PqCells lowest-hash sample rows, sliced per subspace
-    val seedRows = train.orderBy(col("h"), col("vec_id")).limit(PqCells)
-      .select(
-        (row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
-          .cast("int").as("cell_id"),
-        col("embedding"))
-    val seed = subbed(seedRows, "cell_id", "embedding")
-      .select(col("j"), col("cell_id"), col("semb").as("c_emb"))
-    val trainSub = subbed(train, "vec_id", "embedding")
-    val cents = pqKmeansStep(trainSub, pqKmeansStep(trainSub, seed)).cache()
-
-    // encode: nearest sub-centroid per (vector, subspace) — the only
-    // full-corpus pass, all narrow until the (vec_id, j) argmin
-    val codes = subbed(e, "vec_id", "embedding")
-      .join(broadcast(cents), "j")
-      .withColumn("dist", l2sq(col("semb"), col("c_emb")))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("dist"), col("cell_id"))).as("best"))
-      .select(col("vec_id"), col("j"), col("best.cell_id").as("cell_id"))
-
-    // ADC lookup table: |queries| × PqM × PqCells rows, broadcast
+  /** ADC lookup table: |queries| × PqM × PqCells rows of per-subspace
+    * partial dot products (shared by ann_pq and ann_ivfpq). */
+  private def pqQueryTab(queries: DataFrame, pcents: DataFrame): DataFrame = {
     val qn = queries.withColumn("qnorm", vector.norm(col("q_emb")))
     val qsub = qn.select(col("query_id"), col("qnorm"),
         explode(sequence(lit(0), lit(PqM - 1))).as("j"),
         col("q_emb"))
       .select(col("query_id"), col("qnorm"), col("j"),
         subVec(col("q_emb"), col("j")).as("qs"))
-    val qtab = qsub.join(cents, "j")
-      .select(col("query_id"), col("qnorm"), col("j"), col("cell_id"),
+    qsub.join(pcents, "j")
+      .select(col("query_id"), col("qnorm"), col("j"),
+        col("cell_id").as("code"),
         vector.dot(col("qs"), col("c_emb")).as("dotp"),
         vector.dot(col("c_emb"), col("c_emb")).as("cn2"))
+  }
 
-    // ADC score: per-subspace partial dots summed in FIXED subspace
-    // order — each conditional sum sees exactly one non-null value
-    // per group (j is a key of the joined row), so the grouped agg is
-    // exact and the final d0+d1+d2+d3 association is deterministic in
-    // any engine; no per-group list materialization or sort
-    val approx = adcFold(codes.join(broadcast(qtab), Seq("j", "cell_id"))
-      .filter(col("vec_id") =!= col("query_id")))
-
+  /** Shortlist by ADC score, exact-cosine re-score, final rank
+    * (shared by ann_pq and ann_ivfpq). */
+  private def adcShortRescore(approx: DataFrame, e: DataFrame,
+                              queries: DataFrame, shortK: Int): DataFrame = {
+    import graft.functions.topk
     val short = topk.perKey(
       approx.select("query_id", "vec_id", "approx"),
       keys = Seq("query_id"),
       order = Seq(topk.Order("approx", ascending = false), topk.Order("vec_id")),
       k = shortK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
     val scored = short
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
       .join(broadcast(queries), "query_id")
@@ -542,31 +573,12 @@ object AnnOps {
     * fixed-order score folds → shortlist → exact re-rank. Same
     * determinism contract as the IVF mirror. */
   private def pqSql: String = {
-    def sub(emb: String, j: String) =
-      s"list_transform(range(1, ${PqDims + 1}), i -> $emb[$j*$PqDims + i])"
-    def l2(a: String, b: String) =
-      "list_reduce(list_prepend(cast(0.0 as double), " +
-        s"list_transform(range(1, ${PqDims + 1}), i -> " +
-        s"(cast($a[i] as double) - cast($b[i] as double)) * " +
-        s"(cast($a[i] as double) - cast($b[i] as double)))), (acc, x) -> acc + x)"
+    def sub(emb: String, j: String) = pqSubSql(emb, j)
+    def l2(a: String, b: String) = pqL2Sql(a, b)
     def kmeansAssign(src: String, cents: String, out: String): String =
-      s"""$out AS (
-         |  SELECT t.j, t.vec_id, t.semb, s.cell_id
-         |  FROM $src t JOIN $cents s ON t.j = s.j
-         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
-         |    ORDER BY ${l2("t.semb", "s.c_emb")}, s.cell_id) = 1)""".stripMargin
+      pAssignSql(src, cents, out)
     def kmeansMeans(asg: String, out: String): String =
-      s"""${out}_d AS (
-         |  SELECT j, cell_id, d.dim AS dim, semb[d.dim + 1] AS v
-         |  FROM $asg, (SELECT unnest(range(0, $PqDims)) AS dim) d),
-         |${out}_m AS (
-         |  SELECT j, cell_id, dim,
-         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
-         |                (a, x) -> a + cast(x as double)) / count(v) AS m
-         |  FROM ${out}_d GROUP BY j, cell_id, dim),
-         |$out AS (
-         |  SELECT j, cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
-         |  FROM ${out}_m GROUP BY j, cell_id)""".stripMargin
+      pMeansSql(asg, out)
     s"""WITH ${qhashCtes("hh")},
        |params AS (SELECT count(*) AS n FROM embeddings),
        |train AS (
@@ -753,7 +765,7 @@ object AnnOps {
                          queries: DataFrame, nProbe: Int,
                          shortK: Int): DataFrame = {
     import graft.functions.topk
-    // query side: nProbe coarse cells + the ADC lookup table
+    // query side: nProbe coarse cells
     val probes = topk.perKey(
       queries.crossJoin(broadcast(cents))
         .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
@@ -762,17 +774,6 @@ object AnnOps {
       order = Seq(topk.Order("dist"), topk.Order("cell_id")),
       k = nProbe)
       .select("query_id", "cell_id")
-    val qn = queries.withColumn("qnorm", vector.norm(col("q_emb")))
-    val qsub = qn.select(col("query_id"), col("qnorm"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("j"),
-        col("q_emb"))
-      .select(col("query_id"), col("qnorm"), col("j"),
-        subVec(col("q_emb"), col("j")).as("qs"))
-    val qtab = qsub.join(pcents, "j")
-      .select(col("query_id"), col("qnorm"), col("j"),
-        col("cell_id").as("code"),
-        vector.dot(col("qs"), col("c_emb")).as("dotp"),
-        vector.dot(col("c_emb"), col("c_emb")).as("cn2"))
 
     // candidates = vectors in probed cells; their codes ADC-score
     // against the broadcast table — the corpus's float arrays are
@@ -781,21 +782,9 @@ object AnnOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
     val approx = adcFold(cand.join(codes, "vec_id")
-      .join(broadcast(qtab), Seq("query_id", "j", "code")))
-
-    val short = topk.perKey(
-      approx.select("query_id", "vec_id", "approx"),
-      keys = Seq("query_id"),
-      order = Seq(topk.Order("approx", ascending = false), topk.Order("vec_id")),
-      k = shortK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-
-    val scored = short
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
-      .join(broadcast(queries), "query_id")
-      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
-      .select("query_id", "neighbor_id", "cos")
-    rankTopK(scored, "neighbor_id")
+      .join(broadcast(pqQueryTab(queries, pcents)),
+        Seq("query_id", "j", "code")))
+    adcShortRescore(approx, e, queries, shortK)
   }
 
   /** DuckDB mirror of the composed pipeline: the IVF chain (sample →
@@ -804,61 +793,17 @@ object AnnOps {
     * corpus encoding → ADC over PROBED CELLS ONLY → shortlist → exact
     * re-rank). */
   private def ivfpqSql: String = {
-    // --- coarse (64-dim) helpers, as in ivfSql
-    val dotTS = "list_reduce(list_prepend(cast(0.0 as double), " +
-      "list_transform(range(1, 65), i -> cast(t.embedding[i]*s.c_emb[i] as double))), " +
-      "(acc, x) -> acc + x)"
-    def dot(a: String, b: String) = "list_reduce(list_prepend(cast(0.0 as double), " +
-      s"list_transform(range(1, 65), i -> cast($a[i]*$b[i] as double))), " +
-      "(acc, x) -> acc + x)"
+    // coarse (64-dim) and sub-space (16-dim) builders shared with
+    // ivfSql / pqSql — local aliases only
+    val dotTS = sqlDotTS
     def cAssign(src: String, cents: String, out: String): String =
-      s"""$out AS (
-         |  SELECT t.vec_id, t.embedding, t.nrm, s.cell_id
-         |  FROM $src t, $cents s
-         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
-         |    ORDER BY -(${dot("t.embedding", "s.c_emb")} / (t.nrm * s.cnorm)),
-         |             s.cell_id) = 1)""".stripMargin
-    def cMeans(asg: String, out: String): String =
-      s"""${out}_d AS (
-         |  SELECT cell_id, d.dim AS dim, t.embedding[d.dim + 1] AS v
-         |  FROM $asg t, (SELECT unnest(range(0, 64)) AS dim) d),
-         |${out}_m AS (
-         |  SELECT cell_id, dim,
-         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
-         |                (a, x) -> a + cast(x as double)) / count(v) AS m
-         |  FROM ${out}_d GROUP BY cell_id, dim),
-         |${out}_e AS (
-         |  SELECT cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
-         |  FROM ${out}_m GROUP BY cell_id),
-         |$out AS (
-         |  SELECT cell_id, c_emb, ${vector.sql.norm("c_emb")} AS cnorm
-         |  FROM ${out}_e)""".stripMargin
-    // --- sub-space (16-dim) helpers, as in pqSql
-    def sub(emb: String, j: String) =
-      s"list_transform(range(1, ${PqDims + 1}), i -> $emb[$j*$PqDims + i])"
-    def l2(a: String, b: String) =
-      "list_reduce(list_prepend(cast(0.0 as double), " +
-        s"list_transform(range(1, ${PqDims + 1}), i -> " +
-        s"(cast($a[i] as double) - cast($b[i] as double)) * " +
-        s"(cast($a[i] as double) - cast($b[i] as double)))), (acc, x) -> acc + x)"
+      cAssignSql(src, cents, out)
+    def cMeans(asg: String, out: String): String = cMeansSql(asg, out)
+    def sub(emb: String, j: String) = pqSubSql(emb, j)
+    def l2(a: String, b: String) = pqL2Sql(a, b)
     def pAssign(src: String, cents: String, out: String): String =
-      s"""$out AS (
-         |  SELECT t.j, t.vec_id, t.semb, s.cell_id
-         |  FROM $src t JOIN $cents s ON t.j = s.j
-         |  QUALIFY row_number() OVER (PARTITION BY t.vec_id, t.j
-         |    ORDER BY ${l2("t.semb", "s.c_emb")}, s.cell_id) = 1)""".stripMargin
-    def pMeans(asg: String, out: String): String =
-      s"""${out}_d AS (
-         |  SELECT j, cell_id, d.dim AS dim, semb[d.dim + 1] AS v
-         |  FROM $asg, (SELECT unnest(range(0, $PqDims)) AS dim) d),
-         |${out}_m AS (
-         |  SELECT j, cell_id, dim,
-         |    list_reduce(list_prepend(cast(0.0 as double), list(v ORDER BY v)),
-         |                (a, x) -> a + cast(x as double)) / count(v) AS m
-         |  FROM ${out}_d GROUP BY j, cell_id, dim),
-         |$out AS (
-         |  SELECT j, cell_id, list(cast(m as float) ORDER BY dim) AS c_emb
-         |  FROM ${out}_m GROUP BY j, cell_id)""".stripMargin
+      pAssignSql(src, cents, out)
+    def pMeans(asg: String, out: String): String = pMeansSql(asg, out)
     s"""WITH ${qhashCtes("hh")},
        |params AS (
        |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,

@@ -189,15 +189,9 @@ object PipelineOps {
   private val WeightedK = 100
   private val WeightCap = 16
 
-  /** Iterated-quadratic-map hash (mod 1e9+7) of a long column — the
-    * same integer construction the ANN/LSH family uses, so any
-    * 64-bit-int engine reproduces it. */
-  private def wqhash(c: Column): Column = {
-    val M = lit(1000000007L)
-    val h0 = ((c % M) * lit(999983L) + lit(424243L)) % M
-    val h1 = (h0 * h0 + h0 * lit(48271L) + lit(11L)) % M
-    (h1 * h1 + h1 * lit(48271L) + lit(11L)) % M
-  }
+  /** Iterated-quadratic-map hash — THE shared definition in
+    * [[graft.functions.ihash]] (same map the ANN family trains with). */
+  private def wqhash(c: Column): Column = graft.functions.ihash.quad(c)
 
   /** Weighted sampling without replacement (length-weighted): each
     * doc gets an integer weight w ∈ [1, WeightCap] from its length,
@@ -224,12 +218,9 @@ object PipelineOps {
   }
 
   private val sampleWeightedSql = {
-    def h0(x: String) = s"((($x) % 1000000007) * 999983 + 424243) % 1000000007"
-    def sq(x: String) = s"(($x)*($x) + ($x)*48271 + 11) % 1000000007"
-    // stepwise CTE-free nesting: list lambdas can't reference CTE
-    // columns, so the three hash rounds nest textually (same
-    // arithmetic, each intermediate < 2^63 like the Column form)
-    val hash = sq(s"(${sq(s"(${h0(s"doc_id*$WeightCap + j")})")})")
+    // nested (CTE-free) SQL twin of the shared hash: list lambdas
+    // can't reference CTE columns
+    val hash = graft.functions.ihash.quadSqlNested(s"doc_id*$WeightCap + j")
     s"""WITH wd AS (
        |  SELECT doc_id, lang,
        |    cast(least(floor(n_chars / 400.0), ${WeightCap - 1}) as bigint)

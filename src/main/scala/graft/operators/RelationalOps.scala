@@ -1665,8 +1665,12 @@ object RelationalOps {
         (row_number().over(wAll) - row_number().over(wTyp)).cast("long"))
       .groupBy(col("user_id"), col("event_type"), col("run_id"))
       .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    // run_id as the FINAL tiebreak: with duplicate timestamps two
+    // same-type runs of one user can share a valid_from, and the
+    // oracle contract needs a total order (run_id is a deterministic
+    // function of the (ts, event_id) ordering in both engines)
     val wRun = Window.partitionBy(col("user_id"))
-      .orderBy(col("valid_from"), col("event_type"))
+      .orderBy(col("valid_from"), col("event_type"), col("run_id"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
       .withColumn("is_current", col("valid_to").isNull)
@@ -1683,7 +1687,7 @@ object RelationalOps {
       |    ts
       |  FROM events),
       |collapsed AS (
-      |  SELECT user_id, event_type,
+      |  SELECT user_id, event_type, run_id,
       |    cast(min(ts) as timestamp) AS valid_from,
       |    cast(count(*) as bigint) AS n_events
       |  FROM runs GROUP BY user_id, event_type, run_id)
@@ -1692,7 +1696,8 @@ object RelationalOps {
       |  n_events,
       |  lead(valid_from) OVER w IS NULL AS is_current
       |FROM collapsed
-      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_type)""".stripMargin
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY valid_from, event_type, run_id)""".stripMargin
 
   // ------------------------------------------------------------- maps
 

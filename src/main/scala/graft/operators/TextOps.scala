@@ -429,7 +429,7 @@ object TextOps {
     * norm, and a positional polynomial digest of the signed counts —
     * which pin the full vector bit-for-bit. */
   def hashEmbed(s: SparkSession, d: String): DataFrame =
-    hashEmbedDense(Tables.parallelize(Tables.documents(s, d)))
+    hashEmbedDense(DedupOps.docsParallel(s, d))
       .select(col("doc_id"),
         size(filter(col("vec"), x => x =!= 0L)).as("nnz"),
         col("norm2"),
