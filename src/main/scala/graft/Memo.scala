@@ -22,17 +22,26 @@ import scala.collection.concurrent.TrieMap
   */
 object Memo {
   private val m = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val hooks = TrieMap.empty[String, SparkSession => Unit]
 
   def cached(s: SparkSession, key: String, dir: String)
             (build: => DataFrame): DataFrame =
     m.getOrElseUpdate((s, key, dir), build.cache())
 
+  /** Operators holding session-keyed side state beyond memoized
+    * DataFrames (e.g. AnnOps' corpus-count map) register a clear
+    * hook so `clear` empties it with everything else. */
+  def registerClearHook(name: String)(f: SparkSession => Unit): Unit =
+    hooks.put(name, f)
+
   /** Drop and unpersist every entry belonging to `s` — for long-lived
     * library sessions (a one-shot Bench/Verify process could rely on
     * JVM exit, a shared session cannot). Subsequent `cached` calls
     * rebuild from scratch (MemoSpec: clear-then-rebuild). */
-  def clear(s: SparkSession): Unit =
+  def clear(s: SparkSession): Unit = {
     m.keys.filter(_._1 eq s).foreach { k =>
       m.remove(k).foreach(df => df.unpersist())
     }
+    hooks.values.foreach(f => f(s))
+  }
 }

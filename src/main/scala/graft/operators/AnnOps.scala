@@ -298,9 +298,13 @@ object AnnOps {
   private def annCorpus(s: SparkSession, d: String): DataFrame =
     DedupOps.embParallel(s, d)
 
-  // one count job per (session, dataset), not one per memo builder
+  // one count job per (session, dataset), not one per memo builder;
+  // emptied with the memo so a cleared session fully rebuilds
   private val cellCounts =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  graft.Memo.registerClearHook("ann_cell_counts") { s =>
+    cellCounts.keys.filter(_._1 eq s).foreach(cellCounts.remove)
+  }
 
   private def annN(s: SparkSession, d: String): Long =
     cellCounts.getOrElseUpdate((s, d), annCorpus(s, d).count())
