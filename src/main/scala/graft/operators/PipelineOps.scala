@@ -234,7 +234,65 @@ object PipelineOps {
        |LIMIT $WeightedK""".stripMargin
   }
 
+  private val ChunkSize = 64
+  private val ChunkStride = 48 // 16-token overlap between chunks
+
+  /** Fixed-size overlapping token chunking — the pretraining step
+    * that SPLITS long documents into model-window-sized pieces
+    * (pack_shards packs whole docs; this is its complement). Chunk i
+    * covers tokens [i·stride+1, i·stride+size]; the last chunk may be
+    * short; a doc shorter than one chunk yields exactly one. The
+    * whole operator is one narrow projection + explode — zero
+    * shuffles, streams at scan speed at 100 TB — and emits the
+    * chunk's token count + rolling-hash fingerprint (the same fp
+    * `dedup_passage` keys on) instead of re-materializing text. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val nChunks = expr(
+      s"1 + (greatest(n_tok - $ChunkSize, 0) + ${ChunkStride - 1}) div $ChunkStride")
+    DedupOps.docsParallel(s, d)
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("ctoks",
+        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).as("n_chunk_tokens"),
+        text.rollingHash(concat_ws(" ", col("ctoks"))).as("chunk_fp"))
+  }
+
+  private val chunkDocsSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val fp = """list_reduce(
+      |    list_prepend(cast(0 as bigint),
+      |      list_transform(list_filter(string_split(array_to_string(ctoks, ' '), ''),
+      |        c -> c <> ''),
+      |        c -> cast(ascii(c) as bigint))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, toks, cast(len(toks) as bigint) AS n_tok FROM t),
+       |n AS (
+       |  SELECT doc_id, toks,
+       |    1 + (greatest(n_tok - $ChunkSize, 0) + ${ChunkStride - 1})
+       |      // $ChunkStride AS n_chunks
+       |  FROM m),
+       |c AS (
+       |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM n),
+       |sl AS (
+       |  SELECT doc_id, chunk_id,
+       |    list_slice(toks, cast(chunk_id*$ChunkStride + 1 as int),
+       |      cast(chunk_id*$ChunkStride + $ChunkSize as int)) AS ctoks
+       |  FROM c)
+       |SELECT doc_id, chunk_id,
+       |  cast(len(ctoks) as int) AS n_chunk_tokens,
+       |  $fp AS chunk_fp
+       |FROM sl""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunk" -> (chunkDocs _),
     "sample_stratified" -> (sampleStratified _),
     "sample_bottomk" -> (sampleBottomK _),
     "pack_shards" -> (packShards _),
@@ -242,6 +300,7 @@ object PipelineOps {
     "sample_weighted" -> (sampleWeighted _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_chunk" -> chunkDocsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_bottomk" -> sampleBottomKSql,
     "pack_shards" -> packShardsSql,

@@ -59,6 +59,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
   }
 
+  test("chunking covers every doc, respects size/stride arithmetic") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val chunks = PipelineOps.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        asize(graft.functions.text.tokens(col("text"))).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.map(_._1).toSet == docs.keySet, "every doc chunks")
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val expected = 1 + (math.max(n - 64, 0) + 47) / 48
+      assert(cs.length == expected, s"doc $id chunk count")
+      assert(cs.map(_._2).sorted.toSeq == (0L until expected.toLong),
+        s"doc $id chunk ids dense")
+      cs.foreach { case (_, cid, ct) =>
+        val start = cid * 48
+        val want = math.max(0, math.min(64, n - start))
+        assert(ct == want, s"doc $id chunk $cid token count $ct != $want")
+      }
+    }
+  }
+
   test("weighted sample: k rows, bounded weights, deterministic, length-biased") {
     val s1 = PipelineOps.sampleWeighted(spark, sf).collect()
     assert(s1.length == 100)
