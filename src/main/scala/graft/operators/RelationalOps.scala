@@ -1699,6 +1699,63 @@ object RelationalOps {
       |WINDOW w AS (PARTITION BY user_id
       |             ORDER BY valid_from, event_type, run_id)""".stripMargin
 
+  // ---------------------------------------------------- exact median
+
+  private val MedianBucketWidth = 100.0
+
+  /** EXACT global median of l_extendedprice WITHOUT a global sort —
+    * the classic two-pass distributed selection: pass 1 builds a
+    * bounded value histogram (fixed-width buckets; the collect is
+    * ~O(range/width) rows regardless of data size — the same bounded-
+    * driver-state contract as dedup_clusters' union-find threshold),
+    * the driver walks cumulative counts to locate the bucket(s)
+    * holding the two middle order statistics, and pass 2 sorts ONLY
+    * those buckets' rows (≈ n/buckets of the data) and takes the two
+    * values by offset. At 100 TB a full orderBy would shuffle the
+    * entire table through one ordering; this touches it twice with a
+    * narrow filter in between. The interpolated midpoint rounds to
+    * 6 dp on both engines, absorbing the one-ulp formula difference
+    * between (lo+hi)/2 and DuckDB's lo+(hi−lo)·0.5. */
+  def exactMedian(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("v"),
+        floor(col("l_extendedprice") / MedianBucketWidth).cast("long").as("b"))
+    val hist = li.groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    // 0-indexed middle positions (equal when n is odd)
+    val p1 = (n - 1) / 2
+    val p2 = n / 2
+    def bucketOf(p: Long): (Long, Long) = { // (bucket, rows before it)
+      var cum = 0L
+      hist.foreach { case (b, c) =>
+        if (p < cum + c) return (b, cum)
+        cum += c
+      }
+      (hist.last._1, cum - hist.last._2)
+    }
+    val (b1, before1) = bucketOf(p1)
+    val (b2, _) = bucketOf(p2)
+    val two = li.filter(col("b") >= b1 && col("b") <= b2)
+      .orderBy(col("v"))
+      .offset((p1 - before1).toInt).limit((p2 - p1 + 1).toInt)
+      .collect().map(_.getDouble(0))
+    val lo = two.head
+    val hi = two.last
+    // HALF_UP like Spark/DuckDB round(); the midpoint of two 2-dp
+    // values terminates at 3 decimals, so no 6th-decimal boundary
+    val med = BigDecimal((lo + hi) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = s
+    import spark.implicits._
+    Seq((n, med)).toDF("n", "median_price")
+  }
+
+  private val exactMedianSql =
+    """SELECT cast(count(*) as bigint) AS n,
+      |  round(median(l_extendedprice), 6) AS median_price
+      |FROM lineitem""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1755,7 +1812,8 @@ object RelationalOps {
     "q_ntile" -> (ntileQuartiles _),
     "q_first_last" -> (firstLast _),
     "q_sessionize" -> (sessionize _),
-    "q_scd2" -> (scd2 _))
+    "q_scd2" -> (scd2 _),
+    "q_exact_median" -> (exactMedian _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1810,5 +1868,6 @@ object RelationalOps {
     "q_ntile" -> ntileQuartilesSql,
     "q_first_last" -> firstLastSql,
     "q_sessionize" -> sessionizeSql,
-    "q_scd2" -> scd2Sql)
+    "q_scd2" -> scd2Sql,
+    "q_exact_median" -> exactMedianSql)
 }

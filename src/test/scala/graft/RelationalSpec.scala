@@ -202,6 +202,24 @@ class RelationalSpec extends AnyFunSuite {
       a.startsWith("cold ") && b.startsWith("old ") && d == 1 })
   }
 
+  test("exact median equals Spark's percentile; selection avoids a full-table sort") {
+    val out = RelationalOps.exactMedian(spark, sf).head()
+    val n = out.getLong(0)
+    val med = out.getDouble(1)
+    assert(n == Tables.lineitem(spark, sf).count())
+    val ref = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    assert(math.abs(med - ref) < 1e-6, s"median $med vs percentile $ref")
+    // the second pass filters to the middle bucket(s): the sorted
+    // subset is a small fraction of the table
+    val width = 100.0
+    val b = math.floor(ref / width)
+    val subset = Tables.lineitem(spark, sf)
+      .filter(floor(col("l_extendedprice") / width) === b).count()
+    assert(subset.toDouble / n < 0.05,
+      s"selection bucket holds $subset of $n rows — not selective")
+  }
+
   test("sessionize: gaps split at 30 min, events are conserved, one shuffle family") {
     val sessions = RelationalOps.sessionize(spark, sf)
     val nEvents = Tables.events(spark, sf).count()
