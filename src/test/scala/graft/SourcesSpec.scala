@@ -76,4 +76,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.join(e.withColumnRenamed("ts", "ts0"), "event_id")
       .filter(col("ts") =!= col("ts0")).count() == 0)
   }
+
+  private def seqDf(opts: (String, String)*) = {
+    val r = spark.read.format("graft.sources.SeqSourceProvider")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("DSv2 source: values, slicing, and filter pushdown narrow the scan") {
+    val df = seqDf("start" -> "0", "end" -> "1000", "slices" -> "8")
+    assert(df.count() == 1000)
+    assert(df.agg(sum("id")).head().getLong(0) == (0L until 1000L).sum)
+    // pushed range filters narrow the generated range BEFORE
+    // partition planning — visible in the scan description
+    val filtered = df.filter(col("id") >= 900 && col("id") < 950)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("[900, 950)"), s"bounds not pushed:\n$plan")
+    assert(filtered.count() == 50)
+    assert(filtered.agg(min("id"), max("id")).head().toSeq == Seq(900L, 949L))
+    // equality pushes to a single-value range
+    val one = df.filter(col("id") === 123L)
+    assert(one.queryExecution.executedPlan.toString.contains("[123, 124)"))
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(123L))
+  }
+
+  test("DSv2 source: column pruning makes count-only scans emit empty rows") {
+    val df = seqDf("start" -> "0", "end" -> "5000", "slices" -> "4")
+    val counted = df.groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("emitId=false"), s"id not pruned:\n$plan")
+    assert(counted.head().getLong(0) == 5000)
+    // a contradictory pushed range yields an empty scan, not an error
+    assert(df.filter(col("id") > 10000L).count() == 0)
+  }
 }
