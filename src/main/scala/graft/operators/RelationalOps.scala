@@ -1056,6 +1056,35 @@ object RelationalOps {
        |WHERE try_cast(regexp_extract(props, '"k": (\\d+)', 1) as int) IS NOT NULL
        |GROUP BY 1""".stripMargin
 
+  /** Semi-structured extraction via Spark 4's VARIANT type — the
+    * modern lakehouse path next to `q_json_extract`'s regexp:
+    * `parse_json` parses each props payload ONCE into the binary
+    * variant encoding and `variant_get` does typed path extraction
+    * from it (at 100 TB this is the column you'd store shredded,
+    * parsing at ingest instead of per-query; the regexp variant
+    * re-scans the string per extraction). The oracle mirrors with
+    * DuckDB's JSON path extraction — same values, engine-native
+    * parsing on both sides. */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k_val",
+        expr("variant_get(parse_json(props), '$.k', 'int')"))
+      .filter(col("k_val").isNotNull)
+      .groupBy((col("k_val") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k_val")).as("min_k"),
+        max(col("k_val")).as("max_k"))
+
+  private val variantExtractSql =
+    s"""SELECT cast(cast(json_extract_string(props, '$$.k') as int) % 7 as int)
+       |    AS k_mod,
+       |  $oCount AS n,
+       |  min(cast(json_extract_string(props, '$$.k') as int)) AS min_k,
+       |  max(cast(json_extract_string(props, '$$.k') as int)) AS max_k
+       |FROM events
+       |WHERE cast(json_extract_string(props, '$$.k') as int) IS NOT NULL
+       |GROUP BY 1""".stripMargin
+
   // ----------------------------------------- correlated subquery (join)
 
   /** "Orders above their customer's average" — the correlated
@@ -1813,7 +1842,8 @@ object RelationalOps {
     "q_first_last" -> (firstLast _),
     "q_sessionize" -> (sessionize _),
     "q_scd2" -> (scd2 _),
-    "q_exact_median" -> (exactMedian _))
+    "q_exact_median" -> (exactMedian _),
+    "q_variant" -> (variantExtract _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1869,5 +1899,6 @@ object RelationalOps {
     "q_first_last" -> firstLastSql,
     "q_sessionize" -> sessionizeSql,
     "q_scd2" -> scd2Sql,
-    "q_exact_median" -> exactMedianSql)
+    "q_exact_median" -> exactMedianSql,
+    "q_variant" -> variantExtractSql)
 }

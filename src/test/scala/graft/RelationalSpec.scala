@@ -202,6 +202,15 @@ class RelationalSpec extends AnyFunSuite {
       a.startsWith("cold ") && b.startsWith("old ") && d == 1 })
   }
 
+  test("variant and regexp JSON extraction see the same rows") {
+    val nVariant = RelationalOps.variantExtract(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    val nRegexp = RelationalOps.jsonExtract(spark, sf)
+      .agg(sum("n")).head().getLong(0)
+    assert(nVariant == nRegexp && nVariant > 0,
+      s"variant path found $nVariant rows, regexp $nRegexp")
+  }
+
   test("exact median equals Spark's percentile; selection avoids a full-table sort") {
     val out = RelationalOps.exactMedian(spark, sf).head()
     val n = out.getLong(0)
