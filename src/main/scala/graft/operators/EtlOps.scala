@@ -313,6 +313,40 @@ object EtlOps {
        |  avg_value IS NULL AS was_gap
        |FROM framed""".stripMargin
 
+  // --------------------------------------------------- table profiling
+
+  /** One-pass table profile (the deequ/dbt-style data-quality
+    * summary run before anything trains on the data): row count,
+    * null counts, bounds, exact sum, distinct cardinalities and the
+    * time range — ONE aggregation over one scan (the two
+    * count-distincts expand the plan, not the scan count). The
+    * reference hand-rolls exactly these checks row-by-row
+    * (etl_job.py:51-83); this is their set-based, 100 TB form. */
+  def profile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_value_nulls"),
+      min(col("value")).as("value_min"),
+      max(col("value")).as("value_max"),
+      xsum(col("value"), 2).as("value_sum"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      min(col("ts")).as("ts_min"),
+      max(col("ts")).as("ts_max"))
+
+  private val profileSql =
+    s"""SELECT $oCount AS n_rows,
+       |  cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) as bigint)
+       |    AS n_value_nulls,
+       |  min(value) AS value_min,
+       |  max(value) AS value_max,
+       |  ${oSum("value", 2)} AS value_sum,
+       |  cast(count(DISTINCT user_id) as bigint) AS n_users,
+       |  cast(count(DISTINCT event_type) as bigint) AS n_types,
+       |  cast(min(ts) as timestamp) AS ts_min,
+       |  cast(max(ts) as timestamp) AS ts_max
+       |FROM events""".stripMargin
+
   // ------------------------------------------------- anomaly detection
 
   private val ZThreshold = 3.0
@@ -390,7 +424,8 @@ object EtlOps {
     "etl_recent_runs" -> (recentRuns _),
     "etl_freshness" -> (freshness _),
     "etl_gap_fill" -> (gapFill _),
-    "etl_interpolate" -> (interpolate _))
+    "etl_interpolate" -> (interpolate _),
+    "etl_profile" -> (profile _))
 
   val oracle: Map[String, String] = Map(
     "etl_zscore_outliers" -> zscoreOutliersSql,
@@ -402,5 +437,6 @@ object EtlOps {
     "etl_recent_runs" -> recentRunsSql,
     "etl_freshness" -> freshnessSql,
     "etl_gap_fill" -> gapFillSql,
-    "etl_interpolate" -> interpolateSql)
+    "etl_interpolate" -> interpolateSql,
+    "etl_profile" -> profileSql)
 }

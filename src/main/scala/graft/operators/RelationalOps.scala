@@ -1785,6 +1785,39 @@ object RelationalOps {
       |  round(median(l_extendedprice), 6) AS median_price
       |FROM lineitem""".stripMargin
 
+  // --------------------------------------------------- bitmap distinct
+
+  /** Exact distinct-user counts per event type via BITMAP aggregation
+    * — the bitmap-index technique warehouses use when distinct counts
+    * must compose across dimensions (bitmaps OR together; plain
+    * distinct counts don't): user_id maps to (word = id div 64,
+    * bit = id mod 64), one bit_or per (type, word) collapses map-side
+    * to ≤ one long per 64-user block, then popcounts sum. Shuffle
+    * volume is |types|·(maxUser/64) words instead of the raw
+    * (type, user) pairs a count-distinct expansion moves; every step
+    * is integer-exact, so the DuckDB mirror hash-matches. RelationalSpec
+    * asserts equality with count(DISTINCT). */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      // 63-user blocks: the sign bit stays clear, so engines with
+      // checked shifts (DuckDB errors on 1::BIGINT << 63) agree
+      .select(col("event_type"),
+        (col("user_id") / 63).cast("long").as("word"),
+        expr("shiftleft(1L, cast(user_id % 63 as int))").as("bit"))
+      .groupBy("event_type", "word")
+      .agg(bit_or(col("bit")).as("bits"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bits")).cast("long")).as("n_users"))
+
+  private val bitmapDistinctSql =
+    """WITH words AS (
+      |  SELECT event_type, user_id // 63 AS word,
+      |    bit_or(cast(1 as bigint) << cast(user_id % 63 as int)) AS bits
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  cast(sum(bit_count(bits)) as bigint) AS n_users
+      |FROM words GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1843,7 +1876,8 @@ object RelationalOps {
     "q_sessionize" -> (sessionize _),
     "q_scd2" -> (scd2 _),
     "q_exact_median" -> (exactMedian _),
-    "q_variant" -> (variantExtract _))
+    "q_variant" -> (variantExtract _),
+    "q_bitmap_distinct" -> (bitmapDistinct _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1900,5 +1934,6 @@ object RelationalOps {
     "q_sessionize" -> sessionizeSql,
     "q_scd2" -> scd2Sql,
     "q_exact_median" -> exactMedianSql,
-    "q_variant" -> variantExtractSql)
+    "q_variant" -> variantExtractSql,
+    "q_bitmap_distinct" -> bitmapDistinctSql)
 }

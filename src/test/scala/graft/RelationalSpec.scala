@@ -202,6 +202,15 @@ class RelationalSpec extends AnyFunSuite {
       a.startsWith("cold ") && b.startsWith("old ") && d == 1 })
   }
 
+  test("bitmap distinct equals count(DISTINCT) per event type") {
+    val bitmap = RelationalOps.bitmapDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bitmap == exact && bitmap.nonEmpty)
+  }
+
   test("variant and regexp JSON extraction see the same rows") {
     val nVariant = RelationalOps.variantExtract(spark, sf)
       .agg(sum("n")).head().getLong(0)
