@@ -16,4 +16,13 @@ object sketch {
       BottomKSketchAgg(
         GraftColumnBridge.expression(hash),
         GraftColumnBridge.expression(payload), k).toAggregateExpression())
+
+  /** Misra–Gries frequent-items sketch: ≤ `capacity` (item, cnt)
+    * counters, guaranteed to contain every item with frequency >
+    * n/(capacity+1), counts within n/(capacity+1) of truth, mergeable
+    * under any partitioning. Exact when distinct items ≤ capacity. */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    GraftColumnBridge.column(
+      graft.plans.MisraGriesAgg(
+        GraftColumnBridge.expression(item), capacity).toAggregateExpression())
 }

@@ -1818,6 +1818,34 @@ object RelationalOps {
       |  cast(sum(bit_count(bits)) as bigint) AS n_users
       |FROM words GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------- heavy hitters
+
+  private val HhShards = 50
+  private val HhCapacity = 64
+
+  /** Per-type shard-load heavy hitters through the CUSTOM Misra–Gries
+    * aggregate (the repo's SECOND TypedImperativeAggregate):
+    * O(capacity) state per group, one partial/final aggregation, and
+    * the mergeable-summaries reduction keeps the n/(capacity+1) error
+    * bound under any partitioning. Registered in its EXACT regime
+    * (shards < capacity → no decrement ever fires → plain counts,
+    * hash-oracled); SketchSpec drives the approx regime on the raw
+    * user domain and asserts the presence guarantee + error bound —
+    * the configuration a 100 TB "trending items" pass uses, where the
+    * item domain dwarfs memory. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.sketch.heavyHitters(
+        (col("user_id") % HhShards).cast("long"), HhCapacity).as("hh"))
+      .select(col("event_type"), explode(col("hh")).as("e"))
+      .select(col("event_type"), col("e.item").as("shard"), col("e.cnt").as("n"))
+
+  private val heavyHittersSql =
+    s"""SELECT event_type, user_id % $HhShards AS shard,
+       |  $oCount AS n
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1877,7 +1905,8 @@ object RelationalOps {
     "q_scd2" -> (scd2 _),
     "q_exact_median" -> (exactMedian _),
     "q_variant" -> (variantExtract _),
-    "q_bitmap_distinct" -> (bitmapDistinct _))
+    "q_bitmap_distinct" -> (bitmapDistinct _),
+    "q_heavy_hitters" -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1935,5 +1964,6 @@ object RelationalOps {
     "q_scd2" -> scd2Sql,
     "q_exact_median" -> exactMedianSql,
     "q_variant" -> variantExtractSql,
-    "q_bitmap_distinct" -> bitmapDistinctSql)
+    "q_bitmap_distinct" -> bitmapDistinctSql,
+    "q_heavy_hitters" -> heavyHittersSql)
 }

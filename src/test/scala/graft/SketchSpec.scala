@@ -45,4 +45,40 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(out("a") == Seq(1L, 2L) && out("b") == Seq(3L))
   }
+
+  private def mgMap(df: org.apache.spark.sql.DataFrame, item: org.apache.spark.sql.Column,
+                    cap: Int): Map[Long, Long] =
+    df.agg(sketch.heavyHitters(item, cap).as("hh"))
+      .selectExpr("explode(hh) as e").select("e.item", "e.cnt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("misra-gries exact regime: plain counts under any partitioning") {
+    val ev = Tables.events(spark, TestSession.sf)
+    val item = (col("user_id") % 50).cast("long")
+    val truth = ev.groupBy(item.as("i")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mgMap(ev, item, 64) == truth)
+    assert(mgMap(ev.repartition(7), item, 64) == truth,
+      "exact regime must not depend on partitioning")
+  }
+
+  test("misra-gries approx regime: presence guarantee and error bound hold") {
+    val ev = Tables.events(spark, TestSession.sf)
+    val cap = 64
+    val est = mgMap(ev, col("user_id"), cap)
+    assert(est.size <= cap)
+    val truth = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val bound = n / (cap + 1)
+    // every item above the threshold must be present
+    truth.filter(_._2 > bound).keys.foreach { k =>
+      assert(est.contains(k), s"heavy item $k (cnt=${truth(k)}) missing")
+    }
+    // every estimate is an undercount by at most the bound
+    est.foreach { case (k, c) =>
+      val t = truth.getOrElse(k, 0L)
+      assert(c <= t && c >= t - bound, s"item $k est $c outside [$t-$bound, $t]")
+    }
+  }
 }
