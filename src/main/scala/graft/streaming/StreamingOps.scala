@@ -258,6 +258,45 @@ object StreamingOps {
        |FROM counts
        |QUALIFY rank <= $TopKPerWindow""".stripMargin
 
+  // -------------------------------------------------------- CDC apply
+
+  /** CDC change-stream application: fold a keyed change log into the
+    * CURRENT-STATE table — last-writer-wins per user by (ts,
+    * event_id), with "error" events acting as DELETE tombstones (the
+    * key disappears). Batch form: the standard `row_number() = 1`
+    * latest-row pattern — which Catalyst rewrites through the custom
+    * bounded-heap top-k rule, so no per-user sort materializes — then
+    * the tombstone filter. The streaming twin ([[StreamCdc]],
+    * mapGroupsWithState, state = one record per live key) emits the
+    * same current state per micro-batch; StreamingSpec proves
+    * stream ≡ batch over a MemoryStream. This is the MERGE INTO /
+    * materialized-upsert-view pattern a 100 TB warehouse runs on its
+    * change feeds. */
+  def cdcApply(s: SparkSession, d: String): DataFrame =
+    cdcApplyImpl(Tables.events(s, d))
+
+  private[graft] def cdcApplyImpl(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("event_type") =!= StreamCdc.DeleteOp)
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("current_value"), col("ts").as("updated_at"))
+  }
+
+  private val cdcApplySql =
+    s"""WITH latest AS (
+       |  SELECT user_id, event_type, value, ts,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events)
+       |SELECT user_id, event_type AS last_op, value AS current_value,
+       |  cast(ts as timestamp) AS updated_at
+       |FROM latest
+       |WHERE rn = 1 AND event_type <> '${StreamCdc.DeleteOp}'""".stripMargin
+
   // ------------------------------------- stream-stream interval join
 
   /** Stream-stream interval join: each error event matched to the
@@ -343,6 +382,7 @@ object StreamingOps {
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_topk" -> (topkPerWindow _),
+    "stream_cdc" -> (cdcApply _),
     "stream_join" -> (intervalJoin _),
     "stream_sessionize" -> (sessionize _),
     "stream_session_native" -> (sessionWindowNative _),
@@ -354,6 +394,7 @@ object StreamingOps {
     "stream_tumbling" -> tumblingSql,
     "stream_sliding" -> slidingSql,
     "stream_topk" -> topkPerWindowSql,
+    "stream_cdc" -> cdcApplySql,
     "stream_join" -> intervalJoinSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_session_native" -> sessionWindowNativeSql,

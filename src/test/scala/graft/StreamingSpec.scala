@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{StreamSessionize, StreamingOps}
+import graft.streaming.{StreamCdc, StreamSessionize, StreamingOps}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -220,6 +220,57 @@ class StreamingSpec extends AnyFunSuite {
         assert(ranks.size <= 3)
       }
     } finally q.stop()
+  }
+
+  test("stream_cdc: stateful apply equals batch; tombstones delete and revive") {
+    implicit val sqlCtx = spark.sqlContext
+    // 1) one-batch equivalence on the real table
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, String, Option[Double])]
+      .collect().map(t => StreamCdc.ChangeIn(t._1, t._2, t._3, t._4, t._5)).toSeq
+    val mem = MemoryStream[StreamCdc.ChangeIn]
+    val q = StreamCdc(mem.toDS()).writeStream.format("memory")
+      .queryName("cdc_out").outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_out")
+        .select(col("user_id"), col("last_op"), col("current_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.toString))).toSet
+      val batch = StreamingOps.cdcApply(spark, sf)
+        .select(col("user_id"), col("last_op"), col("current_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.toString))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+
+    // 2) delete/revive semantics across micro-batches
+    def ch(u: Long, id: Long, t: String, sec: Int, v: Double) =
+      StreamCdc.ChangeIn(u, id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"),
+        t, Some(v))
+    val mem2 = MemoryStream[StreamCdc.ChangeIn]
+    val q2 = StreamCdc(mem2.toDS()).writeStream.format("memory")
+      .queryName("cdc_tomb").outputMode(OutputMode.Update).start()
+    try {
+      mem2.addData(Seq(ch(1, 1, "purchase", 1, 1.0), ch(2, 2, "view", 2, 2.0)))
+      q2.processAllAvailable()
+      mem2.addData(Seq(ch(1, 3, "error", 3, 0.0), ch(2, 4, "purchase", 4, 5.0)))
+      q2.processAllAvailable()
+      val afterDelete = spark.table("cdc_tomb")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      // u1's delete emits nothing; u2 re-emits with the new value
+      assert(afterDelete.count(_._1 == 1L) == 1, "tombstone must not emit")
+      assert(afterDelete.filter(_._1 == 2L).map(_._3).toSet == Set(2.0, 5.0))
+      mem2.addData(Seq(ch(1, 5, "view", 5, 9.0)))
+      q2.processAllAvailable()
+      val revived = spark.table("cdc_tomb")
+        .collect().filter(r => r.getLong(0) == 1L).map(_.getString(1))
+      assert(revived.toSeq.sorted == Seq("purchase", "view"),
+        "a newer change must revive a tombstoned key")
+    } finally q2.stop()
   }
 
   test("stream_join operator: two watermarked streams equal its batch evaluation") {
