@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object exact {
 
+  /** THE per-row scaled-integer expression every exact aggregate is
+    * built from — one definition so consumers (xsum, the incremental
+    * rollup state, streaming folds) can never drift apart. */
+  def scaled(c: Column, digits: Int): Column =
+    round(c * math.pow(10, digits)).cast("long")
+
   /** Exact sum of a column whose values carry at most `digits`
     * decimal places: sum(round(c*10^d)::long)/10^d. */
-  def xsum(c: Column, digits: Int): Column = {
-    val f = math.pow(10, digits)
-    sum(round(c * f).cast("long")).cast("double") / f
-  }
+  def xsum(c: Column, digits: Int): Column =
+    sum(scaled(c, digits)).cast("double") / math.pow(10, digits)
 
   /** Exact average with the same scaled-integer trick; division by
     * the NON-NULL count (standard AVG semantics — the sum already

@@ -29,7 +29,10 @@ object IncrementalRollup {
   private val Digits = 2
   private val Scale = math.pow(10, Digits)
 
-  private def scaled(c: Column): Column = round(c * Scale).cast("long")
+  // the shared per-row scaling — same expression xsum aggregates, so
+  // publish() stays bit-identical to EtlOps.hourlyRollup
+  private def scaled(c: Column): Column =
+    graft.functions.exact.scaled(c, Digits)
 
   /** Combinable rollup state from raw events. */
   def state(events: DataFrame): DataFrame =
@@ -43,12 +46,19 @@ object IncrementalRollup {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
-  /** Fold a batch into existing state touching only affected keys. */
+  /** Fold a batch into existing state touching only affected keys.
+    * The semi/anti split uses NULL-SAFE key equality (`<=>`): a null
+    * hour_ts or event_type is a legitimate group (groupBy treats
+    * null as a value), and plain `=` would route its existing row to
+    * `untouched` while the delta re-emits it — duplicating the group
+    * and breaking merge ≡ recompute (IncrementalSpec covers it). */
   def merge(existing: DataFrame, newEvents: DataFrame): DataFrame = {
     val delta = state(newEvents)
-    val touchedKeys = delta.select(keys.map(col): _*).distinct()
-    val touched = existing.join(touchedKeys, keys, "left_semi")
-    val untouched = existing.join(touchedKeys, keys, "left_anti")
+    val touchedKeys = delta.select(keys.map(col): _*).distinct().alias("tk")
+    val ex = existing.alias("ex")
+    val cond = keys.map(k => col(s"ex.$k") <=> col(s"tk.$k")).reduce(_ && _)
+    val touched = ex.join(touchedKeys, cond, "left_semi")
+    val untouched = ex.join(touchedKeys, cond, "left_anti")
     val combined = touched.unionByName(delta)
       .groupBy(keys.map(col): _*)
       .agg(

@@ -1067,8 +1067,12 @@ object RelationalOps {
     * parsing on both sides. */
   def variantExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // try_ variants, not the strict forms: one malformed props row
+      // (truncated ingest) must yield NULL like the oracle's path
+      // extraction, not abort the query — same null-on-failure
+      // discipline as q_json_extract's try_cast
       .withColumn("k_val",
-        expr("variant_get(parse_json(props), '$.k', 'int')"))
+        expr("try_variant_get(try_parse_json(props), '$.k', 'int')"))
       .filter(col("k_val").isNotNull)
       .groupBy((col("k_val") % 7).as("k_mod"))
       .agg(count(lit(1)).as("n"),
@@ -1730,50 +1734,70 @@ object RelationalOps {
 
   // ---------------------------------------------------- exact median
 
-  private val MedianBucketWidth = 100.0
-
   /** EXACT global median of l_extendedprice WITHOUT a global sort —
-    * the classic two-pass distributed selection: pass 1 builds a
-    * bounded value histogram (fixed-width buckets; the collect is
-    * ~O(range/width) rows regardless of data size — the same bounded-
-    * driver-state contract as dedup_clusters' union-find threshold),
-    * the driver walks cumulative counts to locate the bucket(s)
-    * holding the two middle order statistics, and pass 2 sorts ONLY
-    * those buckets' rows (≈ n/buckets of the data) and takes the two
-    * values by offset. At 100 TB a full orderBy would shuffle the
-    * entire table through one ordering; this touches it twice with a
-    * narrow filter in between. The interpolated midpoint rounds to
-    * 6 dp on both engines, absorbing the one-ulp formula difference
-    * between (lo+hi)/2 and DuckDB's lo+(hi−lo)·0.5. */
+    * iterative distributed selection over INTEGER-CENT histograms:
+    * each round buckets the current value window into ≤ ~10k
+    * fixed-width cent buckets (the driver walk is O(buckets) rows,
+    * the same bounded-driver-state contract as the union-find
+    * threshold), descends into the bucket holding the target order
+    * statistic, and shrinks the width ×100 until the window is a
+    * single cent — which IS the value. Three small aggregation
+    * passes per order statistic, NO row collect, NO offset() into a
+    * bucket (an Int-bounded offset would silently wrap when a single
+    * bucket holds >2³¹ rows — precisely the skew a 100 TB run hits);
+    * ties collapse into the single-cent window, so arbitrarily heavy
+    * value skew never widens driver state. All bucket arithmetic is
+    * integer (cents via the shared exact.scaled), so no IEEE ulp can
+    * round a value across a bucket boundary. The interpolated
+    * midpoint rounds to 6 dp on both engines, absorbing the one-ulp
+    * formula difference vs DuckDB's quantile interpolation.
+    *
+    * NOTE: necessarily EAGER (adaptive multi-pass — the next pass's
+    * filter depends on the previous histogram), unlike the lazy
+    * builders elsewhere in this map; the returned frame is the
+    * 1-row result. */
   def exactMedian(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_extendedprice").as("v"),
-        floor(col("l_extendedprice") / MedianBucketWidth).cast("long").as("b"))
-    val hist = li.groupBy("b").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val n = hist.map(_._2).sum
-    // 0-indexed middle positions (equal when n is odd)
+    val cents = Tables.lineitem(s, d)
+      .select(graft.functions.exact.scaled(col("l_extendedprice"), 2).as("c"))
+    val b0 = cents.agg(min("c"), max("c"), count(lit(1))).head()
+    val (minC, maxC, n) = (b0.getLong(0), b0.getLong(1), b0.getLong(2))
+
+    // cent value at 0-indexed order statistic p
+    def valueAt(p: Long): Long = {
+      var lo = minC
+      var hiEx = maxC + 1
+      var before = 0L // rows with c < lo
+      var width = 10000L // $100 buckets, then $1, then 1 cent
+      while (hiEx - lo > 1) {
+        val (l, w) = (lo, width)
+        val hist = cents.filter(col("c") >= l && col("c") < hiEx)
+          .groupBy(expr(s"(c - $l) div $w").as("b")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+        var cum = before
+        var bucket = -1L
+        val it = hist.iterator
+        while (bucket < 0 && it.hasNext) {
+          val (b, c) = it.next()
+          if (p < cum + c) bucket = b else cum += c
+        }
+        if (bucket < 0) throw new IllegalStateException(
+          s"order statistic $p not found in [$lo,$hiEx)")
+        before = cum
+        hiEx = math.min(hiEx, l + (bucket + 1) * w)
+        lo = l + bucket * w
+        width = math.max(1L, w / 100)
+      }
+      lo
+    }
+
     val p1 = (n - 1) / 2
     val p2 = n / 2
-    def bucketOf(p: Long): (Long, Long) = { // (bucket, rows before it)
-      var cum = 0L
-      hist.foreach { case (b, c) =>
-        if (p < cum + c) return (b, cum)
-        cum += c
-      }
-      (hist.last._1, cum - hist.last._2)
-    }
-    val (b1, before1) = bucketOf(p1)
-    val (b2, _) = bucketOf(p2)
-    val two = li.filter(col("b") >= b1 && col("b") <= b2)
-      .orderBy(col("v"))
-      .offset((p1 - before1).toInt).limit((p2 - p1 + 1).toInt)
-      .collect().map(_.getDouble(0))
-    val lo = two.head
-    val hi = two.last
+    val c1 = valueAt(p1)
+    val c2 = if (p2 == p1) c1 else valueAt(p2)
+    val (loV, hiV) = (c1.toDouble / 100.0, c2.toDouble / 100.0)
     // HALF_UP like Spark/DuckDB round(); the midpoint of two 2-dp
     // values terminates at 3 decimals, so no 6th-decimal boundary
-    val med = BigDecimal((lo + hi) / 2)
+    val med = BigDecimal((loV + hiV) / 2)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val spark = s
     import spark.implicits._
@@ -1800,9 +1824,14 @@ object RelationalOps {
   def bitmapDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       // 63-user blocks: the sign bit stays clear, so engines with
-      // checked shifts (DuckDB errors on 1::BIGINT << 63) agree
+      // checked shifts (DuckDB errors on 1::BIGINT << 63) agree.
+      // INTEGER division (div), not a double divide whose ulp could
+      // round across a block boundary for ids ≥ 2^47. Domain contract:
+      // ids are non-negative surrogate keys (`div` truncation and
+      // `//` flooring agree on non-negatives; a negative id would
+      // also make the shift amount negative).
       .select(col("event_type"),
-        (col("user_id") / 63).cast("long").as("word"),
+        expr("user_id div 63").as("word"),
         expr("shiftleft(1L, cast(user_id % 63 as int))").as("bit"))
       .groupBy("event_type", "word")
       .agg(bit_or(col("bit")).as("bits"))

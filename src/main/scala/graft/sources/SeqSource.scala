@@ -76,12 +76,21 @@ class SeqScanBuilder(start0: Long, end0: Long, slices: Int)
           EqualTo("id", _: Long) => true
       case _ => false
     }
+    // Long.MaxValue bounds need care: v+1 would wrap. The generated
+    // domain is [start, end) with end exclusive, so no row can ever
+    // be Long.MaxValue — `> MaxValue` and `= MaxValue` match nothing
+    // (empty range), `<= MaxValue` matches everything (no-op).
+    def empty(): Unit = { hi = lo }
     accepted.foreach {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long) =>
+        if (v == Long.MaxValue) empty() else lo = math.max(lo, v + 1)
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long) =>
+        if (v == Long.MaxValue) empty()
+        else { lo = math.max(lo, v); hi = math.min(hi, v + 1) }
       case _ =>
     }
     pushed = accepted

@@ -28,17 +28,28 @@ object StreamCdc extends Serializable {
   private def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
+  /** Micros → Timestamp WITHOUT truncating sub-millisecond digits
+    * (the batch twin passes ts through untouched, so the streamed
+    * updated_at must carry full microseconds too). */
+  private def toTimestamp(m: Long): Timestamp = {
+    val t = new Timestamp((m / 1000000L) * 1000L)
+    t.setNanos(((m % 1000000L) * 1000L).toInt)
+    t
+  }
+
   val DeleteOp = "error"
 
   def apply(changes: Dataset[ChangeIn]): Dataset[CurrentOut] = {
     val spark = changes.sparkSession
     import spark.implicits._
 
+    // last-writer-wins is a MAX over (micros, event_id) — order-
+    // independent, so the micro-batch iterator folds directly with
+    // no buffering or sort
     def fold(userId: Long, it: Iterator[ChangeIn],
              state: GroupState[KeyState]): Iterator[CurrentOut] = {
-      val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var cur = state.getOption
-      evs.foreach { e =>
+      it.foreach { e =>
         val m = micros(e.ts)
         val newer = cur.forall(s =>
           m > s.lastMicros || (m == s.lastMicros && e.event_id > s.lastId))
@@ -48,7 +59,7 @@ object StreamCdc extends Serializable {
       cur match {
         case Some(s) if s.op != DeleteOp =>
           Iterator.single(CurrentOut(userId, s.op, s.value,
-            new Timestamp(s.lastMicros / 1000)))
+            toTimestamp(s.lastMicros)))
         case _ => Iterator.empty // tombstoned (or no state): key absent
       }
     }

@@ -26,6 +26,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(canon(full) == canon(EtlOps.hourlyRollup(spark, sf)))
   }
 
+  test("null grouping keys merge as one group, not duplicates") {
+    // inject a null event_type slice: groupBy treats null as a value,
+    // and the semi/anti split must route it with null-safe equality
+    val ev = Tables.events(spark, sf).withColumn("event_type",
+      when(col("event_id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")))
+    val old = ev.filter(col("event_id") % 2 === 0)
+    val late = ev.filter(col("event_id") % 2 =!= 0)
+    val incremental = IncrementalRollup.publish(
+      IncrementalRollup.merge(IncrementalRollup.state(old), late))
+    val full = IncrementalRollup.publish(IncrementalRollup.state(ev))
+    assert(incremental.filter(col("event_type").isNull).count() ==
+      full.filter(col("event_type").isNull).count(),
+      "null-key groups must not duplicate")
+    assert(canon(incremental) == canon(full))
+  }
+
   test("empty delta is an identity; merge is associative over batches") {
     val ev = Tables.events(spark, sf)
     val st = IncrementalRollup.state(ev)

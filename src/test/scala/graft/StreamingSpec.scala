@@ -236,14 +236,18 @@ class StreamingSpec extends AnyFunSuite {
     try {
       mem.addData(rows)
       q.processAllAvailable()
+      // updated_at compares too: the streamed state must carry full
+      // microseconds, exactly like the batch pass-through
       val streamed = spark.table("cdc_out")
-        .select(col("user_id"), col("last_op"), col("current_value"))
+        .select(col("user_id"), col("last_op"), col("current_value"),
+          col("updated_at").cast("string"))
         .collect().map(r => (r.getLong(0), r.getString(1),
-          Option(r.get(2)).map(_.toString))).toSet
+          Option(r.get(2)).map(_.toString), r.getString(3))).toSet
       val batch = StreamingOps.cdcApply(spark, sf)
-        .select(col("user_id"), col("last_op"), col("current_value"))
+        .select(col("user_id"), col("last_op"), col("current_value"),
+          col("updated_at").cast("string"))
         .collect().map(r => (r.getLong(0), r.getString(1),
-          Option(r.get(2)).map(_.toString))).toSet
+          Option(r.get(2)).map(_.toString), r.getString(3))).toSet
       assert(streamed == batch && batch.nonEmpty)
     } finally q.stop()
 
