@@ -162,8 +162,11 @@ object AnnOps {
 
   /** Training budget per centroid: the k-means sweeps see at most
     * `TrainPerCell·nCells` vectors (the standard IVF training recipe;
-    * FAISS trains on 64-256 points per centroid). */
-  private val TrainPerCell = 256
+    * FAISS trains on 64-256 points per centroid; 64 is the
+    * budget-conscious end of that range — at the test SFs it makes
+    * the training sample a strict subset of the corpus, so the
+    * sampled-training path is what the oracle actually verifies). */
+  private val TrainPerCell = 64
 
   /** Iterated-quadratic-map hash of an id — THE shared definition in
     * [[graft.functions.ihash]] (the oracle mirrors the same formula
