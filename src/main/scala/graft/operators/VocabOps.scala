@@ -304,7 +304,77 @@ object VocabOps {
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
   }
 
+  private val PmiMinCount = 5
+  private val PmiTopK = 100
+
+  /** Collocation detection: top-100 adjacent token pairs by
+    * PMI-style association — n_ab·T² / (P·n_a·n_b), the ratio of
+    * observed bigram probability to the independence expectation
+    * (monotone in PMI; no log, so the score is one fixed-order IEEE
+    * expression both engines compute bit-identically from INTEGER
+    * counts). The word2vec/phrase-mining co-occurrence statistic: ONE
+    * tokenize pass feeds both the unigram marginals and the bigram
+    * counts, rare pairs (< $PmiMinCount) drop before the marginals
+    * join, and the two joins key on tokens — partial aggregation
+    * collapses per-partition multisets map-side, so shuffle volume is
+    * distinct tokens/bigrams, not corpus token count. */
+  def pmi(s: SparkSession, d: String): DataFrame = {
+    val docs = DedupOps.docsParallel(s, d)
+    val toks = docs.select(explode(text.tokens(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val bi = docs.select(
+      explode(text.ngrams(text.tokens(col("text")), 2)).as("bg"))
+    val ptot = bi.agg(count(lit(1)).as("p"))
+    val bic = bi.groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinCount)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+    bic
+      .join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ptot))
+      .withColumn("assoc",
+        col("n_ab").cast("double") * col("t").cast("double") *
+          col("t").cast("double") /
+          (col("p").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double")))
+      .select(col("bg"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("assoc"), 6).as("assoc"))
+      .orderBy(col("assoc").desc, col("bg"))
+      .limit(PmiTopK)
+  }
+
+  private val pmiSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t0 AS (SELECT $toks AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS w FROM t0),
+       |uni AS (SELECT w, cast(count(*) as bigint) AS n_w FROM tok GROUP BY 1),
+       |tot AS (SELECT cast(count(*) as bigint) AS t FROM tok),
+       |bi0 AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM t0),
+       |ptot AS (SELECT cast(count(*) as bigint) AS p FROM bi0),
+       |bic AS (
+       |  SELECT bg, cast(count(*) as bigint) AS n_ab FROM bi0 GROUP BY 1
+       |  HAVING count(*) >= $PmiMinCount)
+       |SELECT c.bg, c.n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       |  round(cast(c.n_ab as double) * cast(tot.t as double)
+       |    * cast(tot.t as double)
+       |    / (cast(ptot.p as double) * cast(ua.n_w as double)
+       |       * cast(ub.n_w as double)), 6) AS assoc
+       |FROM bic c
+       |JOIN uni ua ON string_split(c.bg, ' ')[1] = ua.w
+       |JOIN uni ub ON string_split(c.bg, ' ')[2] = ub.w
+       |CROSS JOIN tot CROSS JOIN ptot
+       |ORDER BY assoc DESC, c.bg
+       |LIMIT $PmiTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_pmi" -> (pmi _),
     "vocab_df" -> (docFreq _),
     "doc_tfidf" -> (docTfidf _),
     "vocab_ngram_topk" -> (ngramTopK _),
@@ -312,6 +382,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_pmi" -> pmiSql,
     "vocab_df" -> docFreqSql,
     "doc_tfidf" -> docTfidfSql,
     "vocab_ngram_topk" -> ngramTopKSql,

@@ -180,4 +180,24 @@ class VocabSpec extends AnyFunSuite {
     assert(got._2 == best._1,
       s"doc $someDoc top term ${got._2} != recomputed ${best._1}")
   }
+
+  test("pmi collocations: counts consistent, association above independence") {
+    val rows = VocabOps.pmi(spark, TestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { case (bg, nab, na, nb, assoc) =>
+      val Array(a, b) = bg.split(" ")
+      assert(nab >= 5, s"$bg below min count")
+      assert(na >= nab && nb >= nab,
+        s"$bg marginals ($na,$nb) below pair count $nab")
+      assert(assoc > 0.0)
+      assert(a.nonEmpty && b.nonEmpty)
+    }
+    // ranked descending by association
+    rows.map(_._5).sliding(2).foreach {
+      case Array(x, y) => assert(x >= y, "not ranked by association")
+      case _ =>
+    }
+  }
 }
