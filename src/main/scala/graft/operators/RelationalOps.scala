@@ -1847,6 +1847,34 @@ object RelationalOps {
       |  cast(sum(bit_count(bits)) as bigint) AS n_users
       |FROM words GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------- unpivot
+
+  /** Wide→long reshape via the native `Dataset.unpivot` (melt) API —
+    * the inverse of `q_pivot`: lineitem's four measure columns melt
+    * into (metric, v) rows, then one partial/final aggregation
+    * profiles each measure. The melt is a narrow 4× row expansion
+    * inside the scan stage (no shuffle added), so at 100 TB the cost
+    * is the one aggregation it feeds. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        ids = Array.empty[org.apache.spark.sql.Column],
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), xsum(col("v"), 2).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+
+  private val unpivotMetricsSql = {
+    def part(c: String) =
+      s"""SELECT '$c' AS metric, $oCount AS n, ${oSum(c, 2)} AS sum_v,
+         |  min($c) AS min_v, max($c) AS max_v FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(part).mkString("", "\nUNION ALL\n", "")
+  }
+
   // ---------------------------------------------------- heavy hitters
 
   private val HhShards = 50
@@ -1935,7 +1963,8 @@ object RelationalOps {
     "q_exact_median" -> (exactMedian _),
     "q_variant" -> (variantExtract _),
     "q_bitmap_distinct" -> (bitmapDistinct _),
-    "q_heavy_hitters" -> (heavyHitters _))
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_unpivot" -> (unpivotMetrics _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1994,5 +2023,6 @@ object RelationalOps {
     "q_exact_median" -> exactMedianSql,
     "q_variant" -> variantExtractSql,
     "q_bitmap_distinct" -> bitmapDistinctSql,
-    "q_heavy_hitters" -> heavyHittersSql)
+    "q_heavy_hitters" -> heavyHittersSql,
+    "q_unpivot" -> unpivotMetricsSql)
 }
