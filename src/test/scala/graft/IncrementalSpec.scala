@@ -43,6 +43,22 @@ class IncrementalSpec extends AnyFunSuite {
     assert(canon(incremental) == canon(full))
   }
 
+  test("randomized splits: any partition of the stream merges to the recompute") {
+    val ev = Tables.events(spark, sf)
+    val full = canon(IncrementalRollup.publish(IncrementalRollup.state(ev)))
+    // deterministic pseudo-random 3-way splits from different moduli —
+    // arbitrary arrival orders and batch shapes must all converge
+    Seq((3, 17L), (5, 101L), (7, 997L)).foreach { case (parts, m) =>
+      val slices = (0 until parts).map(i =>
+        ev.filter(pmod(col("event_id") * m, lit(parts)) === i))
+      val merged = slices.tail.foldLeft(IncrementalRollup.state(slices.head)) {
+        (st, batch) => IncrementalRollup.merge(st, batch)
+      }
+      assert(canon(IncrementalRollup.publish(merged)) == full,
+        s"$parts-way split with multiplier $m diverged from recompute")
+    }
+  }
+
   test("empty delta is an identity; merge is associative over batches") {
     val ev = Tables.events(spark, sf)
     val st = IncrementalRollup.state(ev)

@@ -99,6 +99,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(one.collect().map(_.getLong(0)).toSeq == Seq(123L))
   }
 
+  test("DSv2 source: Long boundary filters neither wrap nor over-match") {
+    val df = seqDf("start" -> "0", "end" -> "100", "slices" -> "2")
+    // > MaxValue matches nothing (and must NOT silently match all)
+    assert(df.filter(col("id") > Long.MaxValue).count() == 0)
+    // = MaxValue matches nothing (domain end is exclusive)
+    assert(df.filter(col("id") === Long.MaxValue).count() == 0)
+    // <= MaxValue matches everything (v+1 would wrap; must be a no-op)
+    assert(df.filter(col("id") <= Long.MaxValue).count() == 100)
+    assert(df.filter(col("id") >= Long.MinValue).count() == 100)
+  }
+
   test("DSv2 source: column pruning makes count-only scans emit empty rows") {
     val df = seqDf("start" -> "0", "end" -> "5000", "slices" -> "4")
     val counted = df.groupBy().count()
