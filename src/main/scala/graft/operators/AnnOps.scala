@@ -146,7 +146,7 @@ object AnnOps {
     // differ run-to-run in the last ulp. The value-sorted fold is
     // deterministic and lets the DuckDB oracle reproduce centroids
     // bit-for-bit. Group size is bounded by the per-cell training
-    // budget (~TrainPerCell), so the collected list stays O(256).
+    // budget (~TrainPerCell), so the collected list stays O(TrainPerCell).
     assigned
       .select(col("cell_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("cell_id", "dim")
@@ -192,14 +192,15 @@ object AnnOps {
   /** IVF ANN with a TRAINED coarse quantizer, parameterized for
     * scale: `nCells` defaults to ~√N (the classic IVF sizing — cells
     * and per-cell scan cost balance at √N); the quantizer TRAINS ON A
-    * BOUNDED SAMPLE (≤ ~256·nCells vectors by deterministic xxhash64
+    * BOUNDED SAMPLE (≤ TrainPerCell·nCells vectors by a deterministic
+    * quadratic-map hash
     * threshold — uniform over the corpus, no global sort, no driver
     * collect), seeded by the sample's lowest-hash rows and refined by
     * two k-means sweeps over the sample only. The FULL corpus is
     * scanned exactly once — for the final cell assignment — so total
-    * work is O(N·√N·d) for assignment + O(√N·√N·d·256) for training,
+    * work is O(N·√N·d) for assignment + O(√N·√N·d·TrainPerCell) for training,
     * instead of 3 full O(N^1.5·d) passes; at 10⁹ vectors the training
-    * input drops from 10⁹ rows ×2 sweeps to ~8M. */
+    * input drops from 10⁹ rows ×2 sweeps to ~2M (64·√N). */
   def ivf(s: SparkSession, d: String): DataFrame =
     ivfScore(annAssigned(s, d), annCents(s, d), queriesDf(s, d),
       nProbe = DefaultNProbe)

@@ -319,14 +319,19 @@ object VocabOps {
     * collapses per-partition multisets map-side, so shuffle volume is
     * distinct tokens/bigrams, not corpus token count. */
   def pmi(s: SparkSession, d: String): DataFrame = {
-    val docs = DedupOps.docsParallel(s, d)
-    val toks = docs.select(explode(text.tokens(col("text"))).as("w"))
-    val uni = toks.groupBy("w").agg(count(lit(1)).as("n_w"))
-    val tot = toks.agg(count(lit(1)).as("t"))
-    val bi = docs.select(
-      explode(text.ngrams(text.tokens(col("text")), 2)).as("bg"))
-    val ptot = bi.agg(count(lit(1)).as("p"))
-    val bic = bi.groupBy("bg").agg(count(lit(1)).as("n_ab"))
+    // cached: the ONE tokenize pass both explodes read (same hazard
+    // note as docTfidf/bm25's shared tf relation)
+    val toksArr = DedupOps.docsParallel(s, d)
+      .select(text.tokens(col("text")).as("toks")).cache()
+    val uni = toksArr.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w")).cache()
+    // totals DERIVE from the aggregates — no extra corpus pass:
+    // T = Σ n_w, P = Σ n_ab over the pre-filter bigram counts
+    val tot = uni.agg(sum(col("n_w")).as("t"))
+    val bic0 = toksArr.select(explode(text.ngrams(col("toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab")).cache()
+    val ptot = bic0.agg(sum(col("n_ab")).as("p"))
+    val bic = bic0
       .filter(col("n_ab") >= PmiMinCount)
       .withColumn("a", split(col("bg"), " ").getItem(0))
       .withColumn("b", split(col("bg"), " ").getItem(1))
