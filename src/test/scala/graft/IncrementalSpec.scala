@@ -59,6 +59,34 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch streaming maintenance converges to the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+    val rows = ev.as[(java.sql.Timestamp, String, Option[Double])].collect()
+    val mem = MemoryStream[(java.sql.Timestamp, String, Option[Double])]
+    // state starts empty (same schema via an all-false filter) and each
+    // micro-batch folds in through merge — the streaming maintenance
+    // loop a 100 TB rollup runs via foreachBatch
+    var state = IncrementalRollup.state(ev.filter(lit(false)))
+    val q = mem.toDF().toDF("ts", "event_type", "value")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = IncrementalRollup.merge(state, batch).localCheckpoint()
+      }.start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = canon(IncrementalRollup.publish(state))
+    val full = canon(IncrementalRollup.publish(IncrementalRollup.state(ev)))
+    assert(streamed == full,
+      "streamed incremental maintenance must equal the batch recompute")
+  }
+
   test("empty delta is an identity; merge is associative over batches") {
     val ev = Tables.events(spark, sf)
     val st = IncrementalRollup.state(ev)
