@@ -1847,6 +1847,31 @@ object RelationalOps {
       |  cast(sum(bit_count(bits)) as bigint) AS n_users
       |FROM words GROUP BY 1""".stripMargin
 
+  // ----------------------------------------------------- grouping id
+
+  /** ROLLUP with `grouping_id()` — the disambiguation column a
+    * rollup consumer needs to tell a SUBTOTAL row's null from null
+    * DATA (q_grouping_sets covers the aggregation shapes; this adds
+    * the bitmask contract: bit per grouping column, first column
+    * most significant, identical in both engines). One partial/final
+    * aggregation; rollup fan-out happens inside the aggregation, not
+    * as extra scans. */
+  def groupingIdRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        xsum(col("o_totalprice"), 2).as("sum_price"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("gid"), col("n"), col("sum_price"))
+
+  private val groupingIdRollupSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  cast(grouping(o_orderpriority, o_orderstatus) as bigint) AS gid,
+       |  $oCount AS n,
+       |  ${oSum("o_totalprice", 2)} AS sum_price
+       |FROM orders
+       |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin
+
   // --------------------------------------------------------- unpivot
 
   /** Wide→long reshape via the native `Dataset.unpivot` (melt) API —
@@ -1964,7 +1989,8 @@ object RelationalOps {
     "q_variant" -> (variantExtract _),
     "q_bitmap_distinct" -> (bitmapDistinct _),
     "q_heavy_hitters" -> (heavyHitters _),
-    "q_unpivot" -> (unpivotMetrics _))
+    "q_unpivot" -> (unpivotMetrics _),
+    "q_grouping_id" -> (groupingIdRollup _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2024,5 +2050,6 @@ object RelationalOps {
     "q_variant" -> variantExtractSql,
     "q_bitmap_distinct" -> bitmapDistinctSql,
     "q_heavy_hitters" -> heavyHittersSql,
-    "q_unpivot" -> unpivotMetricsSql)
+    "q_unpivot" -> unpivotMetricsSql,
+    "q_grouping_id" -> groupingIdRollupSql)
 }
