@@ -206,8 +206,13 @@ object PipelineOps {
     * is shuffle-free and the only data movement is the TakeOrdered
     * top-k of WeightedK rows per partition → driver-merged k. */
   def sampleWeighted(s: SparkSession, d: String): DataFrame = {
-    val w = (least(floor(col("n_chars") / lit(400.0)), lit(WeightCap - 1))
-      .cast("long") + lit(1L)).as("weight")
+    // coalesce the length BEFORE deriving the weight: a null n_chars
+    // would otherwise null the weight and priority, and the two
+    // engines order NULLs differently (Spark asc = NULLS FIRST,
+    // DuckDB = NULLS LAST) — a single null-length doc would flip the
+    // sample; coalesced, such a doc just gets the minimum weight 1
+    val w = (least(floor(coalesce(col("n_chars"), lit(0L)) / lit(400.0)),
+      lit(WeightCap - 1)).cast("long") + lit(1L)).as("weight")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), w)
       .withColumn("priority",
@@ -223,7 +228,7 @@ object PipelineOps {
     val hash = graft.functions.ihash.quadSqlNested(s"doc_id*$WeightCap + j")
     s"""WITH wd AS (
        |  SELECT doc_id, lang,
-       |    cast(least(floor(n_chars / 400.0), ${WeightCap - 1}) as bigint)
+       |    cast(least(floor(coalesce(n_chars, 0) / 400.0), ${WeightCap - 1}) as bigint)
        |      + 1 AS weight
        |  FROM documents)
        |SELECT doc_id, lang, weight,

@@ -1080,13 +1080,21 @@ object RelationalOps {
         max(col("k_val")).as("max_k"))
 
   private val variantExtractSql =
-    s"""SELECT cast(cast(json_extract_string(props, '$$.k') as int) % 7 as int)
-       |    AS k_mod,
+    // json_valid + try_cast mirror the Spark side's try_parse_json /
+    // try_variant_get null-on-failure discipline: a malformed props row
+    // or non-integer k yields NULL here too, instead of aborting the
+    // whole oracle run on one bad row
+    s"""WITH kv AS (
+       |  SELECT try_cast(CASE WHEN json_valid(props)
+       |                       THEN json_extract_string(props, '$$.k') END
+       |                  AS int) AS k_val
+       |  FROM events)
+       |SELECT cast(k_val % 7 as int) AS k_mod,
        |  $oCount AS n,
-       |  min(cast(json_extract_string(props, '$$.k') as int)) AS min_k,
-       |  max(cast(json_extract_string(props, '$$.k') as int)) AS max_k
-       |FROM events
-       |WHERE cast(json_extract_string(props, '$$.k') as int) IS NOT NULL
+       |  min(k_val) AS min_k,
+       |  max(k_val) AS max_k
+       |FROM kv
+       |WHERE k_val IS NOT NULL
        |GROUP BY 1""".stripMargin
 
   // ----------------------------------------- correlated subquery (join)
@@ -1737,39 +1745,48 @@ object RelationalOps {
   /** EXACT global median of l_extendedprice WITHOUT a global sort —
     * iterative distributed selection over INTEGER-CENT histograms:
     * each round buckets the current value window into ≤ ~10k
-    * fixed-width cent buckets (the driver walk is O(buckets) rows,
-    * the same bounded-driver-state contract as the union-find
-    * threshold), descends into the bucket holding the target order
-    * statistic, and shrinks the width ×100 until the window is a
-    * single cent — which IS the value. Three small aggregation
-    * passes per order statistic, NO row collect, NO offset() into a
-    * bucket (an Int-bounded offset would silently wrap when a single
-    * bucket holds >2³¹ rows — precisely the skew a 100 TB run hits);
-    * ties collapse into the single-cent window, so arbitrarily heavy
-    * value skew never widens driver state. All bucket arithmetic is
-    * integer (cents via the shared exact.scaled), so no IEEE ulp can
-    * round a value across a bucket boundary. The interpolated
-    * midpoint rounds to 6 dp on both engines, absorbing the one-ulp
-    * formula difference vs DuckDB's quantile interpolation.
+    * range-derived fixed-width cent buckets (width = ⌈window/10⁴⌉, so
+    * the driver walk is O(10⁴) rows for ANY value domain — the same
+    * bounded-driver-state contract as the union-find threshold),
+    * descends into the bucket holding the target order statistic, and
+    * shrinks the window ×10⁴ per pass until it is a single cent —
+    * which IS the value (O(log₁₀₀₀₀ range) passes). NO row collect,
+    * NO offset() into a bucket (an Int-bounded offset would silently
+    * wrap when a single bucket holds >2³¹ rows — precisely the skew a
+    * 100 TB run hits); ties collapse into the single-cent window, so
+    * arbitrarily heavy value skew never widens driver state. All
+    * bucket arithmetic is integer (cents via the shared exact.scaled),
+    * so no IEEE ulp can round a value across a bucket boundary. The
+    * interpolated midpoint rounds to 6 dp on both engines, absorbing
+    * the one-ulp formula difference vs DuckDB's quantile
+    * interpolation. An empty table yields (0, NULL) like the oracle's
+    * count(*)/median pair, instead of NPEing on null min/max.
     *
     * NOTE: necessarily EAGER (adaptive multi-pass — the next pass's
     * filter depends on the previous histogram), unlike the lazy
     * builders elsewhere in this map; the returned frame is the
     * 1-row result. */
   def exactMedian(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
     val cents = Tables.lineitem(s, d)
       .select(graft.functions.exact.scaled(col("l_extendedprice"), 2).as("c"))
     val b0 = cents.agg(min("c"), max("c"), count(lit(1))).head()
-    val (minC, maxC, n) = (b0.getLong(0), b0.getLong(1), b0.getLong(2))
+    val n = b0.getLong(2)
+    if (n == 0L)
+      return Seq((0L, Option.empty[Double])).toDF("n", "median_price")
+    val (minC, maxC) = (b0.getLong(0), b0.getLong(1))
 
     // cent value at 0-indexed order statistic p
     def valueAt(p: Long): Long = {
       var lo = minC
       var hiEx = maxC + 1
       var before = 0L // rows with c < lo
-      var width = 10000L // $100 buckets, then $1, then 1 cent
       while (hiEx - lo > 1) {
-        val (l, w) = (lo, width)
+        val l = lo
+        // ceil-divide the CURRENT window into ≤10k buckets: driver
+        // state stays bounded whatever the value range is
+        val w = math.max(1L, (hiEx - lo + 9999L) / 10000L)
         val hist = cents.filter(col("c") >= l && col("c") < hiEx)
           .groupBy(expr(s"(c - $l) div $w").as("b")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
@@ -1785,7 +1802,6 @@ object RelationalOps {
         before = cum
         hiEx = math.min(hiEx, l + (bucket + 1) * w)
         lo = l + bucket * w
-        width = math.max(1L, w / 100)
       }
       lo
     }
@@ -1799,9 +1815,7 @@ object RelationalOps {
     // values terminates at 3 decimals, so no 6th-decimal boundary
     val med = BigDecimal((loV + hiV) / 2)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val spark = s
-    import spark.implicits._
-    Seq((n, med)).toDF("n", "median_price")
+    Seq((n, Option(med))).toDF("n", "median_price")
   }
 
   private val exactMedianSql =
@@ -1917,6 +1931,11 @@ object RelationalOps {
     * item domain dwarfs memory. */
   def heavyHitters(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // explicit null-key filter: MisraGriesAgg.update skips null
+      // items, but a plain GROUP BY would emit a NULL-shard group —
+      // filter on BOTH sides so the two cannot diverge on a null
+      // user_id row
+      .filter(col("user_id").isNotNull)
       .groupBy("event_type")
       .agg(graft.functions.sketch.heavyHitters(
         (col("user_id") % HhShards).cast("long"), HhCapacity).as("hh"))
@@ -1926,7 +1945,7 @@ object RelationalOps {
   private val heavyHittersSql =
     s"""SELECT event_type, user_id % $HhShards AS shard,
        |  $oCount AS n
-       |FROM events GROUP BY 1, 2""".stripMargin
+       |FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------- maps
 
