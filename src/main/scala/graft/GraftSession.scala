@@ -32,6 +32,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as raw Long and let Tables.events convert to μs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide-aggregate plans (the 64-lane simhash bit votes) must stay
+      // inside whole-stage codegen: the default maxFields=100 kicks
+      // them out to interpreted per-row evaluation (~10-30× slower on
+      // the hot map stage). 200 covers every plan in this engine.
+      .config("spark.sql.codegen.maxFields", "200")
       // native expressions (cosine_sim) available in SQL
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

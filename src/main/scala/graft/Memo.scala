@@ -28,6 +28,19 @@ object Memo {
             (build: => DataFrame): DataFrame =
     m.getOrElseUpdate((s, key, dir), build.cache())
 
+  /** Like [[cached]] but the first call materializes the cache before
+    * returning. For intermediates a SINGLE query references more than
+    * once (e.g. both sides of a self-join): the consumer's concurrent
+    * stages would otherwise each miss the lazy cache and race into
+    * duplicate recomputes of the build plan. */
+  def cachedEager(s: SparkSession, key: String, dir: String)
+                 (build: => DataFrame): DataFrame =
+    m.getOrElseUpdate((s, key, dir), {
+      val df = build.cache()
+      df.foreach(_ => ())
+      df
+    })
+
   /** Operators holding session-keyed side state beyond memoized
     * DataFrames (e.g. AnnOps' corpus-count map) register a clear
     * hook so `clear` empties it with everything else. */

@@ -37,9 +37,20 @@ object text {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Polynomial rolling hash over the raw characters:
-    * fold(acc*31 + ascii(ch)) mod 1e9+7. Oracle mirror:
-    * list_reduce(list_prepend(0, ...)). */
+    * fold(acc*31 + codepoint) mod 1e9+7, as the native zero-
+    * allocation [[graft.plans.RollingHashExpr]] (the builtin
+    * split('')+ascii fold allocates a string per character — it was
+    * half the task time of every token-hashing operator). Oracle
+    * mirror: list_reduce(list_prepend(0, ...)). */
   def rollingHash(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.RollingHashExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** The builtin-composition form of [[rollingHash]] — kept as the
+    * cross-check twin for RollingHashSpec (expr ≡ builtin on the
+    * corpus), not used in operator hot paths. */
+  def rollingHashBuiltin(c: Column): Column =
     aggregate(
       transform(filter(split(c, ""), ch => ch =!= ""),
         ch => ascii(ch).cast("long")),

@@ -336,29 +336,67 @@ object DedupOps {
     * (a pair within distance 3 MUST agree on one chunk, so recall is
     * 100% — no approximation for buckets within the size cap). */
   def simhash(s: SparkSession, d: String): DataFrame =
-    simhashFromDocs(docsParallel(s, d), SimHashBucketCap)
+    // memoize the tiny (doc_id, sig) relation: the bucket join below
+    // references it on BOTH sides, and without materialization each
+    // side re-runs the full token-scan + 64-sum aggregation (the
+    // expensive part of this operator — ~4× the work for the same
+    // answer). The fill is EAGER (foreach) because the join's two
+    // scan stages run concurrently on first use — both would miss the
+    // lazy cache and race into the recompute. n_docs × 16 bytes
+    // cached is nothing at any scale; on a cluster a pipeline would
+    // land signatures once and fan out
+    simhashPairsFromSignatures(
+      graft.Memo.cachedEager(s, "simhash_sigs", d)(
+        simhashSignatures(docsParallel(s, d))),
+      SimHashBucketCap)
 
   /** `docs` needs (doc_id, text); `bucketCap` is the per-bucket
-    * representative cap (see SimHashBucketCap). */
-  private[graft] def simhashFromDocs(docs: DataFrame, bucketCap: Int): DataFrame = {
+    * representative cap (see SimHashBucketCap). Spec entry point —
+    * materializes signatures per call via an eager localCheckpoint
+    * (arbitrary `docs` can't key the Memo; eager for the same
+    * concurrent-stage reason as the memoized path). */
+  private[graft] def simhashFromDocs(docs: DataFrame, bucketCap: Int): DataFrame =
+    simhashPairsFromSignatures(
+      simhashSignatures(docs).localCheckpoint(true), bucketCap)
+
+  /** (doc_id, sig): the packed 64-bit SimHash signature per doc. */
+  private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
       .withColumn("fp", text.rollingHash(col("tok")))
-    // per-bit signed counts in ONE aggregation; bit k's vote is the
-    // parity of an independent universal hash of the token's rolling-
-    // hash fingerprint — deterministic integer arithmetic both the
-    // engine and the DuckDB oracle reproduce exactly (operands stay
-    // < 2^63: fp,coef < 1e9+7 ⇒ fp·A+B < 1.1e18)
+      // the 64 vote bits come from FOUR universal hashes of the
+      // token fingerprint (16 bits each, hash j feeding sig chunk j)
+      // instead of 64 independent parity hashes: 16× less modular
+      // arithmetic in the per-token hot loop (the CPU cost of this
+      // operator — the topology is already one map-side-combined
+      // doc_id aggregation), at the price of weak intra-chunk bit
+      // correlation a sign-vote aggregate doesn't care about.
+      // Deterministic integer arithmetic both engines reproduce
+      // exactly (operands stay < 2^63: fp,coef < 1e9+7 ⇒
+      // fp·A+B < 1.1e18; h < 1e9+7 so bits 0-15 are well-mixed)
+      .withColumns(
+        (0 until SimHashChunks).map(j =>
+          s"h$j" -> (col("fp") * simA(j) + simB(j)) % 1000000007L).toMap)
+    // per-bit ONES counts in ONE aggregation; bit k's vote is bit
+    // (k mod 16) of hash k/16. Branch-free `sum((h>>b)&1)` instead of
+    // a CASE ±1 sum — the signed vote recovers as 2·ones > n, and the
+    // 64 update expressions stay small enough that the whole partial
+    // aggregate JIT-compiles (with maxFields raised in GraftSession
+    // so the wide agg stays in whole-stage codegen at all)
     val bitSums: Seq[Column] = (0 until 64).map { k =>
-      sum(when((col("fp") * simA(k) + simB(k)) % 1000000007L % 2 === 1, 1)
-        .otherwise(-1)).as(s"b$k")
+      sum(shiftright(col(s"h${k / 16}"), k % 16).bitwiseAND(lit(1L))).as(s"b$k")
     }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("cnt"), bitSums: _*)
     val sig = (0 until 64).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+      // majority vote: #ones > #zeros ⟺ 2·ones > n (same tie rule as
+      // the ±1 sum's "> 0")
+      when(col(s"b$k") * 2 > col("cnt"), lit(1L << k)).otherwise(0L)
     }.reduce(_ + _)
-    val signed = agg.select(col("doc_id"), sig.as("sig"))
+    agg.select(col("doc_id"), sig.as("sig"))
+  }
 
+  private def simhashPairsFromSignatures(signed: DataFrame, bucketCap: Int): DataFrame = {
     val chunks = (0 until SimHashChunks).map { j =>
       struct(lit(j).as("ci"), shiftright(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("cv"))
     }
@@ -394,18 +432,21 @@ object DedupOps {
     * shiftright+mask over the packed signature), same rep cap, and
     * hamming = count of disagreeing bits (≡ bit_count(sig_a^sig_b)). */
   private[operators] def simhashSql: String = {
-    val sa = (0 until 64).map(simA).mkString("[", ",", "]")
-    val sb = (0 until 64).map(simB).mkString("[", ",", "]")
+    val sa = (0 until SimHashChunks).map(simA).mkString("[", ",", "]")
+    val sb = (0 until SimHashChunks).map(simB).mkString("[", ",", "]")
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
        |  FROM documents),
        |fph AS (SELECT doc_id, ${fpSql("tok")} AS fp FROM toks),
+       |hashes AS (
+       |  SELECT doc_id, j.j AS j,
+       |    (fp * ($sa)[j.j + 1] + ($sb)[j.j + 1]) % 1000000007 AS h
+       |  FROM fph, (SELECT unnest(range(0, $SimHashChunks)) AS j) j),
        |bits AS (
-       |  SELECT doc_id, k.k AS k,
-       |    sum(CASE WHEN (fp * ($sa)[k.k + 1] + ($sb)[k.k + 1]) % 1000000007 % 2 = 1
-       |             THEN 1 ELSE -1 END) AS s
-       |  FROM fph, (SELECT unnest(range(0, 64)) AS k) k
+       |  SELECT doc_id, j * 16 + b.b AS k,
+       |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hashes, (SELECT unnest(range(0, 16)) AS b) b
        |  GROUP BY 1, 2),
        |sigbits AS (SELECT doc_id, k, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM bits),
        |chunks AS (

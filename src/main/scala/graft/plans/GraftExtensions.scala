@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHashExpr(args(0))))
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
   }
