@@ -227,7 +227,10 @@ object AnnOps {
 
   /** Coarse quantizer from a training sample: hash-ordered seeds +
     * two k-means sweeps. The seed's post-limit window runs on `cells`
-    * rows only (≤ ~√N, e.g. 31k at 10⁹ vectors), not on the corpus. */
+    * rows only (≤ ~√N, e.g. 31k at 10⁹ vectors), not on the corpus —
+    * this is the deliberate §6 "tiny single-partition window" case
+    * (the WindowExec no-partition warning it logs refers to an input
+    * already bounded by the limit above it). */
   private def coarseCentsFromTrain(train: DataFrame, cells: Int): DataFrame = {
     val seed = train
       .orderBy(col("h"), col("vec_id")).limit(cells)
@@ -715,7 +718,9 @@ object AnnOps {
       .select(col(idC), col("j"), subVec(col(embC), col("j")).as("semb"))
 
   /** PQ sub-quantizers from a training sample: per-subspace seeds
-    * from the PqCells lowest-hash rows, two k-means sweeps. */
+    * from the PqCells lowest-hash rows, two k-means sweeps. (The
+    * seed window below is single-partition by design — its input is
+    * the PqCells=16-row limit, the §6 bounded-window carve-out.) */
   private def pqCentsFromTrain(train: DataFrame): DataFrame = {
     val pseedRows = train.orderBy(col("h"), col("vec_id")).limit(PqCells)
       .select(
@@ -1065,6 +1070,122 @@ object AnnOps {
       |        (a, x) -> a + x*x)), 6) AS centroid_norm
       |FROM c""".stripMargin
 
+  // ------------------------------------------------ int8 quantization
+
+  private val QDims = 64
+
+  /** Scalar int8 quantization of the embedding column — the storage-
+    * compression step a 10⁹-vector corpus takes before ANN serving
+    * (4× smaller than float32; PQ above is the 64× lossy variant).
+    * Per-dimension [min,max] comes from ONE 1-row aggregation
+    * broadcast back over the corpus (the q8/q11 global-aggregate
+    * pattern — no per-dim shuffle of (vec,dim) pairs), and each value
+    * maps to ⌊(v−min)·255/(max−min)+0.5⌋ clamped to [0,255]. All
+    * arithmetic is fixed-order IEEE double on both engines →
+    * bit-identical codes; constant dimensions quantize to 0 instead
+    * of dividing by zero. Output digests: head code, exact integer
+    * code sum, and the fixed-order reconstruction-error sum. */
+  def int8Quantize(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val mmAgg = (0 until QDims).flatMap { i =>
+      Seq(min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
+        max(element_at(col("embedding"), i + 1)).as(s"mx$i"))
+    }
+    val mm = e.agg(mmAgg.head, mmAgg.tail: _*)
+
+    def v(i: Int) = element_at(col("embedding"), i + 1).cast("double")
+    def mn(i: Int) = col(s"mn$i").cast("double")
+    def mx(i: Int) = col(s"mx$i").cast("double")
+    def code(i: Int): Column =
+      when(col(s"mx$i") === col(s"mn$i"), lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i)) + 0.5).cast("long"))))
+    def err(i: Int): Column =
+      abs(v(i) - (mn(i) + code(i).cast("double") * (mx(i) - mn(i)) / 255.0))
+
+    e.crossJoin(broadcast(mm))
+      .select(col("vec_id"),
+        code(0).as("code_head"),
+        (0 until QDims).map(code).reduce(_ + _).as("code_sum"),
+        round((0 until QDims).map(err).reduce(_ + _), 6).as("recon_err"))
+  }
+
+  private def int8QuantizeSql: String = {
+    val mmCols = (0 until QDims).flatMap { i =>
+      Seq(s"min(embedding[${i + 1}]) AS mn$i", s"max(embedding[${i + 1}]) AS mx$i")
+    }.mkString(", ")
+    def v(i: Int) = s"cast(embedding[${i + 1}] as double)"
+    def mn(i: Int) = s"cast(mn$i as double)"
+    def mx(i: Int) = s"cast(mx$i as double)"
+    def code(i: Int) =
+      s"(CASE WHEN mx$i = mn$i THEN 0 ELSE least(255, greatest(0, " +
+        s"cast(floor((${v(i)} - ${mn(i)}) * 255.0 / (${mx(i)} - ${mn(i)}) + 0.5) as bigint))) END)"
+    def err(i: Int) =
+      s"abs(${v(i)} - (${mn(i)} + cast(${code(i)} as double) * (${mx(i)} - ${mn(i)}) / 255.0))"
+    s"""WITH mm AS (SELECT $mmCols FROM embeddings)
+       |SELECT vec_id,
+       |  cast(${code(0)} as bigint) AS code_head,
+       |  cast(${(0 until QDims).map(code).mkString("(", " + ", ")")} as bigint) AS code_sum,
+       |  round(${(0 until QDims).map(err).mkString("(", " + ", ")")}, 6) AS recon_err
+       |FROM embeddings, mm""".stripMargin
+  }
+
+  // --------------------------------------------------- corpus k-means
+
+  /** Corpus clustering as a first-class operator (diversity-aware
+    * sampling / cluster-balanced curation / dataset-map summaries):
+    * the SAME sampled-train coarse quantizer the IVF family memoizes
+    * (√N cells, bounded training sample, value-sorted-fold means,
+    * single full assignment pass) exposed as per-cluster summaries —
+    * size plus centroid digests. Nothing new runs when ann_ivf /
+    * ann_ivfpq already executed in-session: this reads the memoized
+    * assignment. Empty cells don't appear (inner join on both
+    * engines). */
+  def kmeansClusters(s: SparkSession, d: String): DataFrame =
+    annAssigned(s, d)
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(broadcast(annCents(s, d)), "cell_id")
+      .select(col("cell_id").cast("int").as("cluster_id"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        round(element_at(col("c_emb"), 1).cast("double"), 6).as("c_head"),
+        round(vector.norm(col("c_emb")), 6).as("c_norm"))
+
+  /** Mirror: the ivfSql training/assignment chain (same builders, so
+    * the two mirrors cannot drift) aggregated per cell. */
+  private def embKmeansSql: String =
+    s"""WITH ${qhashCtes("hh")},
+       |params AS (
+       |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,
+       |         count(*) AS n
+       |  FROM embeddings),
+       |train AS (
+       |  SELECT hh.vec_id, hh.embedding, hh.h,
+       |         ${vector.sql.norm("hh.embedding")} AS nrm
+       |  FROM hh, params
+       |  WHERE $TrainPerCell.0 * params.cells / params.n >= 1.0
+       |     OR hh.h < cast(trunc($TrainPerCell.0 * params.cells / params.n
+       |                          * 1000000007) as bigint)),
+       |seed AS (
+       |  SELECT cast(row_number() OVER (ORDER BY t.h, t.vec_id) - 1 as int) AS cell_id,
+       |         t.embedding AS c_emb, t.nrm AS cnorm
+       |  FROM train t, params p
+       |  QUALIFY row_number() OVER (ORDER BY t.h, t.vec_id) <= p.cells),
+       |${cAssignSql("train", "seed", "a1")},
+       |${cMeansSql("a1", "cent1")},
+       |${cAssignSql("train", "cent1", "a2")},
+       |${cMeansSql("a2", "cent2")},
+       |corpus AS (
+       |  SELECT vec_id, embedding, ${vector.sql.norm("embedding")} AS nrm
+       |  FROM embeddings),
+       |${cAssignSql("corpus", "cent2", "asg")}
+       |SELECT cast(s.cell_id as int) AS cluster_id,
+       |  cast(count(*) as bigint) AS n_vecs,
+       |  round(cast(s.c_emb[1] as double), 6) AS c_head,
+       |  round(${vector.sql.norm("s.c_emb")}, 6) AS c_norm
+       |FROM asg a JOIN cent2 s USING (cell_id)
+       |GROUP BY s.cell_id, s.c_emb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
@@ -1073,7 +1194,9 @@ object AnnOps {
     "ann_ivfpq" -> (ivfpq _),
     "ann_knn_join" -> (knnJoin _),
     "emb_centroid_label" -> (centroidPerLabel _),
-    "emb_normalize" -> (normalizeEmbeddings _))
+    "emb_normalize" -> (normalizeEmbeddings _),
+    "emb_int8_quantize" -> (int8Quantize _),
+    "emb_kmeans" -> (kmeansClusters _))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> bruteForceSql,
@@ -1083,5 +1206,7 @@ object AnnOps {
     "ann_ivfpq" -> ivfpqSql,
     "ann_knn_join" -> knnJoinSql,
     "emb_centroid_label" -> centroidPerLabelSql,
-    "emb_normalize" -> normalizeEmbeddingsSql)
+    "emb_normalize" -> normalizeEmbeddingsSql,
+    "emb_int8_quantize" -> int8QuantizeSql,
+    "emb_kmeans" -> embKmeansSql)
 }

@@ -296,8 +296,59 @@ object PipelineOps {
        |FROM sl""".stripMargin
   }
 
+  private val ShuffleShardSize = 100L
+  private val ShuffleBlocks = 64L
+
+  /** Deterministic global shuffle — the "randomize the training
+    * order" pass every corpus takes before sharding to the trainer:
+    * each doc's position is its rank by (hash(doc_id), doc_id), so
+    * the permutation is reproducible on any engine/partitioning (no
+    * RNG, no global sort): positions come from the SAME two-level
+    * prefix-sum shape as pack_shards, but blocked on HASH RANGES —
+    * the hash is uniform, so the ~|blocks| block sizes are balanced
+    * regardless of doc_id skew. The block-prefix window runs on
+    * ≤ $ShuffleBlocks rows (the §6 bounded-window carve-out); local
+    * ranks run per block in parallel. Output: shard file + offset
+    * within shard, ShardSize docs per shard. */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame = {
+    val M = graft.functions.ihash.M
+    val blkWidth = M / ShuffleBlocks + 1
+    val base = DedupOps.docsParallel(s, d)
+      .select(col("doc_id"),
+        graft.functions.ihash.quad(col("doc_id")).as("h"))
+      .withColumn("blk", expr(s"h div $blkWidth"))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("h"), col("doc_id"))
+    val local = base.withColumn("lrank",
+      row_number().over(wLocal).cast("long") - 1)
+    val blockTotals = base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+    // ≤ ShuffleBlocks rows: single-partition prefix window is bounded
+    val wBlocks = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = blockTotals.withColumn("boff",
+      coalesce(sum(col("bn")).over(wBlocks), lit(0L)))
+    local.join(broadcast(prefixes.select(col("blk"), col("boff"))), "blk")
+      .withColumn("pos", col("boff") + col("lrank"))
+      .select(col("doc_id"), col("h"),
+        expr(s"cast(pos div $ShuffleShardSize as int)").as("shard"),
+        (col("pos") % ShuffleShardSize).cast("int").as("pos_in_shard"))
+  }
+
+  private val corpusShuffleSql = {
+    val hash = graft.functions.ihash.quadSqlNested("doc_id")
+    s"""WITH f AS (SELECT doc_id, $hash AS h FROM documents),
+       |r AS (
+       |  SELECT doc_id, h,
+       |    row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+       |  FROM f)
+       |SELECT doc_id, h,
+       |  cast(pos // $ShuffleShardSize as int) AS shard,
+       |  cast(pos % $ShuffleShardSize as int) AS pos_in_shard
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_chunk" -> (chunkDocs _),
+    "corpus_shuffle" -> (corpusShuffle _),
     "sample_stratified" -> (sampleStratified _),
     "sample_bottomk" -> (sampleBottomK _),
     "pack_shards" -> (packShards _),
@@ -306,6 +357,7 @@ object PipelineOps {
 
   val oracle: Map[String, String] = Map(
     "corpus_chunk" -> chunkDocsSql,
+    "corpus_shuffle" -> corpusShuffleSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_bottomk" -> sampleBottomKSql,
     "pack_shards" -> packShardsSql,

@@ -151,6 +151,37 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"knn-join mean recall vs exact = $mean")
   }
 
+  test("emb_kmeans: every vector lands in exactly one cluster") {
+    val out = AnnOps.kmeansClusters(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == n,
+      "cluster sizes must partition the corpus")
+    val cells = math.max(4, math.sqrt(n.toDouble).toInt)
+    assert(out.length <= cells)
+    assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) < cells))
+    assert(out.forall(_.getDouble(3) > 0.0), "centroid norms must be positive")
+  }
+
+  test("emb_int8_quantize: codes bounded, reconstruction within half-step") {
+    val out = AnnOps.int8Quantize(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n)
+    out.foreach { r =>
+      val head = r.getLong(1); val sum = r.getLong(2); val err = r.getDouble(3)
+      assert(head >= 0 && head <= 255)
+      assert(sum >= 0 && sum <= 255L * 64)
+      assert(err >= 0.0)
+    }
+    // quantization error per dim is at most half a step = (max-min)/510
+    // (+ rounding slack on the 6-dp digest)
+    val mm = Tables.embeddings(spark, sf)
+      .select(explode(col("embedding")).as("v"))
+      .agg(min("v"), max("v")).head()
+    val bound = 64.0 * (mm.getFloat(1) - mm.getFloat(0)) / 510.0 + 1e-5
+    out.foreach(r => assert(r.getDouble(3) <= bound,
+      s"recon_err ${r.getDouble(3)} above half-step bound $bound"))
+  }
+
   test("label centroids: digests match a driver-side mean recompute") {
     val out = AnnOps.centroidPerLabel(spark, sf).collect()
     assert(out.nonEmpty)

@@ -103,4 +103,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampledMean > corpusMean,
       s"sampled mean weight $sampledMean not above corpus mean $corpusMean")
   }
+
+  test("corpus_shuffle is a deterministic permutation in hash order") {
+    val out = PipelineOps.corpusShuffle(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.length == n)
+    // (shard, pos_in_shard) is a bijection onto [0, n)
+    val pos = out.map(r => r.getInt(2).toLong * 100 + r.getInt(3)).sorted
+    assert(pos.sameElements(0L until n), "positions must be 0..n-1 exactly once")
+    // global order equals sort by (h, doc_id) — the declared contract
+    val byPos = out.sortBy(r => (r.getInt(2), r.getInt(3)))
+      .map(r => (r.getLong(1), r.getLong(0)))
+    assert(byPos.sameElements(byPos.sorted),
+      "shard/pos order must equal (hash, doc_id) order")
+    // deterministic across evaluations
+    val again = PipelineOps.corpusShuffle(spark, sf).collect()
+      .map(_.toString).sorted
+    assert(again.sameElements(out.map(_.toString).sorted))
+  }
 }
