@@ -1186,6 +1186,122 @@ object AnnOps {
        |FROM asg a JOIN cent2 s USING (cell_id)
        |GROUP BY s.cell_id, s.c_emb""".stripMargin
 
+  // ------------------------------------------------- kNN classifier
+
+  private val ClsQueries = 50
+  private val ClsK = 5
+
+  /** kNN label propagation — the semi-supervised labeling step a
+    * training-data pipeline uses to spread a small set of curated
+    * quality/topic labels over an unlabeled corpus (the embedding-
+    * space analog of a fastText quality classifier): each query
+    * vector takes the majority label of its ClsK nearest neighbors
+    * (cosine), tiebroken deterministically (votes desc, label asc).
+    * This registered form scores against the exact brute-force
+    * neighbors — the candidate set is the swap-in point for the LSH /
+    * IVF shortlists above when N makes brute force infeasible (same
+    * contract as ann_lsh vs ann_bruteforce). Both ranking stages run
+    * through the bounded-heap top-k operator: no per-query sort, no
+    * global window. */
+  def knnClassify(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.topk
+    val e = DedupOps.embParallel(s, d)
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < ClsQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val scored = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "true_label", "vec_id", "label", "cos")
+    val votes = topk.perKey(scored,
+        keys = Seq("query_id"),
+        order = Seq(topk.Order("cos", ascending = false), topk.Order("vec_id")),
+        k = ClsK)
+      .groupBy(col("query_id"), col("true_label"),
+        col("label").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    topk.perKey(votes,
+        keys = Seq("query_id"),
+        order = Seq(topk.Order("votes", ascending = false),
+          topk.Order("pred_label")),
+        k = 1)
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"))
+  }
+
+  private def knnClassifySql = {
+    val cos = vector.sql.cosine("e.embedding", "q.embedding")
+    s"""WITH nn AS (
+       |  SELECT q.vec_id AS query_id, q.label AS true_label,
+       |         e.label AS pred_label
+       |  FROM embeddings e, embeddings q
+       |  WHERE q.vec_id < $ClsQueries AND e.vec_id <> q.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $cos DESC, e.vec_id) <= $ClsK),
+       |v AS (
+       |  SELECT query_id, true_label, pred_label, count(*) AS votes
+       |  FROM nn GROUP BY 1, 2, 3)
+       |SELECT query_id, true_label, pred_label, cast(votes as bigint) AS votes
+       |FROM v
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY votes DESC, pred_label) = 1""".stripMargin
+  }
+
+  // --------------------------------------------- diversity sampling
+
+  private val DiverseK = 3
+
+  /** Cluster-balanced diversity sampling (the SemDeDup / DataComp
+    * "spread the sample across embedding space" curation step): the
+    * DiverseK lowest-hash vectors per k-means cell, over the SAME
+    * memoized assignment emb_kmeans / the IVF family share — so a
+    * diversity sample costs one bounded-heap top-k over an already-
+    * materialized relation. Deterministic (quad-hash + vec_id
+    * tiebreak), mirrored end-to-end. */
+  def sampleDiverse(s: SparkSession, d: String): DataFrame =
+    graft.functions.topk.perKey(
+      annAssigned(s, d)
+        .select(col("cell_id"), col("vec_id"), qhash(col("vec_id")).as("h")),
+      keys = Seq("cell_id"),
+      order = Seq(graft.functions.topk.Order("h"),
+        graft.functions.topk.Order("vec_id")),
+      k = DiverseK)
+    .select(col("cell_id").cast("int").as("cluster_id"), col("vec_id"),
+      col("h"), col("rank").cast("int").as("rank"))
+
+  /** Mirror: the kmeans chain's `asg` re-joined with the hash CTE. */
+  private def sampleDiverseSql: String =
+    s"""WITH ${qhashCtes("hh")},
+       |params AS (
+       |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,
+       |         count(*) AS n
+       |  FROM embeddings),
+       |train AS (
+       |  SELECT hh.vec_id, hh.embedding, hh.h,
+       |         ${vector.sql.norm("hh.embedding")} AS nrm
+       |  FROM hh, params
+       |  WHERE $TrainPerCell.0 * params.cells / params.n >= 1.0
+       |     OR hh.h < cast(trunc($TrainPerCell.0 * params.cells / params.n
+       |                          * 1000000007) as bigint)),
+       |seed AS (
+       |  SELECT cast(row_number() OVER (ORDER BY t.h, t.vec_id) - 1 as int) AS cell_id,
+       |         t.embedding AS c_emb, t.nrm AS cnorm
+       |  FROM train t, params p
+       |  QUALIFY row_number() OVER (ORDER BY t.h, t.vec_id) <= p.cells),
+       |${cAssignSql("train", "seed", "a1")},
+       |${cMeansSql("a1", "cent1")},
+       |${cAssignSql("train", "cent1", "a2")},
+       |${cMeansSql("a2", "cent2")},
+       |corpus AS (
+       |  SELECT vec_id, embedding, ${vector.sql.norm("embedding")} AS nrm
+       |  FROM embeddings),
+       |${cAssignSql("corpus", "cent2", "asg")}
+       |SELECT cast(a.cell_id as int) AS cluster_id, a.vec_id, hh.h,
+       |  cast(row_number() OVER (PARTITION BY a.cell_id
+       |       ORDER BY hh.h, a.vec_id) as int) AS rank
+       |FROM asg a JOIN hh ON a.vec_id = hh.vec_id
+       |QUALIFY rank <= $DiverseK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
@@ -1196,7 +1312,9 @@ object AnnOps {
     "emb_centroid_label" -> (centroidPerLabel _),
     "emb_normalize" -> (normalizeEmbeddings _),
     "emb_int8_quantize" -> (int8Quantize _),
-    "emb_kmeans" -> (kmeansClusters _))
+    "emb_kmeans" -> (kmeansClusters _),
+    "emb_knn_classify" -> (knnClassify _),
+    "sample_diverse" -> (sampleDiverse _))
 
   val oracle: Map[String, String] = Map(
     "ann_bruteforce" -> bruteForceSql,
@@ -1208,5 +1326,7 @@ object AnnOps {
     "emb_centroid_label" -> centroidPerLabelSql,
     "emb_normalize" -> normalizeEmbeddingsSql,
     "emb_int8_quantize" -> int8QuantizeSql,
-    "emb_kmeans" -> embKmeansSql)
+    "emb_kmeans" -> embKmeansSql,
+    "emb_knn_classify" -> knnClassifySql,
+    "sample_diverse" -> sampleDiverseSql)
 }

@@ -182,6 +182,39 @@ class AnnSpec extends AnyFunSuite {
       s"recon_err ${r.getDouble(3)} above half-step bound $bound"))
   }
 
+  test("emb_knn_classify: one majority-vote prediction per query") {
+    val out = AnnOps.knnClassify(spark, sf).collect()
+    assert(out.length == 50, "one prediction per query vector")
+    assert(out.map(_.getLong(0)).distinct.length == 50)
+    out.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 5, s"votes $votes outside [1, k]")
+    }
+    // label domain closure: predictions are real labels
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().collect().map(_.get(0)).toSet
+    assert(out.forall(r => labels.contains(r.get(2))))
+    // a 3+-vote majority among 5 exact neighbors of a labeled corpus
+    // should recover the query's own label more often than chance
+    val majority = out.count(r => r.getLong(3) >= 3)
+    assert(majority > 0, "no query had a >=3 vote majority")
+  }
+
+  test("sample_diverse: min(k, cluster size) lowest-hash picks per cluster") {
+    val out = AnnOps.sampleDiverse(spark, sf).collect()
+    val sizes = AnnOps.kmeansClusters(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val byCluster = out.groupBy(_.getInt(0))
+    assert(byCluster.keySet == sizes.keySet, "every nonempty cluster sampled")
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.length == math.min(3L, sizes(c)),
+        s"cluster $c: ${rows.length} picks for size ${sizes(c)}")
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+    val again = AnnOps.sampleDiverse(spark, sf).collect().map(_.toString).sorted
+    assert(again.sameElements(out.map(_.toString).sorted))
+  }
+
   test("label centroids: digests match a driver-side mean recompute") {
     val out = AnnOps.centroidPerLabel(spark, sf).collect()
     assert(out.nonEmpty)
