@@ -414,7 +414,58 @@ object EtlOps {
        |FROM events JOIN st USING (event_type)
        |WHERE abs($zscoreZSql) > $ZThreshold""".stripMargin
 
+  private val EwmaLags = 8
+
+  /** EWMA smoothing of the hourly per-type average — the trend line a
+    * telemetry dashboard draws over the raw rollup (the reference's
+    * daily AVG view is the box-car version; this is the exponential
+    * one). Weights are DYADIC (2⁷,2⁶,…,2⁰ over the last 8 observed
+    * points, renormalized over the lags that exist) so the whole
+    * smoothing is a fixed-order IEEE expression over exact hourly
+    * averages — bit-identical across engines, no libm pow. One
+    * window over the same (event_type, hour) ordering the rollup
+    * family already uses; at 100 TB the state is 8 lags per type —
+    * constant memory per partition, no extra shuffle beyond the
+    * rollup's own. */
+  def ewmaSmooth(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        col("event_type"))
+      .agg(xavg(col("value"), 2).as("avg_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+    val terms = (0 until EwmaLags).map { k =>
+      val v = if (k == 0) col("avg_value") else lag(col("avg_value"), k).over(w)
+      (v, lit((1L << (EwmaLags - 1 - k)).toDouble))
+    }
+    val num = terms.map { case (v, wt) =>
+      when(v.isNotNull, v * wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (v, wt) =>
+      when(v.isNotNull, wt).otherwise(lit(0.0)) }.reduce(_ + _)
+    hourly.select(col("hour_ts"), col("event_type"), col("avg_value"),
+      round(num / den, 6).as("ewma_value"))
+  }
+
+  private val ewmaSmoothSql = {
+    def v(k: Int) =
+      if (k == 0) "avg_value" else s"lag(avg_value, $k) OVER w"
+    val num = (0 until EwmaLags).map { k =>
+      s"(CASE WHEN ${v(k)} IS NOT NULL THEN ${v(k)} * ${(1L << (EwmaLags - 1 - k)).toDouble} ELSE 0.0 END)"
+    }.mkString("(", " + ", ")")
+    val den = (0 until EwmaLags).map { k =>
+      s"(CASE WHEN ${v(k)} IS NOT NULL THEN ${(1L << (EwmaLags - 1 - k)).toDouble} ELSE 0.0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH h AS (
+       |  SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_ts, event_type,
+       |    ${oAvg("value", 2)} AS avg_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT hour_ts, event_type, avg_value,
+       |  round($num / $den, 6) AS ewma_value
+       |FROM h
+       |WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_ewma" -> (ewmaSmooth _),
     "etl_zscore_outliers" -> (zscoreOutliers _),
     "etl_validate" -> (validate _),
     "etl_dedup_hour" -> (dedupHour _),
@@ -428,6 +479,7 @@ object EtlOps {
     "etl_profile" -> (profile _))
 
   val oracle: Map[String, String] = Map(
+    "etl_ewma" -> ewmaSmoothSql,
     "etl_zscore_outliers" -> zscoreOutliersSql,
     "etl_validate" -> validateSql,
     "etl_dedup_hour" -> dedupHourSql,

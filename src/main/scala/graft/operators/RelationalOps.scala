@@ -1947,6 +1947,40 @@ object RelationalOps {
        |  $oCount AS n
        |FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------- mode
+
+  /** Per-month modal order priority — exact MODE as distributed
+    * arithmetic: one partial/final count aggregation, then argmax
+    * through the bounded-heap top-k operator (k=1 per month; no
+    * per-group sort, no window). Deterministic tiebreak (count desc,
+    * priority asc) so ties can't flap between engines. At 100 TB the
+    * count agg's shuffle is bounded by |months|×|priorities|, and the
+    * heap stage moves one row per month per partition. */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.topk
+    val counts = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    topk.perKey(counts,
+        keys = Seq("month"),
+        order = Seq(topk.Order("n", ascending = false),
+          topk.Order("o_orderpriority")),
+        k = 1)
+      .select(col("month"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+  }
+
+  private val modePerGroupSql =
+    s"""WITH c AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+       |    $oCount AS n
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT month, o_orderpriority AS mode_priority, n
+       |FROM c
+       |QUALIFY row_number() OVER (PARTITION BY month
+       |  ORDER BY n DESC, o_orderpriority) = 1""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2008,6 +2042,7 @@ object RelationalOps {
     "q_variant" -> (variantExtract _),
     "q_bitmap_distinct" -> (bitmapDistinct _),
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_mode" -> (modePerGroup _),
     "q_unpivot" -> (unpivotMetrics _),
     "q_grouping_id" -> (groupingIdRollup _))
 
@@ -2069,6 +2104,7 @@ object RelationalOps {
     "q_variant" -> variantExtractSql,
     "q_bitmap_distinct" -> bitmapDistinctSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_mode" -> modePerGroupSql,
     "q_unpivot" -> unpivotMetricsSql,
     "q_grouping_id" -> groupingIdRollupSql)
 }

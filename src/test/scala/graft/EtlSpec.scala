@@ -97,4 +97,23 @@ class EtlSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("etl_ewma: convex smoothing of the trailing hourly averages") {
+    val rows = EtlOps.ewmaSmooth(spark, sf)
+      .orderBy(col("event_type"), col("hour_ts")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).values.foreach { tr =>
+      // first observed point: ewma == its own average
+      assert(math.abs(tr.head.getDouble(3) -
+        BigDecimal(tr.head.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      // every point: ewma within [min, max] of the trailing 8 averages
+      tr.zipWithIndex.foreach { case (r, i) =>
+        val windowVals = tr.slice(math.max(0, i - 7), i + 1).map(_.getDouble(2))
+        assert(r.getDouble(3) >= windowVals.min - 1e-6 &&
+          r.getDouble(3) <= windowVals.max + 1e-6,
+          s"ewma ${r.getDouble(3)} outside window bounds at ${r.get(0)}")
+      }
+    }
+  }
 }

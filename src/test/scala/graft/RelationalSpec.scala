@@ -274,4 +274,19 @@ class RelationalSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q_mode: one row per month carrying that month's max count") {
+    val out = RelationalOps.modePerGroup(spark, sf).collect()
+    val maxByMonth = Tables.orders(spark, sf)
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("month").agg(max("n").as("mx"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(out.length == maxByMonth.size, "exactly one mode row per month")
+    out.foreach { r =>
+      assert(r.getLong(2) == maxByMonth(r.get(0)),
+        s"mode count ${r.getLong(2)} is not the month's max")
+    }
+  }
 }
