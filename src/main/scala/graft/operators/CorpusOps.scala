@@ -187,6 +187,47 @@ object CorpusOps {
        |JOIN cc ON d.doc_id = cc.doc_id
        |WHERE qual.quality >= 0.5 AND cc.cluster_id = d.doc_id""".stripMargin
 
+  /** END-TO-END corpus assembly — the whole curation pipeline as ONE
+    * call: quality filter → near-dup cluster representatives
+    * (= clean_corpus, all memo-shared) → deterministic training-order
+    * shuffle (rank by quad-hash via the hash-range-blocked two-level
+    * prefix sum) → fixed-size shard assignment. The output IS the
+    * manifest a trainer consumes: which doc, which shard file, which
+    * position. Every stage is an already-oracled operator; this
+    * composite proves they compose without driver-side glue (one
+    * lazy plan end to end). */
+  def assembleCorpus(s: SparkSession, d: String): DataFrame = {
+    val shardSize = PipelineOps.shuffleShardSize
+    val clean = cleanCorpus(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+      .withColumn("h", graft.functions.ihash.quad(col("doc_id")))
+    PipelineOps.hashRankPositions(clean, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        expr(s"cast(pos div $shardSize as int)").as("shard"),
+        (col("pos") % shardSize).cast("int").as("pos_in_shard"))
+  }
+
+  private def assembleCorpusSql: String = {
+    val hash = graft.functions.ihash.quadSqlNested("doc_id")
+    val shardSize = PipelineOps.shuffleShardSize
+    s"""WITH RECURSIVE $ccCte,
+       |${TextOps.qualityCte},
+       |clean AS (
+       |  SELECT d.doc_id, d.lang, d.source, qual.quality
+       |  FROM documents d
+       |  JOIN qual ON d.doc_id = qual.doc_id
+       |  JOIN cc ON d.doc_id = cc.doc_id
+       |  WHERE qual.quality >= 0.5 AND cc.cluster_id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, lang, source, quality,
+       |    row_number() OVER (ORDER BY $hash, doc_id) - 1 AS pos
+       |  FROM clean)
+       |SELECT doc_id, lang, source, quality,
+       |  cast(pos // $shardSize as int) AS shard,
+       |  cast(pos % $shardSize as int) AS pos_in_shard
+       |FROM r""".stripMargin
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Stand-in eval set: docs with id < this are "the benchmark". A
@@ -272,12 +313,14 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
     "clean_corpus" -> (cleanCorpus _),
+    "assemble_corpus" -> (assembleCorpus _),
     "corpus_decontaminate" -> (decontaminate _),
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersSql,
     "clean_corpus" -> cleanCorpusSql,
+    "assemble_corpus" -> assembleCorpusSql,
     "corpus_decontaminate" -> decontaminateSql,
     "corpus_stats" -> corpusStatsSql)
 }

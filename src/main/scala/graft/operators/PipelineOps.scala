@@ -311,27 +311,38 @@ object PipelineOps {
     * ranks run per block in parallel. Output: shard file + offset
     * within shard, ShardSize docs per shard. */
   def corpusShuffle(s: SparkSession, d: String): DataFrame = {
-    val M = graft.functions.ihash.M
-    val blkWidth = M / ShuffleBlocks + 1
     val base = DedupOps.docsParallel(s, d)
       .select(col("doc_id"),
         graft.functions.ihash.quad(col("doc_id")).as("h"))
-      .withColumn("blk", expr(s"h div $blkWidth"))
-    val wLocal = Window.partitionBy(col("blk")).orderBy(col("h"), col("doc_id"))
+    hashRankPositions(base, "doc_id")
+      .select(col("doc_id"), col("h"),
+        expr(s"cast(pos div $ShuffleShardSize as int)").as("shard"),
+        (col("pos") % ShuffleShardSize).cast("int").as("pos_in_shard"))
+  }
+
+  /** Adds `pos` = 0-based global rank by (`h`, `idCol`) to a frame
+    * that already carries an `h` hash column — the hash-range-blocked
+    * two-level prefix sum corpus_shuffle and assemble_corpus share:
+    * uniform hash blocks balance regardless of id skew, local ranks
+    * run per block in parallel, and the block-prefix window touches
+    * ≤ ShuffleBlocks rows (the §6 bounded-window carve-out). */
+  private[operators] def hashRankPositions(df: DataFrame, idCol: String): DataFrame = {
+    val blkWidth = graft.functions.ihash.M / ShuffleBlocks + 1
+    val base = df.withColumn("blk", expr(s"h div $blkWidth"))
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("h"), col(idCol))
     val local = base.withColumn("lrank",
       row_number().over(wLocal).cast("long") - 1)
     val blockTotals = base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
-    // ≤ ShuffleBlocks rows: single-partition prefix window is bounded
     val wBlocks = Window.orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = blockTotals.withColumn("boff",
       coalesce(sum(col("bn")).over(wBlocks), lit(0L)))
     local.join(broadcast(prefixes.select(col("blk"), col("boff"))), "blk")
       .withColumn("pos", col("boff") + col("lrank"))
-      .select(col("doc_id"), col("h"),
-        expr(s"cast(pos div $ShuffleShardSize as int)").as("shard"),
-        (col("pos") % ShuffleShardSize).cast("int").as("pos_in_shard"))
+      .drop("blk", "lrank", "boff")
   }
+
+  private[operators] def shuffleShardSize: Long = ShuffleShardSize
 
   private val corpusShuffleSql = {
     val hash = graft.functions.ihash.quadSqlNested("doc_id")

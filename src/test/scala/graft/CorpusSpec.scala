@@ -83,4 +83,19 @@ class CorpusSpec extends AnyFunSuite {
     val direct = docs.filter(col("source") === one.getString(0)).count()
     assert(direct == one.getLong(1))
   }
+
+  test("assemble_corpus: clean_corpus rows, shuffled into dense shards") {
+    val out = CorpusOps.assembleCorpus(spark, sf).collect()
+    val clean = CorpusOps.cleanCorpus(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == clean,
+      "assembled manifest must carry exactly the clean corpus")
+    // (shard, pos) is a dense 0-based enumeration
+    val pos = out.map(r => r.getInt(4).toLong * 100 + r.getInt(5)).sorted
+    assert(pos.sameElements(0L until out.length.toLong))
+    // deterministic across evaluations
+    val again = CorpusOps.assembleCorpus(spark, sf).collect()
+      .map(_.toString).sorted
+    assert(again.sameElements(out.map(_.toString).sorted))
+  }
 }
