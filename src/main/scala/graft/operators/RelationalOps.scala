@@ -1537,6 +1537,66 @@ object RelationalOps {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
       |  ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin
 
+  // ------------------------------------------------- range (interval) join
+
+  /** Incident-window width. Bucket width below EQUALS the window
+    * width, so every interval spans at most two buckets. */
+  private val RangeJoinWindowSec = 600L
+
+  /** RANGE (point-in-interval) join: count the clicks falling inside
+    * the 10-minute incident window opened by each error event of the
+    * same user. Single-node engines express this as a plain
+    * inequality join; Spark would plan that as a broadcast
+    * nested-loop — quadratic per user at scale.
+    *
+    * Spark-first shape: band both sides into fixed time buckets the
+    * width of the interval. An interval [s, s+W) overlaps exactly
+    * buckets ⌊s/W⌋ and ⌊s/W⌋+1, so each error is emitted under both;
+    * clicks carry their single bucket; the join becomes a shuffled
+    * EQUI-join on (user_id, bucket) with the exact containment
+    * predicate evaluated inside it. Candidate pairs per (user,
+    * bucket) are bounded by local event density — never O(N²) — and
+    * AQE sizes the shuffle like any other hash join. Errors with no
+    * clicks survive via the final left join against the error set
+    * (cheap: both sides are keyed by the error's event_id). */
+  def rangeJoin(s: SparkSession, d: String): DataFrame =
+    rangeJoinImpl(Tables.events(s, d))
+
+  private[graft] def rangeJoinImpl(ev: DataFrame): DataFrame = {
+    val w = RangeJoinWindowSec
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("error_ts"))
+    val banded = errors
+      .withColumn("bucket",
+        explode(array(expr(s"unix_timestamp(error_ts) div $w"),
+          expr(s"unix_timestamp(error_ts) div $w + 1"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        expr(s"unix_timestamp(ts) div $w").as("c_bucket"))
+    val pairs = banded.join(clicks,
+        col("c_user") === col("user_id") && col("c_bucket") === col("bucket") &&
+          col("c_ts") >= col("error_ts") &&
+          col("c_ts") < col("error_ts") + expr(s"INTERVAL $w SECOND"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("hits"))
+    errors.join(pairs, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("error_ts"),
+        coalesce(col("hits"), lit(0L)).as("n_clicks"))
+  }
+
+  private val rangeJoinSql =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, cast(ts as timestamp) AS error_ts
+       |  FROM events WHERE event_type = 'error'),
+       |c AS (
+       |  SELECT user_id, cast(ts as timestamp) AS c_ts
+       |  FROM events WHERE event_type = 'click')
+       |SELECT e.event_id, e.user_id, e.error_ts,
+       |  count(c.c_ts) AS n_clicks
+       |FROM e LEFT JOIN c
+       |  ON c.user_id = e.user_id AND c.c_ts >= e.error_ts
+       | AND c.c_ts < e.error_ts + INTERVAL $RangeJoinWindowSec SECOND
+       |GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------- exact percentiles
 
   /** EXACT per-group percentiles (complement of q_approx_stats'
@@ -2019,6 +2079,7 @@ object RelationalOps {
     "q_corr_subquery" -> (corrSubquery _),
     "q_salted_agg" -> (saltedAgg _),
     "q_asof_join" -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _),
     "q_approx_stats" -> (approxStats _),
     "q_percentiles" -> (percentiles _),
     "q_fuzzy_join" -> (fuzzyJoin _),
@@ -2082,6 +2143,7 @@ object RelationalOps {
     "q_corr_subquery" -> corrSubquerySql,
     "q_salted_agg" -> saltedAggSql,
     "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
     "q_percentiles" -> percentilesSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_window_rank" -> windowRankSql,

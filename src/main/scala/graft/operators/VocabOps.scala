@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.text
+import graft.functions.{text, topk}
 
 /** §2.E — corpus-level vocabulary statistics over `documents`.
   *
@@ -378,7 +379,56 @@ object VocabOps {
        |LIMIT $PmiTopK""".stripMargin
   }
 
+  private val CoverageTopK = 30
+
+  /** Vocabulary coverage curve: the top-K tokens by corpus frequency
+    * with each token's CUMULATIVE share of all token occurrences —
+    * the "how big must the vocab be to cover X% of the stream"
+    * tokenizer-design question, and the head of the Zipf plot.
+    *
+    * Shape: one tokenize+explode pass collapses map-side into
+    * (token, cnt); the global top-K routes through the bounded-heap
+    * operator (every partition surrenders at most K candidates — no
+    * full sort, no single-reducer funnel on the full vocabulary);
+    * the cumulative sum then runs over exactly K rows (bounded by
+    * construction). The share is published in integer ppm
+    * (cum·1e6 div total) so both engines agree bit-for-bit. */
+  def coverage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    val tc = docs
+      .select(explode(text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val tot = tc.agg(sum(col("cnt")).as("total"))
+    val top = topk.perKey(tc.withColumn("g", lit(1)), Seq("g"),
+      Seq(topk.Order("cnt", ascending = false), topk.Order("token")),
+      CoverageTopK)
+    // window over ≤ CoverageTopK rows — bounded by construction
+    val w = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("cum * 1000000 div total").as("cum_ppm"))
+  }
+
+  private val coverageSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+       |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS total FROM tc),
+       |r AS (
+       |  SELECT token, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, token) AS rank
+       |  FROM tc
+       |  QUALIFY rank <= $CoverageTopK)
+       |SELECT rank, token, cnt,
+       |  sum(cnt) OVER (ORDER BY rank) * 1000000 // total AS cum_ppm
+       |FROM r, tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_coverage" -> (coverage _),
     "vocab_pmi" -> (pmi _),
     "vocab_df" -> (docFreq _),
     "doc_tfidf" -> (docTfidf _),
@@ -387,6 +437,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_coverage" -> coverageSql,
     "vocab_pmi" -> pmiSql,
     "vocab_df" -> docFreqSql,
     "doc_tfidf" -> docTfidfSql,

@@ -289,4 +289,26 @@ class RelationalSpec extends AnyFunSuite {
         s"mode count ${r.getLong(2)} is not the month's max")
     }
   }
+
+  test("range join: banding covers window edges, bucket crossings, and empty windows") {
+    import spark.implicits._
+    // error window = [ts, ts+600s); bucket width is also 600s, so a
+    // window almost always straddles two buckets — every case below
+    // targets one edge of that banding
+    val ev = Seq(
+      (100L, 1L, "error", "2024-01-01 00:05:00"),
+      (101L, 1L, "click", "2024-01-01 00:05:00"), // == start: counted
+      (102L, 1L, "click", "2024-01-01 00:09:59"), // same bucket, inside
+      (103L, 1L, "click", "2024-01-01 00:12:00"), // NEXT bucket, inside
+      (104L, 1L, "click", "2024-01-01 00:15:00"), // == end: excluded
+      (105L, 1L, "click", "2024-01-01 00:04:59"), // same bucket, before start
+      (106L, 2L, "error", "2024-01-01 01:00:00"), // no clicks at all
+      (107L, 3L, "click", "2024-01-01 00:06:00")) // other user, inside window
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val out = RelationalOps.rangeJoinImpl(ev).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_clicks")).toMap
+    assert(out == Map(100L -> 3L, 106L -> 0L))
+  }
 }

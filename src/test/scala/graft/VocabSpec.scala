@@ -200,4 +200,30 @@ class VocabSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("coverage: cum_ppm strictly increasing, counts desc, agrees with a recount") {
+    val rows = VocabOps.coverage(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 30)
+    // counts non-increasing with rank, cumulative share strictly increasing, <= 1e6
+    rows.sliding(2).foreach {
+      case Array((_, _, c1, p1), (_, _, c2, p2)) =>
+        assert(c1 >= c2, "counts must be non-increasing in rank")
+        assert(p2 > p1, "cumulative ppm must strictly increase")
+      case _ =>
+    }
+    assert(rows.last._4 <= 1000000L)
+    // driver recount of the full token stream pins cnt and the ppm math
+    val counts = Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val total = counts.values.sum
+    var cum = 0L
+    rows.foreach { case (_, tok, cnt, ppm) =>
+      assert(counts(tok) == cnt, s"count mismatch for $tok")
+      cum += cnt
+      assert(ppm == cum * 1000000L / total, s"ppm mismatch for $tok")
+    }
+  }
 }
