@@ -1597,6 +1597,46 @@ object RelationalOps {
        | AND c.c_ts < e.error_ts + INTERVAL $RangeJoinWindowSec SECOND
        |GROUP BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------- skyline
+
+  /** 2-D skyline (Pareto frontier): the quantity/price trade-off
+    * points no other line item dominates (more quantity for at most
+    * the same price). The naive formulation is a quadratic NOT
+    * EXISTS self-join; the scale shape here reduces first — one
+    * partial/final aggregation to (quantity level, min price), whose
+    * cardinality is the QUANTITY DOMAIN (~50), not the table — and
+    * only then runs the running-min dominance scan over those few
+    * rows. The final window is partition-less but bounded by
+    * construction (|distinct l_quantity|), the same documented
+    * pattern as the ANN seed windows. No float summation anywhere:
+    * min/comparisons only, so cross-engine exactness is free. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val levels = Tables.lineitem(s, d)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(col("l_quantity"))
+      .agg(min(col("l_extendedprice")).as("best_price"))
+    // dominated iff a strictly larger quantity is available at <= price
+    val w = Window.orderBy(col("l_quantity").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    levels
+      .withColumn("pmin", min(col("best_price")).over(w))
+      .filter(col("pmin").isNull || col("pmin") > col("best_price"))
+      .select(col("l_quantity"), col("best_price"))
+  }
+
+  private val skylineSql =
+    """WITH q AS (
+      |  SELECT l_quantity, min(l_extendedprice) AS best_price
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT l_quantity, best_price FROM (
+      |  SELECT l_quantity, best_price,
+      |    min(best_price) OVER (ORDER BY l_quantity DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+      |  FROM q)
+      |WHERE pmin IS NULL OR pmin > best_price""".stripMargin
+
   // ------------------------------------------------- exact percentiles
 
   /** EXACT per-group percentiles (complement of q_approx_stats'
@@ -2080,6 +2120,7 @@ object RelationalOps {
     "q_salted_agg" -> (saltedAgg _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
+    "q_skyline" -> (skyline _),
     "q_approx_stats" -> (approxStats _),
     "q_percentiles" -> (percentiles _),
     "q_fuzzy_join" -> (fuzzyJoin _),
@@ -2144,6 +2185,7 @@ object RelationalOps {
     "q_salted_agg" -> saltedAggSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
+    "q_skyline" -> skylineSql,
     "q_percentiles" -> percentilesSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_window_rank" -> windowRankSql,

@@ -116,4 +116,29 @@ class EtlSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mad outliers: median/MAD/outlier counts match an exact driver recompute") {
+    val out = EtlOps.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    val byType = Tables.events(spark, sf).collect()
+      .filter(!_.isNullAt(4))
+      .map(r => r.getString(3) -> math.round(r.getDouble(4) * 100))
+      .groupBy(_._1).map { case (t, a) => t -> a.map(_._2).sorted }
+    def med2(xs: Array[Long]): Long =
+      if (xs.length % 2 == 1) 2 * xs(xs.length / 2)
+      else xs(xs.length / 2 - 1) + xs(xs.length / 2)
+    byType.foreach { case (t, cents) =>
+      val (n, medV, madV, nOut) = out(t)
+      assert(n == cents.length)
+      val m2 = med2(cents)
+      assert(medV == m2 / 200.0, s"$t median")
+      val dev2 = cents.map(c => math.abs(2 * c - m2)).sorted
+      val m4 = med2(dev2)
+      assert(madV == m4 / 400.0, s"$t mad")
+      assert(nOut == dev2.count(d => 2 * d > 3 * m4).toLong, s"$t outliers")
+      assert(nOut > 0 && nOut < n, s"$t rule should be non-vacuous on this corpus")
+    }
+  }
 }

@@ -311,4 +311,19 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getAs[Long]("n_clicks")).toMap
     assert(out == Map(100L -> 3L, 106L -> 0L))
   }
+
+  test("skyline: exactly the undominated (quantity, min price) levels survive") {
+    val levels = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy("l_quantity").agg(min("l_extendedprice").as("p"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    def dominated(q: Double, p: Double) =
+      levels.exists { case (q2, p2) => q2 > q && p2 <= p }
+    val expected = levels.filterNot((dominated _).tupled).toMap
+    val got = RelationalOps.skyline(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+    assert(got.size >= 2 && got.size < levels.length,
+      "frontier should prune some levels but keep the max-quantity one")
+  }
 }
