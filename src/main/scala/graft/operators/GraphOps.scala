@@ -116,9 +116,94 @@ object GraphOps {
        |WHERE t.node % 2 = 1""".stripMargin
   }
 
+  private val BfsRounds = 4
+
+  /** BFS hop-distance histogram from the minimum-id node of the
+    * customer↔supplier graph — the reachability companion to
+    * PageRank (how many hops until the whole graph is covered; the
+    * "how connected is this marketplace" diagnostic).
+    *
+    * Same loop skeleton as PageRank: per round, one join of the
+    * frontier to the edge list + one min-aggregation on dst, rounds
+    * unrolled lazily against the once-checkpointed edge list. All
+    * distances are integers; min/+1 is exact under any partitioning,
+    * so the DuckDB mirror reproduces every round bit-for-bit. The
+    * three-way CASE (not `least`) keeps NULL semantics identical in
+    * both engines. Unreached nodes report hops = −1. */
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"))
+      .distinct()
+      .localCheckpoint()
+    val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seed = nodes.agg(min(col("node")).as("sn"))
+
+    var dist = nodes.crossJoin(broadcast(seed))
+      .select(col("node"),
+        when(col("node") === col("sn"), 0L).otherwise(lit(null).cast("long"))
+          .as("dist"))
+    (1 to BfsRounds).foreach { _ =>
+      val next = edges
+        .join(dist.filter(col("dist").isNotNull), edges("src") === dist("node"))
+        .select(col("dst"), (col("dist") + 1L).as("cand"))
+        .groupBy("dst").agg(min(col("cand")).as("nd"))
+      dist = dist.join(next, dist("node") === next("dst"), "left")
+        .select(dist("node"),
+          when(col("dist").isNull, col("nd"))
+            .when(col("nd").isNull, col("dist"))
+            .when(col("nd") < col("dist"), col("nd"))
+            .otherwise(col("dist")).as("dist"))
+    }
+    dist.groupBy(coalesce(col("dist"), lit(-1L)).as("hops"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  private val bfsSql = {
+    def iter(prev: String, out: String): String =
+      s"""${out}_f AS (
+         |  SELECT e.dst AS node, min(p.dist) + 1 AS nd
+         |  FROM edges0 e JOIN $prev p ON e.src = p.node
+         |  WHERE p.dist IS NOT NULL
+         |  GROUP BY e.dst),
+         |$out AS (
+         |  SELECT n.node,
+         |    CASE WHEN n.dist IS NULL THEN f.nd
+         |         WHEN f.nd IS NULL THEN n.dist
+         |         WHEN f.nd < n.dist THEN f.nd
+         |         ELSE n.dist END AS dist
+         |  FROM $prev n LEFT JOIN ${out}_f f ON n.node = f.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
+       |         l.l_suppkey * 2 + 1 AS supp_node
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |edges0 AS (
+       |  SELECT cust_node AS src, supp_node AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp_node AS src, cust_node AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges0),
+       |d0 AS (
+       |  SELECT node,
+       |    CASE WHEN node = (SELECT min(node) FROM nodes)
+       |         THEN cast(0 as bigint) ELSE NULL END AS dist
+       |  FROM nodes),
+       |${iter("d0", "d1")},
+       |${iter("d1", "d2")},
+       |${iter("d2", "d3")},
+       |${iter("d3", "d4")}
+       |SELECT coalesce(dist, -1) AS hops, count(*) AS n_nodes
+       |FROM d4 GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank_supplier" -> (pagerankSupplier _))
+    "q_pagerank_supplier" -> (pagerankSupplier _),
+    "q_bfs_hops" -> (bfsHops _))
 
   val oracle: Map[String, String] = Map(
-    "q_pagerank_supplier" -> pagerankSql)
+    "q_pagerank_supplier" -> pagerankSql,
+    "q_bfs_hops" -> bfsSql)
 }

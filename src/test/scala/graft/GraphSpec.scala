@@ -42,4 +42,29 @@ class GraphSpec extends AnyFunSuite {
       assert(a == b, "nanorank arithmetic must not depend on partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("bfs hops: histogram matches a driver-side BFS over the same graph") {
+    val got = GraphOps.bfsHops(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver BFS
+    val pairs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, a) => k -> a.map(_._2) }
+    val seed = adj.keys.min
+    val dist = collection.mutable.Map(seed -> 0L)
+    var frontier = Seq(seed)
+    (1 to 4).foreach { h =>
+      frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+      frontier.foreach(dist(_) = h.toLong)
+    }
+    val expected = adj.keys.toSeq
+      .map(n => dist.getOrElse(n, -1L))
+      .groupBy(identity).map { case (h, a) => h -> a.length.toLong }
+    assert(got == expected)
+    assert(got.keys.exists(_ >= 1), "the seed must reach beyond itself")
+    assert(got.values.sum == adj.size, "every node appears exactly once")
+  }
 }
