@@ -528,6 +528,116 @@ object EtlOps {
        |WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)""".stripMargin
   }
 
+  // ------------------------------------------------ gaps and islands
+
+  /** Gaps-and-islands over telemetry continuity: the maximal runs of
+    * consecutive observed hours per event type — the inverse view of
+    * `etl_gap_fill` (instead of filling the holes, report the
+    * unbroken uptime stretches and their extent: the downtime report
+    * an operator reads before anything else). Classic islands
+    * construction: a distinct (type, epoch-hour) row's hour minus its
+    * per-type rank is constant exactly within a consecutive run. One
+    * distinct + one keyed window + one partial/final aggregation —
+    * all integer epoch-hour arithmetic, and the window partitions
+    * carry at most the CALENDAR's hour count per type (8.8k/year)
+    * regardless of event volume, so the shape is flat at 100 TB. */
+  def islands(s: SparkSession, d: String): DataFrame = {
+    val hours = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hours
+      .withColumn("grp", col("h") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hour_ts")).as("island_start"),
+        max(col("hour_ts")).as("island_end"),
+        count(lit(1)).as("n_hours"))
+      .select(col("event_type"), col("island_start"), col("island_end"),
+        col("n_hours"))
+  }
+
+  private val islandsSql =
+    """WITH hrs AS (
+      |  SELECT DISTINCT event_type,
+      |    cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, hour_ts,
+      |    h - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+      |  FROM hrs)
+      |SELECT event_type,
+      |  min(hour_ts) AS island_start,
+      |  max(hour_ts) AS island_end,
+      |  cast(count(*) as bigint) AS n_hours
+      |FROM g GROUP BY event_type, grp""".stripMargin
+
+  // ------------------------------------------------ lateness accounting
+
+  private val LateAllowSec = 900L
+  private val LateBlocks = 32L
+
+  /** Watermark lateness accounting: how many events arrived more than
+    * 15 minutes behind the high-water mark (max event-time seen over
+    * the ARRIVAL order so far) — the batch audit that sizes a
+    * streaming watermark (`withWatermark` delay) before deploying the
+    * streaming jobs in §2.G: n_late IS the count the state store
+    * would drop at that delay. The running max over global arrival
+    * order (event_id = ingest sequence) is NOT a single-partition
+    * window: arrival ids block into 32 contiguous ranges — per-block
+    * running max in parallel, then a prefix max over the ≤32 block
+    * maxima (the §6 bounded-window carve-out), recombined with
+    * Spark's null-skipping greatest(). Integer epoch seconds
+    * end-to-end, so both engines flag identical rows. */
+  def lateArrivals(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_timestamp(ts)").as("tse"))
+    val bounds = base.agg(min(col("event_id")).as("lo"),
+      max(col("event_id")).as("hi"))
+    val withBlk = base.crossJoin(broadcast(bounds))
+      .withColumn("span",
+        greatest(floor((col("hi") - col("lo") + 1) / LateBlocks), lit(1L)))
+      .withColumn("blk", floor((col("event_id") - col("lo")) / col("span")))
+      .drop("lo", "hi", "span")
+    val wLocal = Window.partitionBy(col("blk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBlocks = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockMax = withBlk.groupBy(col("blk"))
+      .agg(max(col("tse")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wBlocks))
+      .select(col("blk"), col("pmax"))
+    val flagged = withBlk
+      .withColumn("lmax", max(col("tse")).over(wLocal))
+      .join(broadcast(blockMax), Seq("blk"))
+      .withColumn("hwm", greatest(col("lmax"), col("pmax")))
+      .withColumn("is_late",
+        col("hwm").isNotNull && col("tse") < col("hwm") - LateAllowSec)
+    flagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("is_late"), col("hwm") - col("tse"))).as("max_behind_sec"))
+  }
+
+  private val lateArrivalsSql =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS tse
+       |  FROM events),
+       |hw AS (
+       |  SELECT event_type, tse,
+       |    max(tse) OVER (ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+       |  FROM e)
+       |SELECT event_type, $oCount AS n_events,
+       |  cast(sum(CASE WHEN hwm IS NOT NULL AND tse < hwm - $LateAllowSec
+       |               THEN 1 ELSE 0 END) as bigint) AS n_late,
+       |  cast(max(CASE WHEN hwm IS NOT NULL AND tse < hwm - $LateAllowSec
+       |               THEN hwm - tse END) as bigint) AS max_behind_sec
+       |FROM hw GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_ewma" -> (ewmaSmooth _),
     "etl_zscore_outliers" -> (zscoreOutliers _),
@@ -541,7 +651,9 @@ object EtlOps {
     "etl_freshness" -> (freshness _),
     "etl_gap_fill" -> (gapFill _),
     "etl_interpolate" -> (interpolate _),
-    "etl_profile" -> (profile _))
+    "etl_profile" -> (profile _),
+    "etl_islands" -> (islands _),
+    "etl_late_arrivals" -> (lateArrivals _))
 
   val oracle: Map[String, String] = Map(
     "etl_ewma" -> ewmaSmoothSql,
@@ -556,5 +668,7 @@ object EtlOps {
     "etl_freshness" -> freshnessSql,
     "etl_gap_fill" -> gapFillSql,
     "etl_interpolate" -> interpolateSql,
-    "etl_profile" -> profileSql)
+    "etl_profile" -> profileSql,
+    "etl_islands" -> islandsSql,
+    "etl_late_arrivals" -> lateArrivalsSql)
 }

@@ -357,7 +357,66 @@ object PipelineOps {
        |FROM r""".stripMargin
   }
 
+  // ---------------------------------------------------- token budget
+
+  private val BudgetDenom = 3L
+
+  /** Token-budget corpus cut: rank the corpus in deterministic
+    * hash-shuffled order (the same engine-reproducible order
+    * corpus_shuffle trains in) and keep the PREFIX whose cumulative
+    * token count fits the budget — here total/3, a scale-free
+    * fraction so the operator stays meaningful at any SF. This is the
+    * "trim the corpus to N tokens" step every training run ends with;
+    * doing it on the shuffled order (not doc order) makes the cut an
+    * unbiased subsample. The global cumulative sum is the two-level
+    * hash-blocked prefix sum shared with corpus_shuffle — per-block
+    * window sums in parallel, one ≤ShuffleBlocks-row offset window,
+    * broadcast offsets re-joined — so no single-partition window
+    * anywhere; the budget itself is a 1-row broadcast. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(text.tokens(col("text"))).cast("long").as("n_tok"),
+        graft.functions.ihash.quad(col("doc_id")).as("h"))
+    val blkWidth = graft.functions.ihash.M / ShuffleBlocks + 1
+    val withBlk = base.withColumn("blk", expr(s"h div $blkWidth"))
+    val wLocal = Window.partitionBy(col("blk"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withBlk.groupBy(col("blk"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .withColumn("boff", coalesce(sum(col("btok")).over(wBlocks), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val total = base.agg(sum(col("n_tok")).as("total_tok"))
+    withBlk
+      .withColumn("lcum", sum(col("n_tok")).over(wLocal))
+      .join(broadcast(offsets), Seq("blk"))
+      .withColumn("cum_tok", col("boff") + col("lcum"))
+      .crossJoin(broadcast(total))
+      .filter(col("cum_tok") - col("n_tok") < expr(s"total_tok div $BudgetDenom"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("cum_tok"))
+  }
+
+  private val tokenBudgetSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val hash = graft.functions.ihash.quadSqlNested("doc_id")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, cast(len($toks) as bigint) AS n_tok, $hash AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    sum(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+       |      AS cum_tok,
+       |    sum(n_tok) OVER () AS total_tok
+       |  FROM t)
+       |SELECT doc_id, lang, n_tok, cast(cum_tok as bigint) AS cum_tok
+       |FROM c WHERE cum_tok - n_tok < total_tok // $BudgetDenom""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget" -> (tokenBudget _),
     "corpus_chunk" -> (chunkDocs _),
     "corpus_shuffle" -> (corpusShuffle _),
     "sample_stratified" -> (sampleStratified _),
@@ -367,6 +426,7 @@ object PipelineOps {
     "sample_weighted" -> (sampleWeighted _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_token_budget" -> tokenBudgetSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "sample_stratified" -> sampleStratifiedSql,

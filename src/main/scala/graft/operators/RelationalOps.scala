@@ -1986,6 +1986,164 @@ object RelationalOps {
        |FROM orders
        |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin
 
+  // ------------------------------------------------------------- cube
+
+  /** GROUP BY CUBE — the full 2^k grouping lattice over
+    * (priority, status), completing the grouping surface
+    * (q_rollup_nation covers the prefix chain, q_grouping_sets the
+    * explicit list, q_grouping_id the bitmask contract). Like the
+    * others, the 4-way set fan-out happens inside ONE partial/final
+    * aggregation — Catalyst expands the sets map-side, so the only
+    * shuffle is the final |lattice|·|groups| rows, not extra scans. */
+  def cubeOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        xsum(col("o_totalprice"), 2).as("sum_price"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"),
+        col("n"), col("sum_price"))
+
+  private val cubeOrdersSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  cast(grouping(o_orderpriority, o_orderstatus) as bigint) AS gid,
+       |  $oCount AS n,
+       |  ${oSum("o_totalprice", 2)} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
+  // ------------------------------------------------------ bloom prune
+
+  private[operators] val BloomBits = 4096L
+  private[operators] val BloomHashes = 3
+
+  /** Bloom-filter join pruning — the 100 TB pattern where a big fact
+    * scan is pre-filtered by a FIXED-SIZE membership sketch of a
+    * selective dimension key set instead of paying the full join for
+    * every row: premium customers (top acctbal) hash into a 4096-bit
+    * Bloom filter (k=3, engine-reproducible ihash positions); each
+    * order probes the filter and only Bloom-positive orders reach the
+    * exact join, which here runs ONLY to label true/false positives.
+    * The filter is represented as the ≤4096-row distinct-position
+    * table — broadcast, like Spark's own runtime bloom pruning — and
+    * the k probe hashes are a narrow 3× fan-out inside the scan
+    * stage. Guarantee under test: zero false negatives (every real
+    * premium order passes), false positives bounded by the fill
+    * ratio. At 100× data the sketch stays 4096 bits; only the
+    * pruned survivor set grows. */
+  def bloomPrune(s: SparkSession, d: String): DataFrame = {
+    val premium = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9500.0)
+      .select(col("c_custkey"))
+    val hashIdx = array((0 until BloomHashes).map(lit): _*)
+    val bits = premium
+      .select(col("c_custkey"), explode(hashIdx).as("i"))
+      .select((graft.functions.ihash.quad(
+        col("c_custkey") * BloomHashes + col("i")) % BloomBits).as("pos"))
+      .distinct()
+    val pass = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .select(col("*"), explode(hashIdx).as("i"))
+      .withColumn("pos", graft.functions.ihash.quad(
+        col("o_custkey") * BloomHashes + col("i")) % BloomBits)
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === BloomHashes)
+    pass
+      .join(broadcast(premium.withColumn("is_prem", lit(1L))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_bloom_pass"),
+        sum(coalesce(col("is_prem"), lit(0L))).as("n_premium"),
+        sum(when(col("is_prem").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+  }
+
+  private val bloomPruneSql = {
+    val hc = graft.functions.ihash.quadSqlNested(s"c_custkey*$BloomHashes + i.i")
+    val ho = graft.functions.ihash.quadSqlNested(s"o_custkey*$BloomHashes + i.i")
+    s"""WITH premium AS (
+       |  SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0),
+       |idx(i) AS (VALUES (0),(1),(2)),
+       |bits AS (
+       |  SELECT DISTINCT ($hc) % $BloomBits AS pos FROM premium, idx AS i),
+       |pass AS (
+       |  SELECT o_orderkey, o_custkey, o_orderpriority
+       |  FROM orders, idx AS i
+       |  WHERE (($ho) % $BloomBits) IN (SELECT pos FROM bits)
+       |  GROUP BY 1, 2, 3
+       |  HAVING count(*) = $BloomHashes)
+       |SELECT o_orderpriority,
+       |  $oCount AS n_bloom_pass,
+       |  cast(sum(CASE WHEN EXISTS (SELECT 1 FROM premium p
+       |                             WHERE p.c_custkey = pass.o_custkey)
+       |               THEN 1 ELSE 0 END) as bigint) AS n_premium,
+       |  cast(sum(CASE WHEN EXISTS (SELECT 1 FROM premium p
+       |                             WHERE p.c_custkey = pass.o_custkey)
+       |               THEN 0 ELSE 1 END) as bigint) AS n_false_pos
+       |FROM pass GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------- count-min sketch
+
+  private[operators] val CmsDepth = 3
+  private[operators] val CmsWidth = 256L
+  private val CmsTopK = 25
+
+  /** Count-min frequency estimation — the second fixed-size frequency
+    * sketch next to q_heavy_hitters' Misra-Gries: depth×width (3×256)
+    * counters, each event incrementing one counter per row via the
+    * engine-reproducible ihash, estimate = min over rows. The sketch
+    * build is ONE partial/final aggregation whose final state is ≤768
+    * cells REGARDLESS of corpus size (the map-side partials are the
+    * per-partition sketches, merged by addition — exactly the CMS
+    * merge law), so at 100 TB the shuffle carries a few KB per
+    * partition. The top-25 exact counts (TakeOrdered) join the
+    * broadcast sketch for the estimate column; CMS guarantees
+    * n_est ≥ n_exact (spec-asserted), overshoot bounded by the
+    * ~N/width collision mass. */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull).select(col("user_id"))
+    val rowIdx = array((0 until CmsDepth).map(lit): _*)
+    val cells = ev
+      .select(col("user_id"), explode(rowIdx).as("r"))
+      .withColumn("c", graft.functions.ihash.quad(
+        col("user_id") * CmsDepth + col("r")) % CmsWidth)
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(CmsTopK)
+    top
+      .select(col("user_id"), col("n_exact"), explode(rowIdx).as("r"))
+      .withColumn("c", graft.functions.ihash.quad(
+        col("user_id") * CmsDepth + col("r")) % CmsWidth)
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+  }
+
+  private val cmsFreqSql = {
+    val hBuild = graft.functions.ihash.quadSqlNested(s"user_id*$CmsDepth + r.r")
+    val hProbe = graft.functions.ihash.quadSqlNested(s"t.user_id*$CmsDepth + r.r")
+    s"""WITH r(r) AS (VALUES (0),(1),(2)),
+       |cells AS (
+       |  SELECT r.r AS r, ($hBuild) % $CmsWidth AS c, count(*) AS cnt
+       |  FROM events, r WHERE user_id IS NOT NULL GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, $oCount AS n_exact FROM events
+       |  WHERE user_id IS NOT NULL GROUP BY 1
+       |  ORDER BY n_exact DESC, user_id LIMIT $CmsTopK),
+       |probe AS (
+       |  SELECT t.user_id, t.n_exact, r.r AS r,
+       |    ($hProbe) % $CmsWidth AS c
+       |  FROM top t, r)
+       |SELECT user_id, n_exact, cast(min(cnt) as bigint) AS n_est
+       |FROM probe JOIN cells USING (r, c)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------- unpivot
 
   /** Wide→long reshape via the native `Dataset.unpivot` (melt) API —
@@ -2146,7 +2304,10 @@ object RelationalOps {
     "q_heavy_hitters" -> (heavyHitters _),
     "q_mode" -> (modePerGroup _),
     "q_unpivot" -> (unpivotMetrics _),
-    "q_grouping_id" -> (groupingIdRollup _))
+    "q_grouping_id" -> (groupingIdRollup _),
+    "q_cube" -> (cubeOrders _),
+    "q_bloom_prune" -> (bloomPrune _),
+    "q_cms_freq" -> (cmsFreq _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2210,5 +2371,8 @@ object RelationalOps {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_mode" -> modePerGroupSql,
     "q_unpivot" -> unpivotMetricsSql,
-    "q_grouping_id" -> groupingIdRollupSql)
+    "q_grouping_id" -> groupingIdRollupSql,
+    "q_cube" -> cubeOrdersSql,
+    "q_bloom_prune" -> bloomPruneSql,
+    "q_cms_freq" -> cmsFreqSql)
 }

@@ -141,4 +141,46 @@ class EtlSpec extends AnyFunSuite {
       assert(nOut > 0 && nOut < n, s"$t rule should be non-vacuous on this corpus")
     }
   }
+
+  test("islands partition the observed hours into maximal separated runs") {
+    val out = EtlOps.islands(spark, sf).collect()
+    val nHours = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts"))).distinct().count()
+    assert(out.map(_.getLong(3)).sum == nHours)
+    def epochH(v: Any): Long = v match {
+      case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+    }
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val spans = rows.map(r => (epochH(r.get(1)), epochH(r.get(2)), r.getLong(3)))
+        .sortBy(_._1)
+      spans.foreach { case (h0, h1, n) =>
+        assert(h1 - h0 + 1 == n, s"$t: island extent must equal its hour count") }
+      spans.sliding(2).foreach {
+        case Array((_, e0, _), (s1, _, _)) =>
+          assert(s1 > e0 + 1, s"$t: adjacent islands separated by >=1 missing hour")
+        case _ =>
+      }
+    }
+  }
+
+  test("late arrivals match a naive global running-max recompute") {
+    val out = EtlOps.lateArrivals(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_timestamp(ts)").as("tse"))
+      .orderBy("event_id").collect()
+    var hwm = Long.MinValue
+    val agg = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    ev.foreach { r =>
+      val t = r.getString(0); val tse = r.getLong(2)
+      val late = hwm != Long.MinValue && tse < hwm - 900
+      val (n, nl, mb) = agg.getOrElse(t, (0L, 0L, -1L))
+      agg(t) = (n + 1, nl + (if (late) 1L else 0L),
+        if (late) math.max(mb, hwm - tse) else mb)
+      hwm = math.max(hwm, tse)
+    }
+    assert(out == agg.toMap)
+  }
 }

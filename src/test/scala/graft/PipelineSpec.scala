@@ -121,4 +121,23 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.toString).sorted
     assert(again.sameElements(out.map(_.toString).sorted))
   }
+
+  test("token budget keeps exactly the hash-order prefix within budget") {
+    val rows = PipelineOps.tokenBudget(spark, sf).collect()
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.text.tokens(col("text"))).cast("long").as("n_tok"),
+        graft.functions.ihash.quad(col("doc_id")).as("h"))
+      .orderBy("h", "doc_id").collect()
+    val budget = naive.map(_.getLong(1)).sum / 3
+    var cum = 0L
+    val expect = scala.collection.mutable.LinkedHashMap[Long, Long]()
+    naive.foreach { r =>
+      if (cum < budget) { cum += r.getLong(1); expect(r.getLong(0)) = cum }
+    }
+    assert(rows.length == expect.size && expect.nonEmpty)
+    rows.foreach { r =>
+      assert(expect(r.getLong(0)) == r.getLong(3),
+        s"doc ${r.getLong(0)}: cumulative token count diverges") }
+  }
 }

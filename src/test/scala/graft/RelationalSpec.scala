@@ -326,4 +326,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.size >= 2 && got.size < levels.length,
       "frontier should prune some levels but keep the max-quantity one")
   }
+
+  test("cube covers the full grouping lattice with consistent totals") {
+    val out = RelationalOps.cubeOrders(spark, sf).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(0L, 1L, 2L, 3L))
+    val nOrders = Tables.orders(spark, sf).count()
+    val grand = out.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(3) == nOrders)
+    // every lattice level re-partitions the same grand total
+    Seq(0L, 1L, 2L).foreach { g =>
+      assert(out.filter(_.getLong(2) == g).map(_.getLong(3)).sum == nOrders,
+        s"level $g row counts must sum to the table size")
+    }
+  }
+
+  test("bloom prune: zero false negatives; pass = premium + false positives") {
+    val out = RelationalOps.bloomPrune(spark, sf).collect()
+    val premOrders = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf).filter(col("c_acctbal") > 9500.0),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (prio, pass, prem, fp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(prem == premOrders.getOrElse(prio, 0L),
+        s"$prio: a Bloom filter must never drop a real member")
+      assert(pass == prem + fp, s"$prio: pass must decompose exactly")
+    }
+    assert(out.map(_.getLong(2)).sum == premOrders.values.sum)
+  }
+
+  test("count-min estimates dominate exact counts on the top users") {
+    val out = RelationalOps.cmsFreq(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(out.length == math.min(25L, nUsers) && out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"user ${r.getLong(0)}: CMS estimate below exact count") }
+  }
 }
