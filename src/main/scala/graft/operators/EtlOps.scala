@@ -638,6 +638,106 @@ object EtlOps {
        |               THEN hwm - tse END) as bigint) AS max_behind_sec
        |FROM hw GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------- seasonal
+
+  /** Hour-of-day seasonal baseline per event type — the diurnal
+    * profile a telemetry monitor compares against (the reference's
+    * hourly series has exactly this structure: carbon intensity
+    * follows the daily demand curve). Two partial/final aggregations
+    * — (type, hour-of-day) cells and per-type totals — joined by
+    * broadcast (≤ |types| rows), seasonal_idx = cell avg / type avg.
+    * Exact-sum discipline end to end: both averages derive from the
+    * same quantized integer sums, so the single final division is
+    * one IEEE op on identical inputs in both engines. */
+  def seasonal(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        xsum(col("value"), 2).as("sum_value"),
+        xavg(col("value"), 2).as("avg_value"))
+    val types = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(xavg(col("value"), 2).as("type_avg"))
+    cells.join(broadcast(types), "event_type")
+      .select(col("event_type"), col("hod"), col("n_events"),
+        col("avg_value"),
+        round(col("avg_value") / col("type_avg"), 6).as("seasonal_idx"))
+  }
+
+  private val seasonalSql =
+    s"""WITH cells AS (
+       |  SELECT event_type, cast(hour(ts) as int) AS hod,
+       |    $oCount AS n_events,
+       |    ${oAvg("value", 2)} AS avg_value
+       |  FROM events GROUP BY 1, 2),
+       |types AS (
+       |  SELECT event_type, ${oAvg("value", 2)} AS type_avg
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, hod, n_events, avg_value,
+       |  round(avg_value / type_avg, 6) AS seasonal_idx
+       |FROM cells JOIN types USING (event_type)""".stripMargin
+
+  // ---------------------------------------------------------- dq rules
+
+  /** Rule-driven data-quality report — the reference's scattered
+    * validation checks (etl_job.py:51-72) generalized into a rule
+    * table: one conditional-sum aggregation computes every rule's
+    * violation count in a SINGLE scan (no per-rule passes), then the
+    * 1-row wide result melts into (rule, n_violations, viol_pct)
+    * rows via the native unpivot — the shape a DQ dashboard ingests.
+    * Adding a rule = adding a column; the scan count stays 1
+    * regardless of rule count. */
+  def dqRules(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val wide = ev.agg(
+      count(lit(1)).as("_total"),
+      viol(col("value").isNull).as("null_value"),
+      viol(col("value").isNotNull &&
+        (col("value") < 0.0 || col("value") > 1000.0)).as("value_out_of_range"),
+      viol(col("event_type").isNull ||
+        !col("event_type").isin(knownTypes: _*)).as("unknown_type"),
+      viol(col("ts").isNull).as("null_ts"),
+      viol(col("user_id").isNull).as("null_user"),
+      viol(col("props").isNotNull &&
+        expr("try_parse_json(props)").isNull).as("malformed_props"))
+    wide.unpivot(
+        ids = Array(col("_total")),
+        values = Array(col("null_value"), col("value_out_of_range"),
+          col("unknown_type"), col("null_ts"), col("null_user"),
+          col("malformed_props")),
+        variableColumnName = "rule",
+        valueColumnName = "n_violations")
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations") * lit(100.0) / col("_total"), 6)
+          .as("viol_pct"))
+  }
+
+  private val dqRulesSql = {
+    val rules = Seq(
+      "null_value" -> "value IS NULL",
+      "value_out_of_range" ->
+        "value IS NOT NULL AND (value < 0.0 OR value > 1000.0)",
+      "unknown_type" ->
+        s"event_type IS NULL OR event_type NOT IN $knownTypesSql",
+      "null_ts" -> "ts IS NULL",
+      "null_user" -> "user_id IS NULL",
+      "malformed_props" -> "props IS NOT NULL AND NOT json_valid(props)")
+    val sums = rules.map { case (n, p) =>
+      s"cast(sum(CASE WHEN $p THEN 1 ELSE 0 END) as bigint) AS $n"
+    }.mkString(",\n    ")
+    val arms = rules.map { case (n, _) =>
+      s"SELECT '$n' AS rule, $n AS n_violations, total FROM wide"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wide AS (
+       |  SELECT count(*) AS total,
+       |    $sums
+       |  FROM events)
+       |SELECT rule, n_violations,
+       |  round(n_violations * 100.0 / total, 6) AS viol_pct
+       |FROM ($arms)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_ewma" -> (ewmaSmooth _),
     "etl_zscore_outliers" -> (zscoreOutliers _),
@@ -653,9 +753,13 @@ object EtlOps {
     "etl_interpolate" -> (interpolate _),
     "etl_profile" -> (profile _),
     "etl_islands" -> (islands _),
-    "etl_late_arrivals" -> (lateArrivals _))
+    "etl_late_arrivals" -> (lateArrivals _),
+    "etl_seasonal" -> (seasonal _),
+    "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_seasonal" -> seasonalSql,
+    "etl_dq_rules" -> dqRulesSql,
     "etl_ewma" -> ewmaSmoothSql,
     "etl_zscore_outliers" -> zscoreOutliersSql,
     "etl_mad_outliers" -> madOutliersSql,

@@ -199,11 +199,90 @@ object GraphOps {
        |FROM d4 GROUP BY 1""".stripMargin
   }
 
+  /** Triangle census of the supplier co-occurrence graph (suppliers
+    * joined by appearing in the same order) — the connectivity/
+    * community diagnostic next to PageRank's centrality and BFS's
+    * reachability. One row: nodes, edges, wedges (Σ C(deg,2)),
+    * triangles, and the global clustering coefficient 3·Δ/wedges.
+    *
+    * The Spark side counts triangles the DISTRIBUTED way — degree
+    * orientation: every edge points from its (degree, id)-smaller
+    * endpoint, so out-degrees are bounded by O(√m) and the wedge
+    * self-join (out-edges paired at their source) generates each
+    * triangle's candidate closing pair exactly once, verified by a
+    * semi-join back to the canonical edge set. The count is
+    * orientation-invariant, so the DuckDB mirror uses the textbook
+    * id-ordered triple join — different algorithm, provably the same
+    * number. Edge construction is per-order bounded (suppliers
+    * within ONE order pair up — order size is bounded, so the
+    * self-join is within-key quadratic in a small constant).
+    * Everything is integer counting: exact under any partitioning. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val os = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        col("a.okey") === col("b.okey") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("u"), col("b.sk").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val out = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val wedges = out.as("e1").join(out.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+    val tri = wedges.join(e0, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
+  private val triangleSql =
+    """WITH os AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS sk
+      |            FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM os a JOIN os b ON a.okey = b.okey AND a.sk < b.sk),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT cast(count(*) as bigint) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+      |            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |stats AS (
+      |  SELECT cast(count(*) as bigint) AS n_nodes,
+      |    cast(sum(deg) // 2 as bigint) AS n_edges,
+      |    cast(sum(deg * (deg - 1) // 2) as bigint) AS n_wedges
+      |  FROM deg)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  round(n_triangles * 3.0 / n_wedges, 6) AS clustering
+      |FROM stats, tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_supplier" -> (pagerankSupplier _),
-    "q_bfs_hops" -> (bfsHops _))
+    "q_bfs_hops" -> (bfsHops _),
+    "q_triangle_count" -> (triangleCount _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank_supplier" -> pagerankSql,
-    "q_bfs_hops" -> bfsSql)
+    "q_bfs_hops" -> bfsSql,
+    "q_triangle_count" -> triangleSql)
 }

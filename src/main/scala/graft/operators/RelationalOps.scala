@@ -2239,6 +2239,161 @@ object RelationalOps {
        |QUALIFY row_number() OVER (PARTITION BY month
        |  ORDER BY n DESC, o_orderpriority) = 1""".stripMargin
 
+  // --------------------------------------------------------------- rfm
+
+  private val RfmBlocks = 64L
+  private val RfmQuantiles = 5L
+
+  /** Adds `pos` = 0-based global rank by (`v`, `id`) without a
+    * single-partition window: blocks come from the VALUE RANGE (a
+    * broadcast 1-row min/max splits [min,max] into ≤ RfmBlocks equal
+    * slices, so block order IS rank order), local ranks run per block
+    * in parallel, and the block-offset window touches ≤ RfmBlocks
+    * rows — the same two-level prefix-sum shape as pack_shards /
+    * corpus_shuffle, blocked on values instead of hashes. Equal-width
+    * slices can skew on pathological value distributions (unlike the
+    * hash blocks), but each block still processes in parallel
+    * partitions and only the per-block COUNTS cross the offset
+    * window. */
+  private def rangedRank(df: DataFrame, v: String, id: String): DataFrame = {
+    val bounds = df.agg(min(col(v)).as("_lo"), max(col(v)).as("_hi"),
+      count(lit(1)).as("_n"))
+    val blocked = df.crossJoin(broadcast(bounds))
+      .withColumn("_blk",
+        expr(s"(($v - _lo) * $RfmBlocks) div (_hi - _lo + 1)"))
+    val wLocal = Window.partitionBy(col("_blk")).orderBy(col(v), col(id))
+    val local = blocked.withColumn("_lrank",
+      row_number().over(wLocal).cast("long") - 1)
+    val wBlocks = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blocked.groupBy(col("_blk")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_boff", coalesce(sum(col("_bn")).over(wBlocks), lit(0L)))
+      .select(col("_blk"), col("_boff"))
+    local.join(broadcast(offs), "_blk")
+      .withColumn("pos", col("_boff") + col("_lrank"))
+      .drop("_blk", "_lrank", "_boff", "_lo", "_hi")
+  }
+
+  /** RFM customer segmentation — the marketing-analytics quantile
+    * workhorse: per customer, Recency (days since last order),
+    * Frequency (order count), Monetary (lifetime spend in exact
+    * cents), each mapped to a quintile, segments = quintile triples.
+    * Quintiles are FORMULA-based — q = (5·rank) div n + 1 over the
+    * total order (metric, custkey) — not engine `ntile`, so both
+    * engines agree on every tie; ranks come from the range-blocked
+    * two-level prefix sum above (no single-partition window
+    * anywhere). r_q 1 = most recent; f_q/m_q 1 = highest (rank on
+    * the negated metric). At 100 TB: one orders-keyed aggregation,
+    * then three rank passes over the |customers| frame — each a
+    * parallel block-local sort plus a ≤64-row offset window. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val maxDay = o.agg(max(to_date(col("o_orderdate"))).as("_maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("_maxd"), col("last_day")).cast("long").as("recency"),
+        col("freq"), col("spend_c"),
+        (-col("freq")).as("neg_freq"), (-col("spend_c")).as("neg_spend"))
+    def quintile(df: DataFrame, v: String, out: String): DataFrame =
+      rangedRank(df, v, "o_custkey")
+        .withColumn(out,
+          expr(s"($RfmQuantiles * pos) div _n + 1").cast("int"))
+        .drop("pos", "_n")
+    val scored = quintile(quintile(quintile(
+      cust, "recency", "r_q"), "neg_freq", "f_q"), "neg_spend", "m_q")
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_c")).as("segment_spend_c"),
+        min(col("recency")).as("min_recency"),
+        max(col("freq")).as("max_freq"))
+  }
+
+  private val rfmSql =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', max(cast(o_orderdate as date)),
+       |      (SELECT max(cast(o_orderdate as date)) FROM orders)) AS recency,
+       |    $oCount AS freq,
+       |    cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+       |      AS spend_c
+       |  FROM orders GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM cust),
+       |ranked AS (
+       |  SELECT o_custkey, recency, freq, spend_c,
+       |    row_number() OVER (ORDER BY recency, o_custkey) - 1 AS rp,
+       |    row_number() OVER (ORDER BY freq DESC, o_custkey) - 1 AS fp,
+       |    row_number() OVER (ORDER BY spend_c DESC, o_custkey) - 1 AS mp
+       |  FROM cust),
+       |scored AS (
+       |  SELECT recency, freq, spend_c,
+       |    cast(($RfmQuantiles * rp) // (SELECT n FROM n) + 1 as int) AS r_q,
+       |    cast(($RfmQuantiles * fp) // (SELECT n FROM n) + 1 as int) AS f_q,
+       |    cast(($RfmQuantiles * mp) // (SELECT n FROM n) + 1 as int) AS m_q
+       |  FROM ranked)
+       |SELECT r_q, f_q, m_q, $oCount AS n_customers,
+       |  cast(sum(spend_c) as bigint) AS segment_spend_c,
+       |  min(recency) AS min_recency, max(freq) AS max_freq
+       |FROM scored GROUP BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------- changepoint
+
+  /** CUSUM changepoint scan over the daily revenue series — the
+    * classic "did the level shift, and when" diagnostic: cumulative
+    * sum of (daily revenue − global mean), peak |CUSUM| marks the
+    * most likely changepoint. All arithmetic is exact integers
+    * (revenue in cents, mean = total div days), so the series is
+    * bit-identical cross-engine. The running sum is the two-level
+    * prefix-sum shape blocked on YEAR: per-year local cumsums run in
+    * parallel (partitioned window), year offsets cross a window of
+    * ≤ |years| rows — no single-partition window even though the
+    * series itself is calendar-bounded. */
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+    val tot = daily.agg(sum(col("rev_c")).as("_t"), count(lit(1)).as("_nd"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .withColumn("_dev", col("rev_c") - expr("_t div _nd"))
+      .withColumn("_yr", year(col("day")))
+    val wLocal = Window.partitionBy(col("_yr")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wYears = Window.orderBy(col("_yr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val yearOffs = dev.groupBy(col("_yr")).agg(sum(col("_dev")).as("_ys"))
+      .withColumn("_yoff", coalesce(sum(col("_ys")).over(wYears), lit(0L)))
+      .select(col("_yr"), col("_yoff"))
+    val cusum = dev
+      .withColumn("_lcum", sum(col("_dev")).over(wLocal))
+      .join(broadcast(yearOffs), "_yr")
+      .withColumn("cusum_c", col("_yoff") + col("_lcum"))
+    val peak = cusum.agg(max(abs(col("cusum_c"))).as("_pk"))
+    cusum.crossJoin(broadcast(peak))
+      .select(col("day"), col("rev_c"), col("cusum_c"),
+        (abs(col("cusum_c")) === col("_pk")).as("is_peak"))
+  }
+
+  private val changepointSql =
+    """WITH daily AS (
+      |  SELECT cast(l_shipdate as date) AS day,
+      |    cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+      |      AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT cast(sum(rev_c) as bigint) AS t, count(*) AS nd
+      |        FROM daily),
+      |c AS (
+      |  SELECT day, rev_c,
+      |    cast(sum(rev_c - (SELECT t // nd FROM tot))
+      |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) as bigint)
+      |      AS cusum_c
+      |  FROM daily)
+      |SELECT day, rev_c, cusum_c,
+      |  abs(cusum_c) = (SELECT max(abs(cusum_c)) FROM c) AS is_peak
+      |FROM c""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2307,7 +2462,9 @@ object RelationalOps {
     "q_grouping_id" -> (groupingIdRollup _),
     "q_cube" -> (cubeOrders _),
     "q_bloom_prune" -> (bloomPrune _),
-    "q_cms_freq" -> (cmsFreq _))
+    "q_cms_freq" -> (cmsFreq _),
+    "q_rfm" -> (rfmSegments _),
+    "q_changepoint" -> (changepoint _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2374,5 +2531,7 @@ object RelationalOps {
     "q_grouping_id" -> groupingIdRollupSql,
     "q_cube" -> cubeOrdersSql,
     "q_bloom_prune" -> bloomPruneSql,
-    "q_cms_freq" -> cmsFreqSql)
+    "q_cms_freq" -> cmsFreqSql,
+    "q_rfm" -> rfmSql,
+    "q_changepoint" -> changepointSql)
 }

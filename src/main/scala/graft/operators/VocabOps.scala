@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.OracleDsl.oCount
 import graft.functions.{text, topk}
 
 /** §2.E — corpus-level vocabulary statistics over `documents`.
@@ -427,7 +428,47 @@ object VocabOps {
        |FROM r, tot""".stripMargin
   }
 
+  /** Frequency-of-frequencies spectrum — the Zipf/Good-Turing
+    * diagnostic a tokenizer-building pass reads first: for each
+    * observed token frequency, how many distinct tokens have it and
+    * how much of the corpus mass they carry (hapax count = the
+    * freq=1 row; heavy stopword head = the high-freq tail). Two
+    * chained partial/final aggregations — token counts, then counts
+    * of counts — all integers, so the spectrum is exact under any
+    * partitioning. The second aggregation's key domain (distinct
+    * frequency values) is O(√corpus-tokens) by a counting argument,
+    * so the final frame stays tiny at any scale; mass_ppm derives
+    * from one integer division against the broadcast total. */
+  def freqSpectrum(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    val tf = docs
+      .select(explode(text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val spectrum = tf.groupBy("freq").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("mass", col("freq") * col("n_tokens"))
+    val tot = spectrum.agg(sum(col("mass")).as("total_mass"))
+    spectrum.crossJoin(broadcast(tot))
+      .select(col("freq"), col("n_tokens"), col("mass"),
+        expr("mass * 1000000 div total_mass").as("mass_ppm"))
+  }
+
+  private val freqSpectrumSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH tok AS (
+       |  SELECT unnest($toks) AS token FROM documents),
+       |tf AS (SELECT token, $oCount AS freq FROM tok GROUP BY 1),
+       |sp AS (
+       |  SELECT freq, $oCount AS n_tokens,
+       |    cast(freq * count(*) as bigint) AS mass
+       |  FROM tf GROUP BY 1),
+       |tot AS (SELECT cast(sum(mass) as bigint) AS total_mass FROM sp)
+       |SELECT freq, n_tokens, mass,
+       |  cast(mass * 1000000 // total_mass as bigint) AS mass_ppm
+       |FROM sp, tot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_freq_spectrum" -> (freqSpectrum _),
     "vocab_coverage" -> (coverage _),
     "vocab_pmi" -> (pmi _),
     "vocab_df" -> (docFreq _),
@@ -437,6 +478,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_freq_spectrum" -> freqSpectrumSql,
     "vocab_coverage" -> coverageSql,
     "vocab_pmi" -> pmiSql,
     "vocab_df" -> docFreqSql,

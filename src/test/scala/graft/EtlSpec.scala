@@ -183,4 +183,54 @@ class EtlSpec extends AnyFunSuite {
     }
     assert(out == agg.toMap)
   }
+
+  test("seasonal: cells cover every event; index recovers the hour/type ratio") {
+    val out = EtlOps.seasonal(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == nEvents,
+      "hour-of-day cells must partition the event stream")
+    assert(out.map(_.getInt(1)).forall(h => h >= 0 && h <= 23))
+    // independent recomputation of one cell's index
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).as("hod"), col("value"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.get(2)).map(_ => r.getDouble(2))))
+    val sample = out.head
+    val (st, sh) = (sample.getString(0), sample.getInt(1))
+    def xmean(vs: Seq[Double]): Double =
+      vs.map(v => math.round(v * 100)).sum.toDouble / 100 / vs.length
+    val cellVals = ev.collect { case (t, h, Some(v)) if t == st && h == sh => v }
+    val typeVals = ev.collect { case (t, _, Some(v)) if t == st => v }
+    val want = BigDecimal(xmean(cellVals.toSeq) / xmean(typeVals.toSeq))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(sample.getDouble(4) - want) < 1e-9,
+      s"seasonal_idx ${sample.getDouble(4)} vs recomputed $want")
+  }
+
+  test("dq rules: each violation count matches a direct filter") {
+    val out = EtlOps.dqRules(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val expect = Map(
+      "null_value" -> ev.filter(col("value").isNull).count(),
+      "value_out_of_range" -> ev.filter(col("value").isNotNull &&
+        (col("value") < 0.0 || col("value") > 1000.0)).count(),
+      "unknown_type" -> ev.filter(col("event_type").isNull ||
+        !col("event_type").isin("view", "click", "purchase", "signup", "error"))
+        .count(),
+      "null_ts" -> ev.filter(col("ts").isNull).count(),
+      "null_user" -> ev.filter(col("user_id").isNull).count(),
+      "malformed_props" -> ev.filter(col("props").isNotNull &&
+        expr("try_parse_json(props)").isNull).count())
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (rule, n) =>
+      assert(out(rule)._1 == n, s"$rule count")
+      val want = BigDecimal(n * 100.0 / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(out(rule)._2 - want) < 1e-9, s"$rule pct")
+    }
+    // (the synthetic corpora are clean — every count may be 0; the
+    // per-rule arithmetic and the melt shape are what's under test)
+  }
 }

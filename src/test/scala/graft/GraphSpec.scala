@@ -67,4 +67,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keys.exists(_ >= 1), "the seed must reach beyond itself")
     assert(got.values.sum == adj.size, "every node appears exactly once")
   }
+
+  test("triangle count matches a driver-side brute force") {
+    val row = GraphOps.triangleCount(spark, sf).collect().head
+    val (nNodes, nEdges, nWedges, nTri) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // brute force on the driver over the same co-occurrence edges
+    val os = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = os.groupBy(_._1).values.flatMap { grp =>
+      val sks = grp.map(_._2).distinct.sorted
+      for (i <- sks.indices; j <- i + 1 until sks.length)
+        yield (sks(i), sks(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(n => n -> edges.collect {
+      case (a, b) if a == n => b
+      case (a, b) if b == n => a
+    }).toMap
+    val bruteTri = edges.toSeq.map { case (u, v) =>
+      (adj(u) intersect adj(v)).count(w => w > v)
+    }.sum
+    val bruteWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(nNodes == nodes.size.toLong)
+    assert(nEdges == edges.size.toLong)
+    assert(nWedges == bruteWedges)
+    assert(nTri == bruteTri.toLong, s"triangles $nTri vs brute $bruteTri")
+    assert(nTri > 0, "test corpus must contain at least one triangle")
+  }
 }

@@ -367,4 +367,60 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(2) >= r.getLong(1),
         s"user ${r.getLong(0)}: CMS estimate below exact count") }
   }
+
+  test("rfm: segments partition the customer base into balanced quintiles") {
+    val out = RelationalOps.rfmSegments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(3)).sum == nCust,
+      "every ordering customer lands in exactly one segment")
+    // each quintile of each dimension holds n/5 customers ±1 (the
+    // formula q = (5·rank) div n + 1 splits any n into parts of size
+    // floor/ceil(n/5))
+    Seq(0, 1, 2).foreach { dim =>
+      val byQ = out.groupBy(_.getInt(dim)).view
+        .mapValues(_.map(_.getLong(3)).sum)
+      assert(byQ.keys.toSet.subsetOf(Set(1, 2, 3, 4, 5)))
+      byQ.foreach { case (q, n) =>
+        assert(math.abs(n - nCust / 5.0) <= 1.0,
+          s"dim $dim quintile $q holds $n of $nCust") }
+    }
+    // spend conservation: segment spends sum to the corpus total
+    val totSpend = Tables.orders(spark, sf)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).collect()
+      .head.getLong(0)
+    assert(out.map(_.getLong(4)).sum == totSpend)
+  }
+
+  test("rfm is invariant to shuffle partitioning") {
+    val a = RelationalOps.rfmSegments(spark, sf).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = RelationalOps.rfmSegments(spark, sf).collect()
+        .map(_.toSeq).sortBy(_.toString)
+      assert(a.toSeq == b.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("changepoint: cusum telescopes to total mod days; exactly one peak magnitude") {
+    val out = RelationalOps.changepoint(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1.toString)
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val n = out.length.toLong
+    // cusum_k = sum(rev_1..k) - k*(total div n): the last value must
+    // telescope to total - n*(total div n) = total mod n
+    assert(out.last._3 == total - n * (total / n))
+    val mean = total / n
+    var acc = 0L
+    out.foreach { case (_, rev, cusum, _) =>
+      acc += rev - mean
+      assert(cusum == acc, "cusum must be the exact running deviation sum")
+    }
+    val peak = out.map(t => math.abs(t._3)).max
+    assert(out.filter(_._4).forall(t => math.abs(t._3) == peak))
+    assert(out.count(_._4) >= 1, "at least one day marks the peak")
+  }
 }

@@ -226,4 +226,24 @@ class VocabSpec extends AnyFunSuite {
       assert(ppm == cum * 1000000L / total, s"ppm mismatch for $tok")
     }
   }
+
+  test("freq spectrum: mass conserves the corpus token count; hapax row exact") {
+    val out = VocabOps.freqSpectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).groupBy(identity).map { case (_, a) => a.length.toLong }
+      .toSeq
+    val totalTokens = counts.sum
+    assert(out.map(_._3).sum == totalTokens,
+      "spectrum mass must equal the corpus token count")
+    assert(out.map(_._2).sum == counts.length.toLong,
+      "token counts must partition the vocabulary")
+    val hapax = counts.count(_ == 1L).toLong
+    assert(out.find(_._1 == 1L).map(_._2).getOrElse(0L) == hapax)
+    out.foreach { case (freq, nTok, mass, ppm) =>
+      assert(mass == freq * nTok)
+      assert(ppm == mass * 1000000L / totalTokens)
+    }
+  }
 }
