@@ -1302,7 +1302,57 @@ object AnnOps {
        |FROM asg a JOIN hh ON a.vec_id = hh.vec_id
        |QUALIFY rank <= $DiverseK""".stripMargin
 
+  // -------------------------------------------------- dimension stats
+
+  /** Per-dimension embedding distribution profile — the "is this
+    * embedding space healthy" diagnostic read before quantization or
+    * ANN index design: per dimension, count, bounds, mean and
+    * variance (dead dimensions → variance ~0; scale imbalance →
+    * widely varying ranges tells you int8 needs per-dim [min,max],
+    * which is exactly what emb_int8_quantize uses). posexplode fans
+    * (vec, dim, v) narrow map-side; values quantize to 1e-6 integers
+    * so the sums (and the n·Σq²−(Σq)² variance numerator) are exact
+    * integers under any partitioning — one partial/final aggregation
+    * whose final state is |dims| rows at any corpus size, then two
+    * IEEE divisions per dim. */
+  def dimStats(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("q", round(col("v").cast("double") * 1e6).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sq2"))
+      .select(col("dim"), col("n"), col("min_v"), col("max_v"),
+        round(col("sq").cast("double") / 1e6 / col("n"), 6).as("mean"),
+        // n·Σq² and (Σq)² can exceed BIGINT: take the products in
+        // DOUBLE — a fixed two-multiply/one-subtract IEEE sequence on
+        // identical integer inputs, bit-identical in both engines
+        round((col("sq2").cast("double") * col("n").cast("double")
+            - col("sq").cast("double") * col("sq").cast("double"))
+          / col("n").cast("double") / col("n").cast("double") / 1e12, 6)
+          .as("variance"))
+  }
+
+  private val dimStatsSql =
+    """WITH x AS (
+      |  SELECT d.dim AS dim, embedding[d.dim + 1] AS v,
+      |    cast(round(cast(embedding[d.dim + 1] as double) * 1e6) as bigint) AS q
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d),
+      |a AS (
+      |  SELECT dim, cast(count(*) as bigint) AS n,
+      |    min(v) AS min_v, max(v) AS max_v,
+      |    cast(sum(q) as bigint) AS sq, cast(sum(q * q) as bigint) AS sq2
+      |  FROM x GROUP BY 1)
+      |SELECT cast(dim as int) AS dim, n, min_v, max_v,
+      |  round(cast(sq as double) / 1e6 / n, 6) AS mean,
+      |  round((cast(sq2 as double) * cast(n as double)
+      |      - cast(sq as double) * cast(sq as double))
+      |    / cast(n as double) / cast(n as double) / 1e12, 6) AS variance
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> (dimStats _),
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
     "ann_ivf" -> (ivf _),
@@ -1317,6 +1367,7 @@ object AnnOps {
     "sample_diverse" -> (sampleDiverse _))
 
   val oracle: Map[String, String] = Map(
+    "emb_dim_stats" -> dimStatsSql,
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,

@@ -147,13 +147,71 @@ object MultimodalOps {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  private val ShardBytes = 65536L
+  private val ManifestBlocks = 64L
+
+  /** Byte-budget shard manifest for binary payloads — the "pack media
+    * files into ~64 KB tar shards" layout step (WebDataset-style) a
+    * multimodal trainer reads: each payload gets a shard id and a byte
+    * offset, assigned by its START offset in the deterministic
+    * hash-shuffled order (so shards are reproducible on any engine
+    * and fill to the budget; a payload straddling a boundary belongs
+    * to the shard its first byte lands in). The global byte prefix
+    * sum is the same two-level hash-blocked shape as corpus_shuffle:
+    * per-block cumulative sums run in parallel, the offset window
+    * touches ≤ ManifestBlocks rows, payload BYTES never shuffle —
+    * only (id, n_bytes) pairs. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        graft.functions.ihash.quad(col("doc_id")).as("h"))
+    val blkWidth = graft.functions.ihash.M / ManifestBlocks + 1
+    val withBlk = base.withColumn("blk", expr(s"h div $blkWidth"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wBlocks = org.apache.spark.sql.expressions.Window.orderBy(col("blk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = withBlk.groupBy(col("blk")).agg(sum(col("n_bytes")).as("bb"))
+      .withColumn("boff", coalesce(sum(col("bb")).over(wBlocks), lit(0L)))
+      .select(col("blk"), col("boff"))
+    withBlk
+      .withColumn("lstart", coalesce(sum(col("n_bytes")).over(wLocal), lit(0L)))
+      .join(broadcast(offs), "blk")
+      .withColumn("start_byte", col("boff") + col("lstart"))
+      .select(col("doc_id"), col("n_bytes"),
+        expr(s"start_byte div $ShardBytes").cast("int").as("shard"),
+        (col("start_byte") % ShardBytes).as("shard_offset"))
+  }
+
+  private val shardManifestSql = {
+    val hash = graft.functions.ihash.quadSqlNested("doc_id")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    cast(octet_length(encode(text)) as bigint) AS n_bytes, $hash AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_bytes,
+       |    cast(coalesce(sum(n_bytes) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+       |      AS start_byte
+       |  FROM b)
+       |SELECT doc_id, n_bytes,
+       |  cast(start_byte // $ShardBytes as int) AS shard,
+       |  cast(start_byte % $ShardBytes as bigint) AS shard_offset
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
-    "mm_dedup_payload" -> (payloadDedup _))
+    "mm_dedup_payload" -> (payloadDedup _),
+    "mm_shard_manifest" -> (shardManifest _))
 
   val oracle: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql,
     "mm_frame_sample" -> frameSampleSql,
-    "mm_dedup_payload" -> payloadDedupSql)
+    "mm_dedup_payload" -> payloadDedupSql,
+    "mm_shard_manifest" -> shardManifestSql)
 }

@@ -229,4 +229,26 @@ class AnnSpec extends AnyFunSuite {
     assert(math.abs(one.getDouble(2) - dim0) < 1e-5,
       s"centroid head ${one.getDouble(2)} vs recomputed $dim0")
   }
+
+  test("dim stats: one row per dimension, agrees with a driver recount") {
+    val out = AnnOps.dimStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getFloat(2), r.getFloat(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(out.keySet == (0 until 64).toSet)
+    Seq(0, 31, 63).foreach { dim =>
+      val vs = vecs.map(_(dim))
+      val qs = vs.map(v => math.round(v.toDouble * 1e6))
+      val (n, mn, mx, mean, variance) = out(dim)
+      assert(n == vs.length.toLong)
+      assert(mn == vs.min && mx == vs.max)
+      val wantMean = qs.sum.toDouble / 1e6 / n
+      assert(math.abs(mean - wantMean) < 1e-6, s"dim $dim mean")
+      val sq = qs.sum; val sq2 = qs.map(q => q * q).sum
+      val wantVar = (sq2.toDouble * n - sq.toDouble * sq.toDouble) / n / n / 1e12
+      assert(math.abs(variance - wantVar) < 1e-6, s"dim $dim variance")
+      assert(variance >= 0.0, "variance can't be negative")
+    }
+  }
 }

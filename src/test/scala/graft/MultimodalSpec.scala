@@ -38,4 +38,28 @@ class MultimodalSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_copies")).collect()(0).getLong(0)
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("shard manifest: offsets tile the byte stream densely, shards bounded") {
+    val rows = MultimodalOps.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs.toInt, "every payload gets a manifest row")
+    val shardBytes = 65536L
+    // reconstruct absolute start offsets; sorted they must tile the
+    // stream with no gaps or overlaps
+    val starts = rows.map { case (_, n, shard, off) =>
+      (shard.toLong * shardBytes + off, n)
+    }.sortBy(_._1)
+    var expect = 0L
+    starts.foreach { case (start, n) =>
+      assert(start == expect, s"payload at $start leaves a gap (want $expect)")
+      expect = start + n
+    }
+    assert(expect == rows.map(_._2).sum, "stream length = total bytes")
+    rows.foreach { case (_, _, _, off) =>
+      assert(off >= 0 && off < shardBytes, "offset stays inside its shard")
+    }
+    // the manifest must actually span multiple shards at test scale
+    assert(rows.map(_._3).distinct.length > 1)
+  }
 }
