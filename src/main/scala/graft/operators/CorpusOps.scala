@@ -310,11 +310,50 @@ object CorpusOps {
        |GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ train/test split
+
+  private val SplitTrainPct = 80
+  private val SplitValPct = 10
+
+  /** Leakage-aware train/validation/test split: the split key is the
+    * near-dup CLUSTER id, not the document id — hash-bucketing
+    * clusters (not docs) guarantees near-duplicates can never
+    * straddle the train/eval boundary, which is the leak that
+    * silently inflates eval numbers in a naive random split. Buckets
+    * come from the engine-reproducible quad hash (no RNG), so the
+    * split is stable across engines, runs and repartitioning; the
+    * cluster relation is the memoized Jaccard-component output that
+    * clean_corpus/assemble_corpus already share. One broadcast-free
+    * equi-join on doc_id, then a narrow bucket map. */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val cl = clusters(s, d).select("doc_id", "cluster_id")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(cl, "doc_id")
+      .withColumn("bucket",
+        (graft.functions.ihash.quad(col("cluster_id")) % 100).cast("int"))
+      .select(col("doc_id"), col("cluster_id"), col("lang"),
+        when(col("bucket") < SplitTrainPct, "train")
+          .when(col("bucket") < SplitTrainPct + SplitValPct, "validation")
+          .otherwise("test").as("split"))
+  }
+
+  private def trainTestSplitSql: String = {
+    val hash = graft.functions.ihash.quadSqlNested("cc.cluster_id")
+    s"""WITH RECURSIVE $ccCte
+       |SELECT d.doc_id, cc.cluster_id, d.lang,
+       |  CASE WHEN ($hash) % 100 < $SplitTrainPct THEN 'train'
+       |       WHEN ($hash) % 100 < ${SplitTrainPct + SplitValPct}
+       |         THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM documents d JOIN cc ON d.doc_id = cc.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
     "clean_corpus" -> (cleanCorpus _),
     "assemble_corpus" -> (assembleCorpus _),
     "corpus_decontaminate" -> (decontaminate _),
+    "corpus_split" -> (trainTestSplit _),
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
@@ -322,5 +361,6 @@ object CorpusOps {
     "clean_corpus" -> cleanCorpusSql,
     "assemble_corpus" -> assembleCorpusSql,
     "corpus_decontaminate" -> decontaminateSql,
+    "corpus_split" -> trainTestSplitSql,
     "corpus_stats" -> corpusStatsSql)
 }

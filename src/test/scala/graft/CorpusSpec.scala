@@ -98,4 +98,24 @@ class CorpusSpec extends AnyFunSuite {
       .map(_.toString).sorted
     assert(again.sameElements(out.map(_.toString).sorted))
   }
+
+  test("train/test split: near-dup clusters never straddle the boundary") {
+    val out = CorpusOps.trainTestSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.length == Tables.documents(spark, sf).count().toInt,
+      "every document gets exactly one split assignment")
+    // THE leakage invariant: all members of a cluster share one split
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles splits: ${members.map(_._3).distinct}")
+    }
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length)
+    assert(bySplit.keys.toSet.subsetOf(Set("train", "validation", "test")))
+    assert(bySplit.getOrElse("train", 0) > out.length / 2,
+      "the 80% bucket range must dominate")
+    // deterministic across evaluations
+    val again = CorpusOps.trainTestSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(again.sorted.sameElements(out.sorted))
+  }
 }

@@ -72,14 +72,24 @@ class GraphSpec extends AnyFunSuite {
     val row = GraphOps.triangleCount(spark, sf).collect().head
     val (nNodes, nEdges, nWedges, nTri) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    // brute force on the driver over the same co-occurrence edges
+    // brute force on the driver: same weighted top-8 kNN construction
     val os = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val edges = os.groupBy(_._1).values.flatMap { grp =>
+    val cow = collection.mutable.Map[(Long, Long), Long]()
+    os.groupBy(_._1).values.foreach { grp =>
       val sks = grp.map(_._2).distinct.sorted
-      for (i <- sks.indices; j <- i + 1 until sks.length)
-        yield (sks(i), sks(j))
+      for (i <- sks.indices; j <- i + 1 until sks.length) {
+        val k = (sks(i), sks(j))
+        cow(k) = cow.getOrElse(k, 0L) + 1
+      }
+    }
+    val dir = cow.toSeq.flatMap { case ((u, v), w) =>
+      Seq((u, v, w), (v, u, w)) }
+    val edges = dir.groupBy(_._1).values.flatMap { grp =>
+      grp.sortBy { case (_, dst, w) => (-w, dst) }.take(8)
+        .map { case (src, dst, _) =>
+          (math.min(src, dst), math.max(src, dst)) }
     }.toSet
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
     val adj = nodes.map(n => n -> edges.collect {
