@@ -415,7 +415,54 @@ object PipelineOps {
        |FROM c WHERE cum_tok - n_tok < total_tok // $BudgetDenom""".stripMargin
   }
 
+  /** Per-language Bernoulli keep rates in ppm — the language-
+    * rebalancing dial (downsample the dominant language, keep all of
+    * the scarce ones). */
+  private val BernoulliPpm = Seq(
+    "en" -> 125000L, "es" -> 250000L, "fr" -> 500000L,
+    "zh" -> 750000L, "de" -> 1000000L)
+
+  /** Rate-based (Bernoulli) language rebalancing — the sampler a
+    * 100 TB run uses when it wants a FRACTION per language, not a
+    * count: keep doc ⟺ quadhash(doc_id) mod 1e6 < rate_ppm(lang).
+    * One narrow map over one scan — no count pass, no rank, no
+    * shuffle at all (contrast sample_stratified's exact-k heap path,
+    * which needs per-stratum ranking); the keep decision is
+    * engine-reproducible (no RNG) and STABLE under corpus growth: a
+    * doc's fate never changes when other docs arrive, so incremental
+    * ingestion keeps old decisions. inv_weight = 1e6/rate is the
+    * Horvitz-Thompson reweighting factor downstream estimators
+    * multiply by. */
+  def sampleBernoulli(s: SparkSession, d: String): DataFrame = {
+    val rate = BernoulliPpm.foldLeft(lit(0L)) { case (acc, (l, p)) =>
+      when(col("lang") === l, p).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        rate.as("rate_ppm"),
+        (graft.functions.ihash.quad(col("doc_id")) % 1000000L).as("bucket"))
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rate_ppm"),
+        (lit(1000000.0) / col("rate_ppm")).as("inv_weight"))
+  }
+
+  private val sampleBernoulliSql = {
+    val hash = graft.functions.ihash.quadSqlNested("doc_id")
+    val rateCase = BernoulliPpm
+      .map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    cast($rateCase as bigint) AS rate_ppm,
+       |    ($hash) % 1000000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars, rate_ppm,
+       |  1000000.0 / rate_ppm AS inv_weight
+       |FROM b WHERE bucket < rate_ppm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bernoulli" -> (sampleBernoulli _),
     "corpus_token_budget" -> (tokenBudget _),
     "corpus_chunk" -> (chunkDocs _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -426,6 +473,7 @@ object PipelineOps {
     "sample_weighted" -> (sampleWeighted _))
 
   val oracle: Map[String, String] = Map(
+    "sample_bernoulli" -> sampleBernoulliSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_chunk" -> chunkDocsSql,
     "corpus_shuffle" -> corpusShuffleSql,

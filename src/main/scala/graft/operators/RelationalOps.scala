@@ -2289,6 +2289,10 @@ object RelationalOps {
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val maxDay = o.agg(max(to_date(col("o_orderdate"))).as("_maxd"))
+    // each rank pass reads its input for bounds, local ranks AND
+    // offsets — materialize the per-customer frame once (and each
+    // quintile's output, the next pass's input) so the orders scan
+    // and the window work run exactly once apiece
     val cust = o.groupBy(col("o_custkey"))
       .agg(max(to_date(col("o_orderdate"))).as("last_day"),
         count(lit(1)).as("freq"),
@@ -2298,11 +2302,13 @@ object RelationalOps {
         datediff(col("_maxd"), col("last_day")).cast("long").as("recency"),
         col("freq"), col("spend_c"),
         (-col("freq")).as("neg_freq"), (-col("spend_c")).as("neg_spend"))
+      .localCheckpoint()
     def quintile(df: DataFrame, v: String, out: String): DataFrame =
       rangedRank(df, v, "o_custkey")
         .withColumn(out,
           expr(s"($RfmQuantiles * pos) div _n + 1").cast("int"))
         .drop("pos", "_n")
+        .localCheckpoint()
     val scored = quintile(quintile(quintile(
       cust, "recency", "r_q"), "neg_freq", "f_q"), "neg_spend", "m_q")
     scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
@@ -2394,6 +2400,88 @@ object RelationalOps {
       |  abs(cusum_c) = (SELECT max(abs(cusum_c)) FROM c) AS is_peak
       |FROM c""".stripMargin
 
+  // --------------------------------------------------- running distinct
+
+  /** Cumulative distinct users per day — "total users ever seen as of
+    * day D". A windowed COUNT(DISTINCT) recounts the whole history
+    * per day (quadratic, and Spark doesn't support it over running
+    * frames); the scalable rewrite is first-seen attribution: each
+    * user contributes once, on min(day), then the daily new-user
+    * counts prefix-sum — shuffle bounded by |users| + |days|, history
+    * never rescanned. The prefix sum is the year-blocked two-level
+    * shape (per-year windows parallel, ≤|years|-row offset window) —
+    * no single-partition window. */
+  def runningDistinct(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val daily = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("_yr", year(col("day")))
+    val wLocal = Window.partitionBy(col("_yr")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wYears = Window.orderBy(col("_yr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val yearOffs = daily.groupBy(col("_yr")).agg(sum(col("n_new")).as("_ys"))
+      .withColumn("_yoff", coalesce(sum(col("_ys")).over(wYears), lit(0L)))
+      .select(col("_yr"), col("_yoff"))
+    daily
+      .withColumn("_lcum", sum(col("n_new")).over(wLocal))
+      .join(broadcast(yearOffs), "_yr")
+      .select(col("day"), col("n_new"),
+        (col("_yoff") + col("_lcum")).as("cum_users"))
+  }
+
+  private val runningDistinctSql =
+    """WITH fs AS (
+      |  SELECT user_id, min(cast(ts as date)) AS day
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |daily AS (
+      |  SELECT day, cast(count(*) as bigint) AS n_new FROM fs GROUP BY 1)
+      |SELECT day, n_new,
+      |  cast(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      |    as bigint) AS cum_users
+      |FROM daily""".stripMargin
+
+  // ------------------------------------------------------- transitions
+
+  /** Event-type transition matrix — the Markov-chain / user-journey
+    * summary (what follows what, with conditional probabilities):
+    * consecutive event pairs per user via lead() in ONE per-user
+    * window (partitions scale with users, never global), then a
+    * partial/final count aggregation whose key domain is
+    * |types|² ≤ 25 rows at any corpus size. p = n/row_total is one
+    * IEEE division of exact integers, rounded on both engines. */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("t"))
+    pairs.join(broadcast(fromTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("t"), 6).as("p"))
+  }
+
+  private val transitionsSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |c AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    cast(count(*) as bigint) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, cast(sum(n) as bigint) AS t FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n,
+      |  round(cast(n as double) / t, 6) AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2464,7 +2552,9 @@ object RelationalOps {
     "q_bloom_prune" -> (bloomPrune _),
     "q_cms_freq" -> (cmsFreq _),
     "q_rfm" -> (rfmSegments _),
-    "q_changepoint" -> (changepoint _))
+    "q_changepoint" -> (changepoint _),
+    "q_running_distinct" -> (runningDistinct _),
+    "q_transitions" -> (transitions _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2533,5 +2623,7 @@ object RelationalOps {
     "q_bloom_prune" -> bloomPruneSql,
     "q_cms_freq" -> cmsFreqSql,
     "q_rfm" -> rfmSql,
-    "q_changepoint" -> changepointSql)
+    "q_changepoint" -> changepointSql,
+    "q_running_distinct" -> runningDistinctSql,
+    "q_transitions" -> transitionsSql)
 }

@@ -124,6 +124,37 @@ object TextOps {
        |FROM b""".stripMargin
   }
 
+  /** Classifier-evaluation confusion matrix for the n-gram language
+    * identifier — the accuracy audit every heuristic filter needs
+    * before it gates a corpus: labeled × predicted language counts
+    * with per-label recall share. Composes the langId operator (the
+    * two stay expression-identical via the shared builders), then one
+    * partial/final count aggregation whose key domain is |langs|² —
+    * a ≤25-row final state at any corpus size; recall = one IEEE
+    * division of exact integers. */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val cell = langId(s, d)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val labTot = cell.groupBy(col("labeled_lang")).agg(sum(col("n_docs")).as("t"))
+    cell.join(broadcast(labTot), "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        (col("labeled_lang") === col("pred_lang")).as("is_correct"),
+        round(col("n_docs").cast("double") / col("t"), 6).as("label_share"))
+  }
+
+  private val langIdEvalSql =
+    s"""WITH pred AS ($langIdSql),
+       |c AS (
+       |  SELECT labeled_lang, pred_lang, cast(count(*) as bigint) AS n_docs
+       |  FROM pred GROUP BY 1, 2),
+       |lt AS (SELECT labeled_lang, cast(sum(n_docs) as bigint) AS t
+       |       FROM c GROUP BY 1)
+       |SELECT labeled_lang, pred_lang, n_docs,
+       |  labeled_lang = pred_lang AS is_correct,
+       |  round(cast(n_docs as double) / t, 6) AS label_share
+       |FROM c JOIN lt USING (labeled_lang)""".stripMargin
+
   /** CTE chain ending in `qual(doc_id, quality)` — the quality score
     * only, for oracles that embed it (clean_corpus). Must stay
     * expression-identical to `quality`/`qualitySql`. */
@@ -478,9 +509,11 @@ object TextOps {
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
+    "text_langid_eval" -> (langIdEval _),
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_langid_eval" -> langIdEvalSql,
     "doc_hash_embed" -> hashEmbedSql,
     "text_repetition" -> repetitionSql,
     "text_quality_gopher" -> qualityGopherSql,

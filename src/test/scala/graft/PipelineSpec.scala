@@ -140,4 +140,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(expect(r.getLong(0)) == r.getLong(3),
         s"doc ${r.getLong(0)}: cumulative token count diverges") }
   }
+
+  test("bernoulli sample: keep decision is the hash rule, weights invert rates") {
+    val out = PipelineOps.sampleBernoulli(spark, TestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val rates = Map("en" -> 125000L, "es" -> 250000L, "fr" -> 500000L,
+      "zh" -> 750000L, "de" -> 1000000L)
+    out.foreach { case (_, lang, ppm, w) =>
+      assert(ppm == rates(lang))
+      assert(w == 1000000.0 / ppm, "Horvitz-Thompson weight inverts the rate")
+    }
+    // de keeps EVERYTHING (rate 1e6); en keeps a strict subset
+    val docs = Tables.documents(spark, TestSession.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.groupBy(_._2).view.mapValues(_.length.toLong)
+    assert(kept("de") == docs("de"), "rate 1e6 must keep every doc")
+    assert(kept("en") < docs("en"), "rate 1/8 must downsample")
+    // determinism: a second evaluation keeps the identical set
+    val again = PipelineOps.sampleBernoulli(spark, TestSession.sf).collect()
+      .map(_.getLong(0)).sorted
+    assert(again.sameElements(out.map(_._1).sorted))
+  }
 }

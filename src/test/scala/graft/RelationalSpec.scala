@@ -423,4 +423,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.filter(_._4).forall(t => math.abs(t._3) == peak))
     assert(out.count(_._4) >= 1, "at least one day marks the peak")
   }
+
+  test("running distinct: cumulative curve ends at the true distinct count") {
+    val out = RelationalOps.runningDistinct(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nUsers = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(out.map(_._2).sum == nUsers, "new-user counts partition the users")
+    assert(out.last._3 == nUsers, "curve must end at the distinct total")
+    var cum = 0L
+    out.foreach { case (_, nNew, c) => cum += nNew; assert(c == cum) }
+  }
+
+  test("transitions: per-source probabilities sum to 1, pairs match a replay") {
+    val out = RelationalOps.transitions(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    out.groupBy(_._1._1).foreach { case (from, cells) =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-4,
+        s"$from: outgoing probabilities must sum to ~1")
+    }
+    // driver replay of consecutive pairs
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { grp =>
+      val types = grp.sortBy(t => (t._2, t._3)).map(_._4)
+      types.zip(types.drop(1))
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    assert(out.map(t => t._1 -> t._2._1).toMap == expect)
+  }
 }

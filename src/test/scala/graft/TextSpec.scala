@@ -111,4 +111,24 @@ class TextSpec extends AnyFunSuite {
       assert(vecs(id).count(_ != 0.0f) == k, s"doc $id nnz mismatch")
     }
   }
+
+  test("langid eval: confusion matrix partitions the corpus, shares sum to 1") {
+    val out = TextOps.langIdEval(spark, TestSession.sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    val nDocs = Tables.documents(spark, TestSession.sf).count()
+    assert(out.map(_._3).sum == nDocs, "cells partition the corpus")
+    out.groupBy(_._1).foreach { case (lab, cells) =>
+      assert(math.abs(cells.map(_._5).sum - 1.0) < 1e-4,
+        s"label $lab shares must sum to ~1")
+    }
+    out.foreach { case (lab, pred, _, correct, _) =>
+      assert(correct == (lab == pred))
+    }
+    // the predictions must agree with the underlying classifier
+    val fromLangId = TextOps.langId(spark, TestSession.sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.map(t => (t._1, t._2) -> t._3).toMap == fromLangId)
+  }
 }
