@@ -2482,6 +2482,173 @@ object RelationalOps {
       |  round(cast(n as double) / t, 6) AS p
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  // ------------------------------------------------------------- yoy
+
+  /** Year-over-year revenue growth per nation — the time-comparison
+    * report every warehouse dashboard leads with. One partial/final
+    * aggregation to (nation, year) cells (exact cents), then lag()
+    * in windows PARTITIONED BY NATION — partitions hold ≤ |years|
+    * rows regardless of corpus size, so the window never funnels
+    * data. Growth in basis points via integer division (exact);
+    * first year reports NULL growth (no prior). */
+  def yoyGrowth(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+    cells
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("n_name"), col("yr"), col("rev_c"),
+        when(col("prev_c").isNull, lit(null).cast("long"))
+          .otherwise(expr("((rev_c - prev_c) * 10000) div prev_c"))
+          .as("growth_bps"))
+  }
+
+  private val yoyGrowthSql =
+    """WITH cells AS (
+      |  SELECT n.n_name, cast(year(l.l_shipdate) as int) AS yr,
+      |    cast(sum(cast(round(l.l_extendedprice * 100) as bigint)) as bigint)
+      |      AS rev_c
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_name, yr, rev_c,
+      |  CASE WHEN lag(rev_c) OVER (PARTITION BY n_name ORDER BY yr) IS NULL
+      |       THEN NULL
+      |       ELSE ((rev_c - lag(rev_c) OVER (PARTITION BY n_name ORDER BY yr))
+      |             * 10000) // lag(rev_c) OVER (PARTITION BY n_name ORDER BY yr)
+      |  END AS growth_bps
+      |FROM cells""".stripMargin
+
+  // ----------------------------------------------------- basket lift
+
+  private val LiftMinSupport = 3L
+  private val LiftTopK = 50
+
+  /** Market-basket association: top part pairs by LIFT
+    * (n_ab·N / (n_a·n_b) — how much more often the pair co-occurs
+    * than independence predicts), support-filtered. The pair
+    * generation is within-order bounded (order size is a small
+    * constant), rare pairs drop BEFORE the marginals join, the final
+    * ranking runs through TakeOrdered on a support-filtered relation.
+    * Lift is the one-division rational form (no log), tie-broken by
+    * pair id — deterministic cross-engine. The retail twin of
+    * vocab_pmi's token collocations. */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = op.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
+    val marg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= LiftMinSupport)
+    pairs
+      .join(marg.select(col("pk").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(marg.select(col("pk").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") * col("n_orders")
+          / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(LiftTopK)
+  }
+
+  private val basketLiftSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+       |            FROM lineitem),
+       |n AS (SELECT cast(count(DISTINCT okey) as bigint) AS n_orders FROM op),
+       |marg AS (SELECT pk, cast(count(*) as bigint) AS n_p FROM op GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, cast(count(*) as bigint) AS n_ab
+       |  FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $LiftMinSupport)
+       |SELECT pa, pb, n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
+       |  round(cast(n_ab as double) * (SELECT n_orders FROM n)
+       |    / (cast(ma.n_p as double) * cast(mb.n_p as double)), 6) AS lift
+       |FROM pairs JOIN marg ma ON pairs.pa = ma.pk
+       |           JOIN marg mb ON pairs.pb = mb.pk
+       |ORDER BY lift DESC, pa, pb LIMIT $LiftTopK""".stripMargin
+
+  // ----------------------------------------------------- abc analysis
+
+  /** ABC (Pareto) classification of parts by revenue: class A = the
+    * parts covering the first 70% of cumulative revenue, B = next
+    * 20%, C = the long tail — the inventory-prioritization standard.
+    * Parts rank by revenue DESC through the range-blocked two-level
+    * prefix sum (same machinery as q_rfm — block order is rank
+    * order, the offset window touches ≤64 rows), and the cumulative
+    * revenue is a second two-level pass over the SAME blocks: local
+    * cumsums parallel per block, per-block revenue offsets broadcast
+    * back. Class thresholds compare exact integer cents
+    * (cum·100 vs total·{70,90}) — no float boundary anywhere. */
+  def abcAnalysis(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      .withColumn("neg_rev", -col("rev_c"))
+      .localCheckpoint()
+    val tot = rev.agg(sum(col("rev_c")).as("_t"), count(lit(1)).as("_n"))
+    val bounds = rev.agg(min(col("neg_rev")).as("_lo"), max(col("neg_rev")).as("_hi"))
+    val blocked = rev.crossJoin(broadcast(bounds))
+      .withColumn("_blk",
+        expr(s"((neg_rev - _lo) * $RfmBlocks) div (_hi - _lo + 1)"))
+    val wLocal = Window.partitionBy(col("_blk"))
+      .orderBy(col("neg_rev"), col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlocks = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blocked.groupBy(col("_blk")).agg(sum(col("rev_c")).as("_bs"))
+      .withColumn("_boff", coalesce(sum(col("_bs")).over(wBlocks), lit(0L)))
+      .select(col("_blk"), col("_boff"))
+    val cum = blocked
+      .withColumn("_lcum", sum(col("rev_c")).over(wLocal))
+      .join(broadcast(offs), "_blk")
+      .withColumn("cum_c", col("_boff") + col("_lcum"))
+      .crossJoin(broadcast(tot))
+    cum
+      .withColumn("abc_class",
+        when(col("cum_c") * 100 <= col("_t") * 70, "A")
+          .when(col("cum_c") * 100 <= col("_t") * 90, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_c")).as("class_rev_c"),
+        min(col("rev_c")).as("min_part_rev_c"),
+        max(col("rev_c")).as("max_part_rev_c"))
+  }
+
+  private val abcAnalysisSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+      |      AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT cast(sum(rev_c) as bigint) AS t FROM rev),
+      |cum AS (
+      |  SELECT l_partkey, rev_c,
+      |    cast(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) as bigint) AS cum_c
+      |  FROM rev),
+      |cls AS (
+      |  SELECT rev_c,
+      |    CASE WHEN cum_c * 100 <= (SELECT t FROM tot) * 70 THEN 'A'
+      |         WHEN cum_c * 100 <= (SELECT t FROM tot) * 90 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM cum)
+      |SELECT abc_class, cast(count(*) as bigint) AS n_parts,
+      |  cast(sum(rev_c) as bigint) AS class_rev_c,
+      |  min(rev_c) AS min_part_rev_c,
+      |  max(rev_c) AS max_part_rev_c
+      |FROM cls GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2554,7 +2721,10 @@ object RelationalOps {
     "q_rfm" -> (rfmSegments _),
     "q_changepoint" -> (changepoint _),
     "q_running_distinct" -> (runningDistinct _),
-    "q_transitions" -> (transitions _))
+    "q_transitions" -> (transitions _),
+    "q_yoy_growth" -> (yoyGrowth _),
+    "q_basket_lift" -> (basketLift _),
+    "q_abc_analysis" -> (abcAnalysis _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2625,5 +2795,8 @@ object RelationalOps {
     "q_rfm" -> rfmSql,
     "q_changepoint" -> changepointSql,
     "q_running_distinct" -> runningDistinctSql,
-    "q_transitions" -> transitionsSql)
+    "q_transitions" -> transitionsSql,
+    "q_yoy_growth" -> yoyGrowthSql,
+    "q_basket_lift" -> basketLiftSql,
+    "q_abc_analysis" -> abcAnalysisSql)
 }

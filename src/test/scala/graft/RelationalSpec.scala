@@ -457,4 +457,75 @@ class RelationalSpec extends AnyFunSuite {
     }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
     assert(out.map(t => t._1 -> t._2._1).toMap == expect)
   }
+
+  test("yoy growth: revenue conserves; growth matches the lag formula") {
+    val out = RelationalOps.yoyGrowth(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    val totRev = Tables.lineitem(spark, sf)
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))).collect()
+      .head.getLong(0)
+    assert(out.values.map(_._1).sum == totRev,
+      "every lineitem lands in exactly one (nation, year) cell")
+    out.foreach { case ((nation, yr), (rev, growth)) =>
+      out.get((nation, yr - 1)) match {
+        case Some((prev, _)) =>
+          assert(growth.contains((rev - prev) * 10000 / prev),
+            s"$nation $yr growth formula")
+        case None =>
+          assert(growth.isEmpty, s"$nation $yr: first year must be NULL")
+      }
+    }
+  }
+
+  test("basket lift: values match a driver recount; ordering respects lift") {
+    val out = RelationalOps.basketLift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.length <= 50)
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val margs = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = op.groupBy(_._1).values.flatMap { grp =>
+      val pks = grp.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length)
+        yield (pks(i), pks(j))
+    }.toSeq.groupBy(p => p).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (pa, pb, nab, na, nb, lift) =>
+      assert(pairCounts((pa, pb)) == nab && nab >= 3)
+      assert(margs(pa) == na && margs(pb) == nb)
+      val want = BigDecimal(nab.toDouble * nOrders / (na.toDouble * nb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lift - want) < 1e-9)
+    }
+    assert(out.map(_._6).sameElements(out.map(_._6).sortBy(-_)),
+      "rows must come back in descending lift order")
+  }
+
+  test("abc analysis: classes partition parts and revenue, A dominates") {
+    val out = RelationalOps.abcAnalysis(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rev = Tables.lineitem(spark, sf)
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.values.map(_._1).sum == rev.length.toLong)
+    val tot = rev.map(_._2).sum
+    assert(out.values.map(_._2).sum == tot)
+    // driver replay of the pareto walk
+    var cum = 0L
+    val classes = rev.sortBy(t => (-t._2, t._1)).map { case (_, c) =>
+      cum += c
+      if (cum * 100 <= tot * 70) "A" else if (cum * 100 <= tot * 90) "B" else "C"
+    }
+    val expect = classes.groupBy(p => p).view.mapValues(_.length.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == expect)
+    // the 70/20/10 cut means revenue must order A > B > C regardless
+    // of how skewed the part distribution is (this synthetic corpus
+    // is near-uniform, so PART counts follow revenue share too)
+    assert(out("A")._2 > out("B")._2 && out("B")._2 > out("C")._2)
+  }
 }
