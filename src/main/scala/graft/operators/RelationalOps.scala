@@ -2649,6 +2649,54 @@ object RelationalOps {
       |  max(rev_c) AS max_part_rev_c
       |FROM cls GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------------------- gini
+
+  /** Gini coefficient of revenue concentration across parts — the
+    * single-number companion to q_abc_analysis' class table
+    * (0 = perfectly even, →1 = all revenue in one part). Uses the
+    * rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values
+    * ascending: ranks come from the same range-blocked two-level
+    * prefix sum as q_rfm (no single-partition window), and Σ(i·xᵢ),
+    * Σx, n are all exact integers under any partitioning — the
+    * whole statistic is integers until ONE final division pair.
+    * Ties rank deterministically by part id; the formula's value is
+    * tie-order invariant anyway (equal x swap freely). */
+  def giniRevenue(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+      .localCheckpoint()
+    rangedRank(rev, "x", "l_partkey")
+      .select(col("x"), ((col("pos") + 1) * col("x")).as("ix"), col("_n"))
+      .groupBy(col("_n").as("n_parts"))
+      .agg(sum(col("x")).as("total_rev_c"), sum(col("ix")).as("_s1"))
+      .select(col("n_parts"), col("total_rev_c"),
+        round((lit(2.0) * col("_s1") - (col("n_parts") + 1)
+            * col("total_rev_c"))
+          / (col("n_parts") * col("total_rev_c")).cast("double"), 6)
+          .as("gini"))
+  }
+
+  private val giniRevenueSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+      |      AS x
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT x,
+      |    cast(row_number() OVER (ORDER BY x, l_partkey) as bigint) AS i
+      |  FROM rev),
+      |a AS (
+      |  SELECT cast(count(*) as bigint) AS n_parts,
+      |    cast(sum(x) as bigint) AS total_rev_c,
+      |    cast(sum(i * x) as bigint) AS s1
+      |  FROM r)
+      |SELECT n_parts, total_rev_c,
+      |  round((2.0 * s1 - (n_parts + 1) * total_rev_c)
+      |    / cast(n_parts * total_rev_c as double), 6) AS gini
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2724,7 +2772,8 @@ object RelationalOps {
     "q_transitions" -> (transitions _),
     "q_yoy_growth" -> (yoyGrowth _),
     "q_basket_lift" -> (basketLift _),
-    "q_abc_analysis" -> (abcAnalysis _))
+    "q_abc_analysis" -> (abcAnalysis _),
+    "q_gini" -> (giniRevenue _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2798,5 +2847,6 @@ object RelationalOps {
     "q_transitions" -> transitionsSql,
     "q_yoy_growth" -> yoyGrowthSql,
     "q_basket_lift" -> basketLiftSql,
-    "q_abc_analysis" -> abcAnalysisSql)
+    "q_abc_analysis" -> abcAnalysisSql,
+    "q_gini" -> giniRevenueSql)
 }

@@ -155,6 +155,63 @@ object TextOps {
        |  round(cast(n_docs as double) / t, 6) AS label_share
        |FROM c JOIN lt USING (labeled_lang)""".stripMargin
 
+  /** Fluency floor for the ensemble's LM gate — sits just under the
+    * corpus median bigram probability, so the gate actually
+    * discriminates on this corpus. */
+  private val EnsembleLmMin = 0.032
+
+  /** The production filter STACK as one table — every quality signal
+    * the repo computes (heuristic quality score, Gopher word-shape
+    * gate, repetition gate, bigram-LM fluency) joined per document
+    * with per-filter verdicts, a failure count, and the final keep
+    * decision. This is the artifact a curation run reviews before
+    * committing to a filter config: which filters fire, how often,
+    * and on which documents they disagree. Four narrow per-doc
+    * relations equi-join on doc_id (co-partitioned by the join key —
+    * one shuffle each, no broadcast needed since all sides are
+    * |corpus| rows); each signal stays expression-identical to its
+    * standalone operator, so the ensemble can't drift from the
+    * already-oracled parts. */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val q = quality(s, d).select(col("doc_id"), col("quality"))
+    val g = qualityGopher(s, d).select(col("doc_id"), col("keep").as("gopher_ok"))
+    val r = repetition(s, d).select(col("doc_id"), col("is_repetitive"))
+    val l = VocabOps.lmScore(s, d).select(col("doc_id"), col("lm_score"))
+    val fails =
+      when(col("quality") < 0.5, 1).otherwise(0) +
+        when(!col("gopher_ok"), 1).otherwise(0) +
+        when(col("is_repetitive"), 1).otherwise(0) +
+        when(col("lm_score") < EnsembleLmMin, 1).otherwise(0)
+    q.join(g, "doc_id").join(r, "doc_id").join(l, "doc_id")
+      .select(col("doc_id"), col("quality"), col("gopher_ok"),
+        col("is_repetitive"), col("lm_score"),
+        fails.as("n_failed"),
+        (fails === 0).as("keep"))
+  }
+
+  // def, not val: it interpolates SQL vals declared LATER in this
+  // object (gopher/repetition) — a val here would capture null at
+  // object-init time
+  private def qualityEnsembleSql: String =
+    s"""WITH q AS ($qualitySql),
+       |g AS ($qualityGopherSql),
+       |r AS ($repetitionSql),
+       |l AS (${VocabOps.lmScoreSql}),
+       |j AS (
+       |  SELECT q.doc_id, q.quality, g.keep AS gopher_ok,
+       |    r.is_repetitive, l.lm_score,
+       |    (CASE WHEN q.quality < 0.5 THEN 1 ELSE 0 END
+       |     + CASE WHEN NOT g.keep THEN 1 ELSE 0 END
+       |     + CASE WHEN r.is_repetitive THEN 1 ELSE 0 END
+       |     + CASE WHEN l.lm_score < $EnsembleLmMin THEN 1 ELSE 0 END)
+       |      AS n_failed
+       |  FROM q JOIN g ON q.doc_id = g.doc_id
+       |         JOIN r ON q.doc_id = r.doc_id
+       |         JOIN l ON q.doc_id = l.doc_id)
+       |SELECT doc_id, quality, gopher_ok, is_repetitive, lm_score,
+       |  cast(n_failed as int) AS n_failed, n_failed = 0 AS keep
+       |FROM j""".stripMargin
+
   /** CTE chain ending in `qual(doc_id, quality)` — the quality score
     * only, for oracles that embed it (clean_corpus). Must stay
     * expression-identical to `quality`/`qualitySql`. */
@@ -510,10 +567,12 @@ object TextOps {
     "text_quality" -> (quality _),
     "text_lang_id" -> (langId _),
     "text_langid_eval" -> (langIdEval _),
+    "doc_quality_ensemble" -> (qualityEnsemble _),
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
     "text_langid_eval" -> langIdEvalSql,
+    "doc_quality_ensemble" -> qualityEnsembleSql,
     "doc_hash_embed" -> hashEmbedSql,
     "text_repetition" -> repetitionSql,
     "text_quality_gopher" -> qualityGopherSql,

@@ -276,7 +276,7 @@ object VocabOps {
           .otherwise(0.0).as("lm_score"))
   }
 
-  private val lmScoreSql = {
+  private[operators] val lmScoreSql = {
     val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
        |g AS (
@@ -467,7 +467,58 @@ object VocabOps {
        |FROM sp, tot""".stripMargin
   }
 
+  private val OovVocabK = 16
+
+  /** Per-document out-of-vocabulary rate against the top-K corpus
+    * vocabulary — the tokenizer-fit diagnostic (how much of each doc
+    * a K-entry vocab fails to cover; the per-doc drilldown of
+    * vocab_coverage's corpus curve). The vocab is the top-K tokens
+    * by corpus frequency (deterministic tie-break by token) from one
+    * token-count aggregation bounded by TakeOrdered; it broadcasts
+    * (K rows) into a map-side semi-probe, so the only shuffle is the
+    * per-doc count aggregation. oov_ppm is one integer division —
+    * exact in both engines. K=16 sits inside this corpus's ~31-token
+    * synthetic vocabulary so the rate actually discriminates. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    val tok = docs.select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(OovVocabK)
+      .select("token")
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val inVocab = tok.join(broadcast(vocab), "token")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in"))
+    perDoc.join(inVocab, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_in"), lit(0L))).as("n_oov"),
+        expr("(n_tok - coalesce(n_in, 0L)) * 1000000 div n_tok")
+          .as("oov_ppm"))
+  }
+
+  private val oovRateSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toks) AS token FROM documents),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS freq FROM tok GROUP BY 1)
+       |  ORDER BY freq DESC, token LIMIT $OovVocabK),
+       |pd AS (SELECT doc_id, cast(count(*) as bigint) AS n_tok
+       |       FROM tok GROUP BY 1),
+       |iv AS (
+       |  SELECT doc_id, cast(count(*) as bigint) AS n_in
+       |  FROM tok JOIN vocab USING (token) GROUP BY 1)
+       |SELECT pd.doc_id, pd.n_tok,
+       |  pd.n_tok - coalesce(iv.n_in, 0) AS n_oov,
+       |  cast((pd.n_tok - coalesce(iv.n_in, 0)) * 1000000 // pd.n_tok
+       |    as bigint) AS oov_ppm
+       |FROM pd LEFT JOIN iv ON pd.doc_id = iv.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_oov_rate" -> (oovRate _),
     "vocab_freq_spectrum" -> (freqSpectrum _),
     "vocab_coverage" -> (coverage _),
     "vocab_pmi" -> (pmi _),
@@ -478,6 +529,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_oov_rate" -> oovRateSql,
     "vocab_freq_spectrum" -> freqSpectrumSql,
     "vocab_coverage" -> coverageSql,
     "vocab_pmi" -> pmiSql,

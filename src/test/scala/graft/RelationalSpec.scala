@@ -528,4 +528,20 @@ class RelationalSpec extends AnyFunSuite {
     // is near-uniform, so PART counts follow revenue share too)
     assert(out("A")._2 > out("B")._2 && out("B")._2 > out("C")._2)
   }
+
+  test("gini: matches the rank-formula recomputation, lands in [0,1)") {
+    val row = RelationalOps.giniRevenue(spark, sf).collect().head
+    val (n, tot, gini) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val xs = Tables.lineitem(spark, sf)
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    assert(n == xs.length.toLong && tot == xs.sum)
+    val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val want = BigDecimal((2.0 * s1 - (n + 1) * tot) / (n * tot).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(gini - want) < 1e-9)
+    assert(gini >= 0.0 && gini < 1.0)
+  }
 }

@@ -131,4 +131,30 @@ class TextSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     assert(out.map(t => (t._1, t._2) -> t._3).toMap == fromLangId)
   }
+
+  test("quality ensemble: verdicts recompose from the standalone filters") {
+    val sf = TestSession.sf
+    val out = TextOps.qualityEnsemble(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3), r.getDouble(4), r.getInt(5), r.getBoolean(6))).toMap
+    val q = TextOps.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val g = TextOps.qualityGopher(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val rep = TextOps.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_repetitive")).toMap
+    val lm = graft.operators.VocabOps.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    assert(out.keySet == q.keySet)
+    out.foreach { case (id, (qual, gok, isRep, lms, nFailed, keep)) =>
+      assert(qual == q(id) && gok == g(id) && isRep == rep(id) && lms == lm(id),
+        s"doc $id signals must match the standalone operators")
+      val expect = (if (qual < 0.5) 1 else 0) + (if (!gok) 1 else 0) +
+        (if (isRep) 1 else 0) + (if (lms < 0.032) 1 else 0)
+      assert(nFailed == expect && keep == (expect == 0), s"doc $id verdict")
+    }
+    // the gate must actually discriminate on this corpus
+    assert(out.values.exists(_._6) && out.values.exists(!_._6),
+      "ensemble must both keep and drop documents")
+  }
 }

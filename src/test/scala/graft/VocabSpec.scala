@@ -246,4 +246,25 @@ class VocabSpec extends AnyFunSuite {
       assert(ppm == mass * 1000000L / totalTokens)
     }
   }
+
+  test("oov rate: counts match a driver recount against the top-16 vocab") {
+    val out = VocabOps.oovRate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docToks = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val freqs = docToks.values.flatten.groupBy(identity(_))
+      .map { case (t, a) => t -> a.size.toLong }
+    val vocab = freqs.toSeq.sortBy { case (t, f) => (-f, t) }.take(16)
+      .map(_._1).toSet
+    assert(out.keySet == docToks.keySet)
+    docToks.foreach { case (id, toks) =>
+      val (nTok, nOov, ppm) = out(id)
+      assert(nTok == toks.length.toLong)
+      assert(nOov == toks.count(t => !vocab.contains(t)).toLong, s"doc $id oov")
+      assert(ppm == nOov * 1000000L / nTok)
+    }
+    assert(out.values.exists(_._2 > 0), "some doc must carry OOV tokens")
+  }
 }
