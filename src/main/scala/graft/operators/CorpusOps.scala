@@ -161,7 +161,7 @@ object CorpusOps {
     * transitive closure) is exactly min-label propagation run to
     * fixpoint — an independent re-derivation of the Spark side's
     * union-find / distributed propagation. */
-  private def ccCte: String =
+  private[operators] def ccCte: String =
     s"""${DedupOps.jaccardPairsCte},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs

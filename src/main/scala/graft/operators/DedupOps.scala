@@ -658,13 +658,53 @@ object DedupOps {
 
   // ------------------------------------------------------------- maps
 
+  /** Dedup observability — the cluster-size histogram + duplication
+    * rate a curation run reports after the near-dup pass: how many
+    * singletons, how many k-doc families, what fraction of the
+    * corpus the representatives keep. Reads the SAME memoized
+    * Jaccard-component relation the whole dedup family shares (zero
+    * extra model cost in-session), aggregates to cluster sizes, then
+    * to a size histogram — two chained partial/final aggregations
+    * whose final state is bounded by the largest family size. The
+    * dup-rate ppm figures are exact integer divisions against
+    * broadcast totals. */
+  def dedupStats(s: SparkSession, d: String): DataFrame = {
+    val sizes = CorpusOps.clusters(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+    val tot = sizes.agg(sum(col("csize")).as("n_docs"),
+      count(lit(1)).as("n_clusters"))
+    sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters_of_size"))
+      .crossJoin(broadcast(tot))
+      .select(col("csize"), col("n_clusters_of_size"),
+        (col("csize") * col("n_clusters_of_size")).as("n_docs_in_size"),
+        expr("csize * n_clusters_of_size * 1000000 div n_docs")
+          .as("corpus_share_ppm"),
+        expr("(csize - 1) * n_clusters_of_size * 1000000 div n_docs")
+          .as("removed_share_ppm"))
+  }
+
+  private def dedupStatsSql: String =
+    s"""WITH RECURSIVE ${CorpusOps.ccCte},
+       |cszs AS (
+       |  SELECT cluster_id, cast(count(*) as bigint) AS csize
+       |  FROM cc GROUP BY 1),
+       |tot AS (SELECT cast(sum(csize) as bigint) AS n_docs FROM cszs)
+       |SELECT csize, cast(count(*) as bigint) AS n_clusters_of_size,
+       |  cast(csize * count(*) as bigint) AS n_docs_in_size,
+       |  cast(csize * count(*) * 1000000 // (SELECT n_docs FROM tot)
+       |    as bigint) AS corpus_share_ppm,
+       |  cast((csize - 1) * count(*) * 1000000 // (SELECT n_docs FROM tot)
+       |    as bigint) AS removed_share_ppm
+       |FROM cszs GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingNearDup _),
-    "dedup_passage" -> (passageDedup _))
+    "dedup_passage" -> (passageDedup _),
+    "dedup_stats" -> (dedupStats _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -672,5 +712,6 @@ object DedupOps {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingNearDupSql,
-    "dedup_passage" -> passageDedupSql)
+    "dedup_passage" -> passageDedupSql,
+    "dedup_stats" -> dedupStatsSql)
 }

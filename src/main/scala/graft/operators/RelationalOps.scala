@@ -2697,6 +2697,71 @@ object RelationalOps {
       |    / cast(n_parts * total_rev_c as double), 6) AS gini
       |FROM a""".stripMargin
 
+  // ------------------------------------------------------- skew metrics
+
+  /** Join-key skew diagnostics for the orders fact keyed by customer
+    * — the observability pass that decides whether a join needs
+    * salting/AQE skew handling BEFORE it runs: key count, row count,
+    * exact p50/p99 key sizes, the largest key's row share. Key sizes
+    * histogram first (partial/final agg bounded by |customers|),
+    * then the percentile walk runs over the SIZE DOMAIN (distinct
+    * per-key row counts — bounded by the max orders a single
+    * customer can have, not by corpus size; the same
+    * domain-bounded-window contract as q_skyline). All integers; the
+    * p99/p50 ratio is the one final division. */
+  def skewMetrics(s: SparkSession, d: String): DataFrame = {
+    val sizes = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("ksize"))
+    val hist = sizes.groupBy(col("ksize")).agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("ksize"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_k", sum(col("nk")).over(w))
+    val tot = hist.agg(sum(col("nk")).as("n_keys"),
+      sum(col("ksize") * col("nk")).as("n_rows"),
+      max(col("ksize")).as("max_key_rows"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_keys"), col("n_rows"), col("max_key_rows"))
+      .agg(
+        min(when(col("cum_k") * 2 >= col("n_keys"), col("ksize")))
+          .as("p50_key_rows"),
+        min(when(col("cum_k") * 100 >= col("n_keys") * 99, col("ksize")))
+          .as("p99_key_rows"))
+      .select(col("n_keys"), col("n_rows"),
+        col("p50_key_rows"), col("p99_key_rows"), col("max_key_rows"),
+        round(col("p99_key_rows").cast("double") / col("p50_key_rows"), 6)
+          .as("skew_p99_p50"),
+        expr("max_key_rows * 1000000 div n_rows").as("max_key_share_ppm"))
+  }
+
+  private val skewMetricsSql =
+    """WITH sizes AS (
+      |  SELECT o_custkey, cast(count(*) as bigint) AS ksize
+      |  FROM orders GROUP BY 1),
+      |hist AS (SELECT ksize, cast(count(*) as bigint) AS nk
+      |         FROM sizes GROUP BY 1),
+      |cum AS (
+      |  SELECT ksize, nk,
+      |    cast(sum(nk) OVER (ORDER BY ksize ROWS UNBOUNDED PRECEDING)
+      |      as bigint) AS cum_k
+      |  FROM hist),
+      |tot AS (
+      |  SELECT cast(sum(nk) as bigint) AS n_keys,
+      |    cast(sum(ksize * nk) as bigint) AS n_rows,
+      |    max(ksize) AS max_key_rows
+      |  FROM hist)
+      |SELECT n_keys, n_rows,
+      |  min(CASE WHEN cum_k * 2 >= n_keys THEN ksize END) AS p50_key_rows,
+      |  min(CASE WHEN cum_k * 100 >= n_keys * 99 THEN ksize END)
+      |    AS p99_key_rows,
+      |  max_key_rows,
+      |  round(cast(min(CASE WHEN cum_k * 100 >= n_keys * 99 THEN ksize END)
+      |    as double) / min(CASE WHEN cum_k * 2 >= n_keys THEN ksize END), 6)
+      |    AS skew_p99_p50,
+      |  cast(max_key_rows * 1000000 // n_rows as bigint)
+      |    AS max_key_share_ppm
+      |FROM cum, tot
+      |GROUP BY n_keys, n_rows, max_key_rows""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2773,7 +2838,8 @@ object RelationalOps {
     "q_yoy_growth" -> (yoyGrowth _),
     "q_basket_lift" -> (basketLift _),
     "q_abc_analysis" -> (abcAnalysis _),
-    "q_gini" -> (giniRevenue _))
+    "q_gini" -> (giniRevenue _),
+    "q_skew_metrics" -> (skewMetrics _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2848,5 +2914,6 @@ object RelationalOps {
     "q_yoy_growth" -> yoyGrowthSql,
     "q_basket_lift" -> basketLiftSql,
     "q_abc_analysis" -> abcAnalysisSql,
-    "q_gini" -> giniRevenueSql)
+    "q_gini" -> giniRevenueSql,
+    "q_skew_metrics" -> skewMetricsSql)
 }

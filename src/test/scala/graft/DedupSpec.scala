@@ -159,4 +159,21 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedup stats histogram conserves docs and clusters") {
+    val out = DedupOps.dedupStats(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    val clusters = graft.operators.CorpusOps.clusters(spark, sf)
+      .select("cluster_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_docs_in_size")).sum == docs)
+    assert(out.map(_.getAs[Long]("n_clusters_of_size")).sum == clusters)
+    out.foreach { r =>
+      val (cs, nc) = (r.getAs[Long]("csize"), r.getAs[Long]("n_clusters_of_size"))
+      assert(cs >= 1 && nc >= 1)
+      assert(r.getAs[Long]("n_docs_in_size") == cs * nc)
+      // removed share = docs minus one representative per cluster
+      assert(r.getAs[Long]("corpus_share_ppm") == cs * nc * 1000000L / docs)
+      assert(r.getAs[Long]("removed_share_ppm") == (cs - 1) * nc * 1000000L / docs)
+    }
+  }
 }

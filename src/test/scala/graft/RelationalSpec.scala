@@ -544,4 +544,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(gini - want) < 1e-9)
     assert(gini >= 0.0 && gini < 1.0)
   }
+
+  test("skew metrics: percentiles bracket, totals conserve") {
+    val row = RelationalOps.skewMetrics(spark, sf).collect().head
+    val sizes = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .collect().map(_.getLong(1)).sorted
+    assert(row.getAs[Long]("n_keys") == sizes.length.toLong)
+    assert(row.getAs[Long]("n_rows") == sizes.sum)
+    assert(row.getAs[Long]("max_key_rows") == sizes.last)
+    // exact order-statistic recomputation: smallest size with
+    // cum-key-count covering the quantile
+    def q(p: Double): Long = sizes((math.ceil(sizes.length * p) - 1).toInt.max(0))
+    assert(row.getAs[Long]("p50_key_rows") == q(0.5))
+    assert(row.getAs[Long]("p99_key_rows") == q(0.99))
+    assert(row.getAs[Long]("p50_key_rows") <= row.getAs[Long]("p99_key_rows"))
+    assert(row.getAs[Long]("p99_key_rows") <= row.getAs[Long]("max_key_rows"))
+    assert(row.getAs[Long]("max_key_share_ppm") ==
+      sizes.last * 1000000L / sizes.sum)
+  }
 }
