@@ -205,6 +205,70 @@ object AnnOps {
     ivfScore(annAssigned(s, d), annCents(s, d), queriesDf(s, d),
       nProbe = DefaultNProbe)
 
+  private val RangeTau = 0.3
+
+  /** Radius (range) search — the other half of the ANN API surface
+    * next to top-k: ALL probed-cell neighbors with cosine ≥ τ, so
+    * result size follows true neighborhood density instead of a
+    * fixed K. Reuses the memoized IVF model (centroids + assigned
+    * corpus); per query only nProbe cells are scanned, and the
+    * τ-filter runs where the vectors live — no ranking window, no
+    * heap, result never staged. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val probes = ivfProbes(annCents(s, d), queriesDf(s, d), DefaultNProbe)
+    annAssigned(s, d).join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  private def rangeSearchSql: String = {
+    def dot(a: String, b: String) = sqlDot(a, b)
+    s"""WITH $ivfChainSql
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  round(${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm), 6) AS cosine
+       |FROM asg a JOIN probes p USING (cell_id)
+       |WHERE a.vec_id <> p.query_id
+       |  AND ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm)
+       |      >= cast($RangeTau as double)""".stripMargin
+  }
+
+  /** ANN quality report: per-query recall of IVF top-K against the
+    * exact brute-force top-K — the number that tunes nProbe/cells
+    * before a production run. Both sides are the operators above
+    * (IVF reads the memoized model), joined on (query, neighbor);
+    * counting the matches is one bounded aggregation over Q·K rows. */
+  def recallEval(s: SparkSession, d: String): DataFrame = {
+    val bf = bruteForce(s, d).select("query_id", "neighbor_id")
+    val iv = ivf(s, d).select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $K").as("recall_ppm"))
+  }
+
+  private def recallEvalSql: String = {
+    def dot(a: String, b: String) = sqlDot(a, b)
+    s"""WITH $ivfChainSql,
+       |ivf_res AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM asg a JOIN probes p USING (cell_id)
+       |  WHERE a.vec_id <> p.query_id
+       |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm) DESC,
+       |             a.vec_id) <= $K),
+       |bf AS ($bruteForceSql)
+       |SELECT b.query_id, cast(count(i.neighbor_id) as bigint) AS n_hit,
+       |  cast(count(i.neighbor_id) * 1000000 // $K as bigint) AS recall_ppm
+       |FROM bf b LEFT JOIN ivf_res i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Bounded deterministic training sample: keep a vector iff its
     * id hash lands under the threshold — an embarrassingly parallel
     * filter (expected size trainPerCell·cells; concentration is all
@@ -252,11 +316,12 @@ object AnnOps {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("best.cell_id").as("cell_id"))
 
-  /** Probe + score: nProbe nearest cells per query (K=nProbe heap),
-    * exact cosine within probed cells, rank top-K. */
-  private def ivfScore(assigned: DataFrame, cents: DataFrame,
-                       queries: DataFrame, nProbe: Int): DataFrame = {
-    val probes = graft.functions.topk.perKey(
+  /** nProbe nearest cells per query (bounded-heap top-k over the
+    * broadcast centroid table) — shared by top-k IVF search, radius
+    * search and the recall report. */
+  private def ivfProbes(cents: DataFrame, queries: DataFrame,
+                        nProbe: Int): DataFrame =
+    graft.functions.topk.perKey(
       queries.crossJoin(broadcast(cents))
         .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
         .select("query_id", "q_emb", "cell_id", "dist"),
@@ -266,6 +331,11 @@ object AnnOps {
       k = nProbe)
       .select("query_id", "q_emb", "cell_id")
 
+  /** Probe + score: nProbe nearest cells per query (K=nProbe heap),
+    * exact cosine within probed cells, rank top-K. */
+  private def ivfScore(assigned: DataFrame, cents: DataFrame,
+                       queries: DataFrame, nProbe: Int): DataFrame = {
+    val probes = ivfProbes(cents, queries, nProbe)
     val scored = assigned.join(broadcast(probes), "cell_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
@@ -415,14 +485,17 @@ object AnnOps {
     * (dist, cell_id). Norms are factored into CTEs — the same fold
     * value the fused expression computes per pair, just evaluated
     * once per vector. */
-  private def ivfSql: String = {
+  /** The default-path IVF model as a CTE chain ending in `asg`
+    * (assigned corpus) and `probes` — the shared prefix of the ivf /
+    * range-search / recall-eval mirrors, mirroring the memoized
+    * model pieces the Spark side shares. */
+  private def ivfChainSql: String = {
     val dotTS = sqlDotTS
-    def dot(a: String, b: String) = sqlDot(a, b)
     def kmeansAssign(src: String, cents: String, out: String): String =
       cAssignSql(src, cents, out)
     def kmeansMeans(asg: String, out: String): String =
       cMeansSql(asg, out)
-    s"""WITH ${qhashCtes("hh")},
+    s"""${qhashCtes("hh")},
        |params AS (
        |  SELECT greatest(4, cast(floor(sqrt(count(*))) as bigint)) AS cells,
        |         count(*) AS n
@@ -451,7 +524,12 @@ object AnnOps {
        |  SELECT t.vec_id AS query_id, t.embedding AS q_emb, t.nrm AS qnrm, s.cell_id
        |  FROM (SELECT * FROM corpus WHERE vec_id < $NQueries) t, cent2 s
        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
-       |    ORDER BY -($dotTS / (t.nrm * s.cnorm)), s.cell_id) <= $DefaultNProbe)
+       |    ORDER BY -(${sqlDotTS} / (t.nrm * s.cnorm)), s.cell_id) <= $DefaultNProbe)""".stripMargin
+  }
+
+  private def ivfSql: String = {
+    def dot(a: String, b: String) = sqlDot(a, b)
+    s"""WITH $ivfChainSql
        |SELECT p.query_id, a.vec_id AS neighbor_id,
        |  cast(row_number() OVER (PARTITION BY p.query_id
        |    ORDER BY ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm) DESC,
@@ -1364,7 +1442,9 @@ object AnnOps {
     "emb_int8_quantize" -> (int8Quantize _),
     "emb_kmeans" -> (kmeansClusters _),
     "emb_knn_classify" -> (knnClassify _),
-    "sample_diverse" -> (sampleDiverse _))
+    "sample_diverse" -> (sampleDiverse _),
+    "ann_range_search" -> (rangeSearch _),
+    "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
     "emb_dim_stats" -> dimStatsSql,
@@ -1379,5 +1459,7 @@ object AnnOps {
     "emb_int8_quantize" -> int8QuantizeSql,
     "emb_kmeans" -> embKmeansSql,
     "emb_knn_classify" -> knnClassifySql,
-    "sample_diverse" -> sampleDiverseSql)
+    "sample_diverse" -> sampleDiverseSql,
+    "ann_range_search" -> rangeSearchSql,
+    "ann_recall_eval" -> recallEvalSql)
 }

@@ -216,7 +216,30 @@ object DedupOps {
     // aggregation and the verification joins (memo-cached: it is the
     // only pass over the raw text)
     val sh = shingleSets(s, d)
+    val cand = minhashCandidates(s, d)
 
+    // exact verification on the candidate set only; the second join is
+    // on (doc_b, sh) so shared shingles merge in the join instead of
+    // fanning out |A|x|B| rows per pair
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash-LSH candidate pair set (pre-verification), memoized:
+    * minhash_lsh verifies it, dedup_eval measures it. */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "minhash_cand", d) {
+    val sh = shingleSets(s, d)
     // signature[i] = min over shingles of (fp·A_i + B_i) mod M: the
     // string hashes ONCE per shingle row, then fans out to 64 modmul
     // permutations, then a (doc, perm) min aggregate — all narrow
@@ -244,24 +267,8 @@ object DedupOps {
         (acc, x) => (acc * 31 + x.getField("mh")) % lit(1000000007L)).as("bh"))
       .cache()
 
-    val cand = bucketCandidates(banded, Seq("band", "bh"), "doc_id", CandBucketCap)
+    bucketCandidates(banded, Seq("band", "bh"), "doc_id", CandBucketCap)
       .select(col("cand_a").as("doc_a"), col("cand_b").as("doc_b"))
-
-    // exact verification on the candidate set only; the second join is
-    // on (doc_b, sh) so shared shingles merge in the join instead of
-    // fanning out |A|x|B| rows per pair
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
-      .filter(col("jaccard") >= JaccardTau)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Rolling-hash fingerprint of an arbitrary SQL string expression
@@ -276,12 +283,14 @@ object DedupOps {
     * universe (shared CTE), same literal A/B permutation
     * coefficients, same ordered band fold, same 256-rep bucket cap,
     * same exact-Jaccard verification. */
-  private[operators] def minhashLshSql: String = {
+  /** The candidate-generation CTEs alone (fph..cand, assumes a `sh`
+    * shingle relation in scope) — shared by the full minhash mirror
+    * and the dedup_eval report. */
+  private def minhashCandCtes: String = {
     val r = MinHashK / Bands
     val aLit = (0 until MinHashK).map(permA).mkString("[", ",", "]")
     val bLit = (0 until MinHashK).map(permB).mkString("[", ",", "]")
-    s"""WITH $shingleSetsSqlCte,
-       |fph AS (SELECT doc_id, ${fpSql("sh")} AS fp FROM sh),
+    s"""fph AS (SELECT doc_id, ${fpSql("sh")} AS fp FROM sh),
        |perms AS (
        |  SELECT doc_id, p.perm AS perm,
        |    (fp * ($aLit)[p.perm + 1] + ($bLit)[p.perm + 1]) % 1000000007 AS h
@@ -299,7 +308,12 @@ object DedupOps {
        |cand AS (
        |  SELECT DISTINCT r.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM reps r JOIN banded b USING (band, bh)
-       |  WHERE r.doc_id < b.doc_id),
+       |  WHERE r.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private[operators] def minhashLshSql: String = {
+    s"""WITH $shingleSetsSqlCte,
+       |$minhashCandCtes,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, $oCountAlias AS n_shared
@@ -697,6 +711,47 @@ object DedupOps {
        |    as bigint) AS removed_share_ppm
        |FROM cszs GROUP BY 1""".stripMargin
 
+  /** Candidate-generation quality report: MinHash-LSH's candidate
+    * pair set measured against the exact Jaccard ≥ τ ground truth
+    * (both memoized — the report adds one full-outer join over two
+    * pair sets and one bounded aggregation, never re-reading text).
+    * precision = verified dups among candidates (what the verify
+    * join will pay for), recall = true dup pairs the banding found
+    * (what the dedup pass will actually remove) — THE two numbers
+    * that tune bands/rows/cap before a 100 TB run. */
+  def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val truth = ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
+    val cand = minhashCandidates(s, d).withColumn("in_c", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(col("in_t")).as("n_truth"),
+        sum(col("in_c")).as("n_candidates"),
+        sum(col("in_t") * col("in_c")).as("n_found"))
+      .select(lit("minhash_lsh").as("method"),
+        col("n_truth"), col("n_candidates"), col("n_found"),
+        expr("n_found * 1000000 div n_candidates").as("precision_ppm"),
+        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+  }
+
+  private def dedupEvalSql: String = {
+    // the minhash candidate CTEs (fph..cand) extend the truth chain
+    // (sh0..pairs) — disjoint names, shared shingle relation
+    s"""WITH ${jaccardPairsCte},
+       |${minhashCandCtes},
+       |m AS (
+       |  SELECT
+       |    (SELECT count(*) FROM pairs) AS nt,
+       |    (SELECT count(*) FROM cand) AS nc,
+       |    (SELECT count(*) FROM pairs JOIN cand USING (doc_a, doc_b)) AS nf)
+       |SELECT 'minhash_lsh' AS method,
+       |  cast(nt as bigint) AS n_truth,
+       |  cast(nc as bigint) AS n_candidates,
+       |  cast(nf as bigint) AS n_found,
+       |  cast(nf * 1000000 // nc as bigint) AS precision_ppm,
+       |  cast(nf * 1000000 // nt as bigint) AS recall_ppm
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -704,7 +759,8 @@ object DedupOps {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingNearDup _),
     "dedup_passage" -> (passageDedup _),
-    "dedup_stats" -> (dedupStats _))
+    "dedup_stats" -> (dedupStats _),
+    "dedup_eval" -> (dedupEval _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -713,5 +769,6 @@ object DedupOps {
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingNearDupSql,
     "dedup_passage" -> passageDedupSql,
-    "dedup_stats" -> dedupStatsSql)
+    "dedup_stats" -> dedupStatsSql,
+    "dedup_eval" -> dedupEvalSql)
 }

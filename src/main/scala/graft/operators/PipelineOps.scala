@@ -461,7 +461,42 @@ object PipelineOps {
        |FROM b WHERE bucket < rate_ppm""".stripMargin
   }
 
+  /** Quality-tiered multi-epoch upsampling — the data-mixing step
+    * that shows high-quality documents to training more than once
+    * (epochs 3/2/1 by quality tier): each doc explodes into its
+    * epoch copies with per-copy token counts, so the packed/budgeted
+    * stages downstream account the repeats exactly. The tier rule is
+    * a pure per-row expression over the shared quality score —
+    * embarrassingly parallel, output rows bounded by maxEpochs·|docs|
+    * with zero shuffles. */
+  def sampleEpochs(s: SparkSession, d: String): DataFrame = {
+    val q = TextOps.quality(s, d).select(
+      col("doc_id"), col("n_tokens"),
+      when(col("quality") >= 0.75, 3)
+        .when(col("quality") >= 0.5, 2)
+        .otherwise(1).cast("int").as("n_epochs"))
+    q.select(col("doc_id"), col("n_epochs"),
+      explode(sequence(lit(1), col("n_epochs"))).as("epoch"),
+      col("n_tokens"))
+  }
+
+  private val sampleEpochsSql =
+    s"""WITH ${TextOps.qualityCte},
+       |e AS (
+       |  SELECT qm.doc_id, cast(qm.n_tok as int) AS n_tokens,
+       |    cast(CASE WHEN qual.quality >= 0.75 THEN 3
+       |              WHEN qual.quality >= 0.5 THEN 2
+       |              ELSE 1 END as int) AS n_epochs
+       |  FROM qm JOIN qual USING (doc_id)),
+       |sel AS (
+       |  SELECT doc_id, n_epochs,
+       |    unnest(range(1, n_epochs + 1)) AS epoch, n_tokens
+       |  FROM e)
+       |SELECT doc_id, n_epochs, cast(epoch as int) AS epoch, n_tokens
+       |FROM sel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_epochs" -> (sampleEpochs _),
     "sample_bernoulli" -> (sampleBernoulli _),
     "corpus_token_budget" -> (tokenBudget _),
     "corpus_chunk" -> (chunkDocs _),
@@ -473,6 +508,7 @@ object PipelineOps {
     "sample_weighted" -> (sampleWeighted _))
 
   val oracle: Map[String, String] = Map(
+    "sample_epochs" -> sampleEpochsSql,
     "sample_bernoulli" -> sampleBernoulliSql,
     "corpus_token_budget" -> tokenBudgetSql,
     "corpus_chunk" -> chunkDocsSql,

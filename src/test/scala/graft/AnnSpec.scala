@@ -251,4 +251,47 @@ class AnnSpec extends AnyFunSuite {
       assert(variance >= 0.0, "variance can't be negative")
     }
   }
+
+  test("range search: exactly the tau-neighbors within probed cells") {
+    import graft.functions.vector
+    val got = AnnOps.rangeSearch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported neighbor clears the threshold (post-round check
+    // with a 6-dp guard band)
+    AnnOps.rangeSearch(spark, sf).collect()
+      .foreach(r => assert(r.getDouble(2) >= 0.3 - 5e-7))
+    // result is a subset of the exact radius set (no false positives)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exactRadius = e.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .filter(col("cos") >= 0.3)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exactRadius))
+    // ...and the top-1 exact neighbor that clears tau is found when
+    // IVF's top-k finds it too (same probed cells)
+    val ivfPairs = AnnOps.ivf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfAboveTau = AnnOps.ivf(spark, sf)
+      .filter(col("cosine") >= 0.3 + 5e-7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfAboveTau.subsetOf(got))
+    assert(ivfPairs.nonEmpty)
+  }
+
+  test("recall eval: agrees with a direct intersection recount") {
+    val rows = AnnOps.recallEval(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == exact.keySet)
+    val ivfGot = asMap(AnnOps.ivf(spark, sf))
+    rows.foreach { r =>
+      val (q, nHit, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = exact(q).toSet.intersect(ivfGot(q).toSet).size.toLong
+      assert(nHit == want, s"query $q")
+      assert(ppm == nHit * 1000000L / 10)
+      assert(nHit >= 0 && nHit <= 10)
+    }
+  }
 }

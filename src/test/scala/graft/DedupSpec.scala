@@ -160,6 +160,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup eval: counts match direct recomputation from the two pair sets") {
+    val r = DedupOps.dedupEval(spark, sf).collect().head
+    val truth = DedupOps.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.getString(0) == "minhash_lsh")
+    assert(r.getAs[Long]("n_truth") == truth.size.toLong)
+    val nc = r.getAs[Long]("n_candidates")
+    val nf = r.getAs[Long]("n_found")
+    assert(nf <= nc && nf <= truth.size)
+    // verified minhash output = truth ∩ candidates, so n_found must
+    // equal the minhash pair count
+    assert(nf == DedupOps.minhashLsh(spark, sf).count())
+    assert(r.getAs[Long]("precision_ppm") == nf * 1000000L / nc)
+    assert(r.getAs[Long]("recall_ppm") == nf * 1000000L / truth.size)
+  }
+
   test("dedup stats histogram conserves docs and clusters") {
     val out = DedupOps.dedupStats(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()

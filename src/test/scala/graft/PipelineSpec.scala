@@ -163,4 +163,22 @@ class PipelineSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted
     assert(again.sameElements(out.map(_._1).sorted))
   }
+
+  test("epoch upsampling: copies match the quality tier, tokens carried") {
+    val out = PipelineOps.sampleEpochs(spark, sf).collect()
+    val quality = graft.operators.TextOps.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4), r.getInt(1))).toMap
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.keySet == quality.keySet, "every doc appears")
+    byDoc.foreach { case (id, rows) =>
+      val (q, nTok) = quality(id)
+      val wantEpochs = if (q >= 0.75) 3 else if (q >= 0.5) 2 else 1
+      assert(rows.length == wantEpochs, s"doc $id q=$q")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to wantEpochs))
+      rows.foreach { r =>
+        assert(r.getInt(1) == wantEpochs)
+        assert(r.getInt(3) == nTok)
+      }
+    }
+  }
 }
