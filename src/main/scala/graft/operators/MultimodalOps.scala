@@ -203,15 +203,56 @@ object MultimodalOps {
        |FROM c""".stripMargin
   }
 
+  /** Resize planning: aspect-preserving target dims (short side →
+    * 224, never upscale) + an aspect-ratio bucket for batch shaping
+    * — the image-preprocessing decision a multimodal loader makes
+    * per image BEFORE decoding (so batches group compatible shapes).
+    * Dims come from the deterministic fake decode; the planning
+    * arithmetic is the real thing and is ALL integer (floor-division
+    * scaling), so both engines agree exactly. Embarrassingly
+    * parallel, zero shuffles. */
+  def resizePlan(s: SparkSession, d: String): DataFrame = {
+    val nBytes = octet_length(encode(col("text"), "UTF-8"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(nBytes % 640, lit(1)).cast("int").as("in_w"),
+        greatest((nBytes * 3) % 480, lit(1)).cast("int").as("in_h"))
+      .select(col("doc_id"), col("in_w"), col("in_h"),
+        least(col("in_w"), col("in_h")).as("ss"),
+        greatest(col("in_w"), col("in_h")).as("ls"))
+      .select(col("doc_id"), col("in_w"), col("in_h"),
+        when(col("ss") > 224, expr("in_w * 224 div ss"))
+          .otherwise(col("in_w")).cast("int").as("out_w"),
+        when(col("ss") > 224, expr("in_h * 224 div ss"))
+          .otherwise(col("in_h")).cast("int").as("out_h"),
+        least(expr("ls * 4 div ss"), lit(8)).cast("int").as("aspect_bucket"))
+  }
+
+  private val resizePlanSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    greatest(cast(octet_length(encode(text)) % 640 as int), 1) AS in_w,
+      |    greatest(cast((octet_length(encode(text)) * 3) % 480 as int), 1) AS in_h
+      |  FROM documents),
+      |s AS (SELECT doc_id, in_w, in_h,
+      |        least(in_w, in_h) AS ss, greatest(in_w, in_h) AS ls FROM m)
+      |SELECT doc_id, in_w, in_h,
+      |  cast(CASE WHEN ss > 224 THEN in_w * 224 // ss ELSE in_w END as int) AS out_w,
+      |  cast(CASE WHEN ss > 224 THEN in_h * 224 // ss ELSE in_h END as int) AS out_h,
+      |  cast(least(ls * 4 // ss, 8) as int) AS aspect_bucket
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_dedup_payload" -> (payloadDedup _),
-    "mm_shard_manifest" -> (shardManifest _))
+    "mm_shard_manifest" -> (shardManifest _),
+    "mm_resize_plan" -> (resizePlan _))
 
   val oracle: Map[String, String] = Map(
     "mm_binary_meta" -> binaryMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_dedup_payload" -> payloadDedupSql,
-    "mm_shard_manifest" -> shardManifestSql)
+    "mm_shard_manifest" -> shardManifestSql,
+    "mm_resize_plan" -> resizePlanSql)
 }

@@ -2762,6 +2762,54 @@ object RelationalOps {
       |FROM cum, tot
       |GROUP BY n_keys, n_rows, max_key_rows""".stripMargin
 
+  // -------------------------------------------------------- attribution
+
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent PRIOR non-purchase event ('none' if the purchase opens
+    * the history) — the marketing-analytics companion to q_funnel.
+    * One exchange on user_id, one per-user sort shared by the
+    * ignore-nulls last() window, then a ~|event types| aggregation
+    * with the total broadcast back for exact ppm shares. Null
+    * user_id/ts rows are excluded explicitly on BOTH sides (Spark
+    * and DuckDB disagree on NULL ordering defaults — q_heavy_hitters
+    * precedent). */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attr = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("src",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("src"), lit("none")).as("attributed_type"))
+    val tot = attr.agg(count(lit(1)).as("n_total"))
+    attr.groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(tot))
+      .select(col("attributed_type"), col("n_purchases"),
+        expr("n_purchases * 1000000 div n_total").as("share_ppm"))
+  }
+
+  private val attributionSql =
+    """WITH a AS (
+      |  SELECT coalesce(
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    'none') AS attributed_type,
+      |    event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |p AS (SELECT attributed_type FROM a WHERE event_type = 'purchase'),
+      |tot AS (SELECT cast(count(*) as bigint) AS n_total FROM p)
+      |SELECT attributed_type, cast(count(*) as bigint) AS n_purchases,
+      |  cast(count(*) * 1000000 // n_total as bigint) AS share_ppm
+      |FROM p, tot
+      |GROUP BY attributed_type, n_total""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2839,7 +2887,8 @@ object RelationalOps {
     "q_basket_lift" -> (basketLift _),
     "q_abc_analysis" -> (abcAnalysis _),
     "q_gini" -> (giniRevenue _),
-    "q_skew_metrics" -> (skewMetrics _))
+    "q_skew_metrics" -> (skewMetrics _),
+    "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -2915,5 +2964,6 @@ object RelationalOps {
     "q_basket_lift" -> basketLiftSql,
     "q_abc_analysis" -> abcAnalysisSql,
     "q_gini" -> giniRevenueSql,
-    "q_skew_metrics" -> skewMetricsSql)
+    "q_skew_metrics" -> skewMetricsSql,
+    "q_attribution" -> attributionSql)
 }

@@ -62,4 +62,24 @@ class MultimodalSpec extends AnyFunSuite {
     // the manifest must actually span multiple shards at test scale
     assert(rows.map(_._3).distinct.length > 1)
   }
+
+  test("resize plan: aspect preserved within floor rounding, never upscaled") {
+    val rows = MultimodalOps.resizePlan(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (w, h, ow, oh, b) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      val (ss, ls) = (math.min(w, h), math.max(w, h))
+      if (ss > 224) {
+        // scaled: short side lands exactly on 224, long side floors
+        assert(math.min(ow, oh) == 224)
+        assert(math.max(ow, oh) == ls * 224 / ss)
+      } else {
+        assert((ow, oh) == (w, h), "small images pass through")
+      }
+      assert(ow <= w && oh <= h, "never upscale")
+      assert(b == math.min(ls * 4 / ss, 8))
+      assert(b >= 4 && b <= 8, "long/short >= 1 so bucket >= 4")
+    }
+  }
 }

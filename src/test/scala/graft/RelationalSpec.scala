@@ -545,6 +545,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(gini >= 0.0 && gini < 1.0)
   }
 
+  test("attribution: totals conserve, agrees with a driver-side replay") {
+    val out = RelationalOps.attribution(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side replay over the (tiny at test sf) event log
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("string").as("ts"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      // ISO timestamp strings sort chronologically
+      val sorted = rows.sortBy(t => (t._2, t._3)).toList
+      var lastSrc = "none"
+      val attributed = scala.collection.mutable.ListBuffer.empty[String]
+      sorted.foreach { t =>
+        if (t._4 == "purchase") attributed += lastSrc
+        else lastSrc = t._4
+      }
+      attributed.toList
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.view.mapValues(_._1).toMap == want)
+    val total = want.values.sum
+    out.foreach { case (_, (n, ppm)) => assert(ppm == n * 1000000L / total) }
+    assert(out.values.map(_._1).sum == total)
+  }
+
   test("skew metrics: percentiles bracket, totals conserve") {
     val row = RelationalOps.skewMetrics(spark, sf).collect().head
     val sizes = Tables.orders(spark, sf).groupBy("o_custkey").count()
