@@ -273,7 +273,7 @@ object DedupOps {
 
   /** Rolling-hash fingerprint of an arbitrary SQL string expression
     * (TextOps.fpExprSql is the same fold fixed to a `text` column). */
-  private def fpSql(expr: String): String =
+  private[operators] def fpSql(expr: String): String =
     s"""list_reduce(
        |    list_prepend(cast(0 as bigint),
        |      list_transform(string_split($expr, ''), c -> cast(ascii(c) as bigint))),

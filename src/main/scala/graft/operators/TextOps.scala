@@ -487,17 +487,27 @@ object TextOps {
         .as("embedding"))
   }
 
-  /** The integer core: dense signed-count vector per doc (dim order),
-    * plus its exact integer squared norm. Every doc appears, even
-    * token-free ones (zero vector) — the grid join guarantees it. */
-  private def hashEmbedDense(docs: DataFrame): DataFrame = {
+  /** Sparse signed hash counts (doc_id, dim, cnt) — the integer core
+    * shared by the dense embedding and the hybrid-search dot
+    * products. Works for ANY (doc_id, text)-shaped relation (the
+    * hybrid query embeds its query string through the same path). */
+  private[operators] def hashEmbedCounts(docs: DataFrame): DataFrame = {
     val h = text.rollingHash(col("token"))
-    val counts = docs
+    docs
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("token"))
       .select(col("doc_id"), (h % HashDim).cast("int").as("dim"),
         when(h % lit(2L * HashDim) < lit(HashDim.toLong), 1L)
           .otherwise(-1L).as("sign"))
       .groupBy("doc_id", "dim").agg(sum(col("sign")).as("cnt"))
+  }
+
+  private[operators] def hashEmbedDim: Int = HashDim
+
+  /** The dense signed-count vector per doc (dim order), plus its
+    * exact integer squared norm. Every doc appears, even token-free
+    * ones (zero vector) — the grid join guarantees it. */
+  private def hashEmbedDense(docs: DataFrame): DataFrame = {
+    val counts = hashEmbedCounts(docs)
     val grid = docs.select(col("doc_id"))
       .crossJoin(broadcast(
         docs.sparkSession.range(HashDim).select(col("id").cast("int").as("dim"))))

@@ -517,7 +517,116 @@ object VocabOps {
        |FROM pd LEFT JOIN iv ON pd.doc_id = iv.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------- hybrid search
+
+  private val RrfK = 60
+  private val HybridListK = 50
+  private val HybridTopK = 10
+
+  /** Hybrid retrieval: the BM25 lexical ranking and a semantic
+    * ranking (cosine over the hashing-trick embeddings, query string
+    * embedded through the SAME path) fused by reciprocal-rank fusion
+    * score = Σ 1/(60+rank) — the standard RAG/retrieval pattern
+    * where neither signal alone suffices. Everything heavy is
+    * shared/bounded: the sparse hash counts are one pass (the
+    * doc_hash_embed relation), the query vector is a 3-row
+    * broadcast, per-doc dot/norm are two partial/final aggs, and
+    * each system contributes a bounded top-50 list so the fusion
+    * join touches ≤100 rows. Determinism: dots and norms are exact
+    * integers, cosine/rrf are fixed-order IEEE expressions — no
+    * libm beyond correctly-rounded sqrt. */
+  def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = DedupOps.docsParallel(s, d)
+    val counts = TextOps.hashEmbedCounts(docs)
+    // the query string rides the same embed path as the corpus
+    val qdocs = s.createDataFrame(Seq((0L, Bm25Terms.mkString(" "))))
+      .toDF("doc_id", "text")
+    val qc = TextOps.hashEmbedCounts(qdocs)
+      .select(col("dim"), col("cnt").as("qcnt"))
+    val nq = qc.agg(sum(col("qcnt") * col("qcnt")).as("nq"))
+    val dots = counts.join(broadcast(qc), "dim")
+      .groupBy(col("doc_id")).agg(sum(col("cnt") * col("qcnt")).as("dot"))
+    val norms = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("cnt")).as("nv"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("nv").cast("double")) * sqrt(col("nq").cast("double")))
+    val sem = topk.perKey(
+      dots.join(norms, "doc_id").crossJoin(broadcast(nq))
+        .select(col("doc_id"), (-cos).as("negcos"), lit(0).as("g")),
+      keys = Seq("g"),
+      order = Seq(topk.Order("negcos"), topk.Order("doc_id")),
+      k = HybridListK)
+      .select(col("doc_id"), col("rank").as("srank"))
+    val lex = bm25(s, d)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).as("lrank"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfK) + col("lrank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("srank")), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lrank").cast("int").as("lex_rank"),
+        col("srank").cast("int").as("sem_rank"), rrf.as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(HybridTopK)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  private def hybridSearchSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val dim = TextOps.hashEmbedDim
+    val qStr = Bm25Terms.mkString(" ")
+    s"""WITH tokh AS (
+       |  SELECT doc_id, ${DedupOps.fpSql("token")} AS h
+       |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)),
+       |counts AS (
+       |  SELECT doc_id, cast(h % $dim as int) AS dim,
+       |    cast(sum(CASE WHEN h % ${2 * dim} < $dim THEN 1 ELSE -1 END)
+       |      as bigint) AS cnt
+       |  FROM tokh GROUP BY 1, 2),
+       |qtokh AS (
+       |  SELECT ${DedupOps.fpSql("token")} AS h
+       |  FROM (SELECT unnest($toks) AS token
+       |        FROM (SELECT '$qStr' AS text))),
+       |qc AS (
+       |  SELECT cast(h % $dim as int) AS dim,
+       |    cast(sum(CASE WHEN h % ${2 * dim} < $dim THEN 1 ELSE -1 END)
+       |      as bigint) AS qcnt
+       |  FROM qtokh GROUP BY 1),
+       |nqt AS (SELECT cast(sum(qcnt * qcnt) as bigint) AS nq FROM qc),
+       |dots AS (
+       |  SELECT c.doc_id, cast(sum(c.cnt * q.qcnt) as bigint) AS dot
+       |  FROM counts c JOIN qc q USING (dim) GROUP BY 1),
+       |norms AS (
+       |  SELECT doc_id, cast(sum(cnt * cnt) as bigint) AS nv
+       |  FROM counts GROUP BY 1),
+       |sem AS (
+       |  SELECT d.doc_id,
+       |    row_number() OVER (ORDER BY
+       |      cast(d.dot as double)
+       |        / (sqrt(cast(n.nv as double)) * sqrt(cast(t.nq as double))) DESC,
+       |      d.doc_id) AS srank
+       |  FROM dots d JOIN norms n USING (doc_id), nqt t
+       |  QUALIFY srank <= $HybridListK),
+       |lex0 AS ($bm25Sql),
+       |lex AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lrank
+       |  FROM lex0),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lrank, s.srank,
+       |    coalesce(cast(1 as double) / ($RrfK + l.lrank), cast(0 as double))
+       |    + coalesce(cast(1 as double) / ($RrfK + s.srank), cast(0 as double))
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, cast(lrank as int) AS lex_rank,
+       |  cast(srank as int) AS sem_rank, round(rrf, 6) AS rrf_score
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $HybridTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_hybrid_search" -> (hybridSearch _),
     "vocab_oov_rate" -> (oovRate _),
     "vocab_freq_spectrum" -> (freqSpectrum _),
     "vocab_coverage" -> (coverage _),
@@ -529,6 +638,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "doc_hybrid_search" -> hybridSearchSql,
     "vocab_oov_rate" -> oovRateSql,
     "vocab_freq_spectrum" -> freqSpectrumSql,
     "vocab_coverage" -> coverageSql,

@@ -267,4 +267,28 @@ class VocabSpec extends AnyFunSuite {
     }
     assert(out.values.exists(_._2 > 0), "some doc must carry OOV tokens")
   }
+
+  test("hybrid search: rrf arithmetic checks out, lex ranks follow bm25") {
+    val out = VocabOps.hybridSearch(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.nonEmpty || sem.nonEmpty)
+      val want = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6, s"doc ${r.getLong(0)}")
+    }
+    // scores arrive fused-rank ordered
+    val scores = out.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // lex ranks agree with the bm25 ordering
+    val bmOrder = VocabOps.bm25(spark, sf).collect().map(_.getLong(0)).toSeq
+    out.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val lr = r.getInt(1)
+        assert(bmOrder(lr - 1) == r.getLong(0), s"lex rank $lr")
+      }
+    }
+  }
 }
