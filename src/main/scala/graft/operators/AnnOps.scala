@@ -242,9 +242,11 @@ object AnnOps {
     * counting the matches is one bounded aggregation over Q·K rows. */
   def recallEval(s: SparkSession, d: String): DataFrame = {
     val bf = bruteForce(s, d).select("query_id", "neighbor_id")
+    // both sides are ≤ Q·K rows; broadcast the probe side so the
+    // static plan never stages a sort-merge for a 50-row join
     val iv = ivf(s, d).select(col("query_id"), col("neighbor_id"),
       lit(1L).as("hit"))
-    bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+    bf.join(broadcast(iv), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_hit"))
       .select(col("query_id"), col("n_hit"),

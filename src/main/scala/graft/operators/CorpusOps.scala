@@ -348,7 +348,38 @@ object CorpusOps {
        |FROM documents d JOIN cc ON d.doc_id = cc.doc_id""".stripMargin
   }
 
+  /** Cross-source duplication matrix: how many near-dup families
+    * span each PAIR of sources — the contamination report that
+    * decides which feeds are re-crawls of each other (and whether
+    * "held-out" source splits are actually disjoint). Reads the
+    * memoized cluster relation; only DISTINCT (cluster, source)
+    * rows ever join, so the pair join is bounded by
+    * |clusters|·|sources|, never by docs. */
+  def crossSource(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val cs = clusters(s, d).join(src, "doc_id")
+      .select(col("cluster_id"), col("source")).distinct()
+    cs.select(col("cluster_id"), col("source").as("source_a"))
+      .join(cs.select(col("cluster_id"), col("source").as("source_b")),
+        "cluster_id")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+  }
+
+  private def crossSourceSql: String =
+    s"""WITH RECURSIVE $ccCte,
+       |cs AS (
+       |  SELECT DISTINCT cc.cluster_id, d.source
+       |  FROM cc JOIN documents d USING (doc_id))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  cast(count(*) as bigint) AS n_shared_clusters
+       |FROM cs a JOIN cs b
+       |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_cross_source" -> (crossSource _),
     "dedup_clusters" -> (clusters _),
     "clean_corpus" -> (cleanCorpus _),
     "assemble_corpus" -> (assembleCorpus _),
@@ -357,6 +388,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_cross_source" -> crossSourceSql,
     "dedup_clusters" -> clustersSql,
     "clean_corpus" -> cleanCorpusSql,
     "assemble_corpus" -> assembleCorpusSql,

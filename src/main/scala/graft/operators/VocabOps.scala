@@ -517,6 +517,81 @@ object VocabOps {
        |FROM pd LEFT JOIN iv ON pd.doc_id = iv.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- vocab growth
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct-token
+    * count across ten deciles of the hash-shuffled corpus — the
+    * tokenizer-sizing question ("how fast does vocab still grow?")
+    * answered scan-scalably: each token's contribution is its FIRST
+    * decile (a min aggregate over (token, decile) pairs — map-side
+    * combined, shuffle bounded by distinct tokens), and the
+    * cumulative rollup runs on ≤10 rows (domain-bounded window).
+    * The decile order is the same deterministic hash rank as
+    * corpus_shuffle, so the curve is sample-order-unbiased and
+    * engine-reproducible. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val base = DedupOps.docsParallel(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.ihash.quad(col("doc_id")).as("h"))
+    val pos = PipelineOps.hashRankPositions(base, "doc_id")
+    val tot = pos.agg(count(lit(1)).as("n"))
+    val dd = pos.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("text"),
+        least(expr("pos * 10 div n"), lit(9L)).cast("int").as("decile"))
+    val toks = dd.select(col("decile"),
+      explode(text.tokens(col("text"))).as("token"))
+    val newVocab = toks.groupBy(col("token"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_new_vocab"))
+    val occ = toks.groupBy(col("decile")).agg(count(lit(1)).as("n_occ"))
+    val nd = dd.groupBy(col("decile")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nd.join(occ, Seq("decile"), "left")
+      .join(newVocab, Seq("decile"), "left")
+      .select(col("decile"),
+        sum(col("n_docs")).over(w).as("n_docs_cum"),
+        sum(coalesce(col("n_occ"), lit(0L))).over(w).as("n_tokens_cum"),
+        sum(coalesce(col("n_new_vocab"), lit(0L))).over(w).as("n_vocab_cum"),
+        coalesce(col("n_new_vocab"), lit(0L)).as("n_new_vocab"))
+  }
+
+  private def vocabGrowthSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val hash = graft.functions.ihash.quadSqlNested("doc_id")
+    s"""WITH f AS (SELECT doc_id, text, $hash AS h FROM documents),
+       |r AS (
+       |  SELECT doc_id, text,
+       |    row_number() OVER (ORDER BY h, doc_id) - 1 AS pos,
+       |    count(*) OVER () AS n
+       |  FROM f),
+       |dd AS (
+       |  SELECT doc_id, text,
+       |    cast(least(pos * 10 // n, 9) as int) AS decile
+       |  FROM r),
+       |tk AS (
+       |  SELECT decile, unnest($toks) AS token FROM dd),
+       |nv AS (
+       |  SELECT decile, cast(count(*) as bigint) AS n_new_vocab
+       |  FROM (SELECT token, min(decile) AS decile FROM tk GROUP BY 1)
+       |  GROUP BY 1),
+       |occ AS (SELECT decile, cast(count(*) as bigint) AS n_occ
+       |        FROM tk GROUP BY 1),
+       |nd AS (SELECT decile, cast(count(*) as bigint) AS n_docs
+       |       FROM dd GROUP BY 1)
+       |SELECT nd.decile,
+       |  cast(sum(nd.n_docs) OVER (ORDER BY nd.decile
+       |    ROWS UNBOUNDED PRECEDING) as bigint) AS n_docs_cum,
+       |  cast(sum(coalesce(occ.n_occ, 0)) OVER (ORDER BY nd.decile
+       |    ROWS UNBOUNDED PRECEDING) as bigint) AS n_tokens_cum,
+       |  cast(sum(coalesce(nv.n_new_vocab, 0)) OVER (ORDER BY nd.decile
+       |    ROWS UNBOUNDED PRECEDING) as bigint) AS n_vocab_cum,
+       |  cast(coalesce(nv.n_new_vocab, 0) as bigint) AS n_new_vocab
+       |FROM nd
+       |LEFT JOIN occ ON nd.decile = occ.decile
+       |LEFT JOIN nv ON nd.decile = nv.decile""".stripMargin
+  }
+
   // ---------------------------------------------------- hybrid search
 
   private val RrfK = 60
@@ -627,6 +702,7 @@ object VocabOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_hybrid_search" -> (hybridSearch _),
+    "vocab_growth" -> (vocabGrowth _),
     "vocab_oov_rate" -> (oovRate _),
     "vocab_freq_spectrum" -> (freqSpectrum _),
     "vocab_coverage" -> (coverage _),
@@ -639,6 +715,7 @@ object VocabOps {
 
   val oracle: Map[String, String] = Map(
     "doc_hybrid_search" -> hybridSearchSql,
+    "vocab_growth" -> vocabGrowthSql,
     "vocab_oov_rate" -> oovRateSql,
     "vocab_freq_spectrum" -> freqSpectrumSql,
     "vocab_coverage" -> coverageSql,

@@ -118,4 +118,19 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
     assert(again.sorted.sameElements(out.sorted))
   }
+
+  test("cross-source matrix agrees with a driver-side recount") {
+    val out = CorpusOps.crossSource(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val srcByDoc = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byCluster = CorpusOps.clusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), srcByDoc(r.getAs[Long]("doc_id"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val want = byCluster.values.toSeq
+      .flatMap(ss => ss.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == want)
+    out.keys.foreach { case (a, b) => assert(a < b, "canonical pair order") }
+  }
 }

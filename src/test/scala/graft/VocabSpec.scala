@@ -268,6 +268,29 @@ class VocabSpec extends AnyFunSuite {
     assert(out.values.exists(_._2 > 0), "some doc must carry OOV tokens")
   }
 
+  test("vocab growth: cumulative counts conserve and are monotone") {
+    val rows = VocabOps.vocabGrowth(spark, sf).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 9))
+    val docs = Tables.documents(spark, sf)
+    val totalDocs = docs.count()
+    val totalVocab = docs
+      .select(explode(text.tokens(col("text"))).as("t"))
+      .select("t").distinct().count()
+    val totalToks = docs
+      .select(org.apache.spark.sql.functions.size(text.tokens(col("text"))).as("n"))
+      .agg(sum(col("n"))).first.getLong(0)
+    val last = rows.last
+    assert(last.getLong(1) == totalDocs)
+    assert(last.getLong(2) == totalToks)
+    assert(last.getLong(3) == totalVocab, "final cum vocab = corpus vocab")
+    // monotone non-decreasing cumulatives; marginals sum to the total
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) <= b.getLong(1) && a.getLong(2) <= b.getLong(2)
+        && a.getLong(3) <= b.getLong(3))
+    }
+    assert(rows.map(_.getLong(4)).sum == totalVocab)
+  }
+
   test("hybrid search: rrf arithmetic checks out, lex ranks follow bm25") {
     val out = VocabOps.hybridSearch(spark, sf).collect()
     assert(out.length == 10)
