@@ -378,7 +378,76 @@ object CorpusOps {
        |  ON a.cluster_id = b.cluster_id AND a.source < b.source
        |GROUP BY 1, 2""".stripMargin
 
+  /** Lang×source independence test: the chi-square statistic over
+    * the contingency grid (INCLUDING structurally-empty cells) plus
+    * Cramér's V — the dataset-card answer to "are my feeds
+    * language-balanced, or does each source push one language?".
+    * Everything is one tiny-grid computation off a single
+    * (lang, source) count aggregation; each cell's contribution
+    * (oN−rc)²/(Nrc) is an exact-integer-derived double rounded to
+    * integer PPB before summing, so the total is an
+    * order-independent integer sum (the same exact-sum discipline
+    * as the money aggregates; cell products bounded by |docs|³ —
+    * fine through ~2M docs/cell-group, re-scale for beyond). */
+  def balanceChi2(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowsT = cells.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+    val colsT = cells.groupBy(col("source")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col("lang")).as("nr"),
+      count_distinct(col("source")).as("nc"))
+    val grid = rowsT.crossJoin(colsT).crossJoin(broadcast(tot))
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("contrib_ppb",
+        round(((col("o") * col("n") - col("r") * col("c"))
+          .cast("double") * (col("o") * col("n") - col("r") * col("c"))
+          .cast("double") /
+          (col("n") * col("r") * col("c")).cast("double")) * lit(1e9), 0)
+          .cast("long"))
+    grid.groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("contrib_ppb")).as("chi2_ppb"))
+      .select(col("chi2_ppb"),
+        ((col("nr") - 1) * (col("nc") - 1)).cast("int").as("dof"),
+        col("n").as("n_docs"),
+        round(sqrt((col("chi2_ppb").cast("double") / lit(1e9)) /
+          (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  private def balanceChi2Sql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, cast(count(*) as bigint) AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rt AS (SELECT lang, cast(sum(o) as bigint) AS r FROM cells GROUP BY 1),
+       |ct AS (SELECT source, cast(sum(o) as bigint) AS c FROM cells GROUP BY 1),
+       |tot AS (
+       |  SELECT cast(sum(o) as bigint) AS n,
+       |    cast(count(distinct lang) as bigint) AS nr,
+       |    cast(count(distinct source) as bigint) AS nc
+       |  FROM cells),
+       |grid AS (
+       |  SELECT rt.lang, ct.source, rt.r, ct.c, tot.n, tot.nr, tot.nc,
+       |    coalesce(cells.o, 0) AS o
+       |  FROM rt CROSS JOIN ct CROSS JOIN tot
+       |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source),
+       |terms AS (
+       |  SELECT n, nr, nc,
+       |    cast(round(cast(o * n - r * c as double)
+       |      * cast(o * n - r * c as double)
+       |      / cast(n * r * c as double) * 1e9) as bigint) AS contrib_ppb
+       |  FROM grid)
+       |SELECT cast(sum(contrib_ppb) as bigint) AS chi2_ppb,
+       |  cast((nr - 1) * (nc - 1) as int) AS dof,
+       |  n AS n_docs,
+       |  round(sqrt((cast(sum(contrib_ppb) as double) / 1e9)
+       |    / cast(n * least(nr - 1, nc - 1) as double)), 6) AS cramers_v
+       |FROM terms
+       |GROUP BY n, nr, nc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_balance_chi2" -> (balanceChi2 _),
     "corpus_cross_source" -> (crossSource _),
     "dedup_clusters" -> (clusters _),
     "clean_corpus" -> (cleanCorpus _),
@@ -388,6 +457,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_balance_chi2" -> balanceChi2Sql,
     "corpus_cross_source" -> crossSourceSql,
     "dedup_clusters" -> clustersSql,
     "clean_corpus" -> cleanCorpusSql,

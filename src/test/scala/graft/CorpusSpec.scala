@@ -119,6 +119,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.sorted.sameElements(out.sorted))
   }
 
+  test("balance chi2 matches a driver-side contingency recomputation") {
+    val row = CorpusOps.balanceChi2(spark, sf).collect().head
+    val cells = Tables.documents(spark, sf).groupBy("lang", "source").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = cells.keys.map(_._1).toSeq.distinct.sorted
+    val srcs = cells.keys.map(_._2).toSeq.distinct.sorted
+    val n = cells.values.sum
+    val rT = langs.map(l => l -> cells.filter(_._1._1 == l).values.sum).toMap
+    val cT = srcs.map(c => c -> cells.filter(_._1._2 == c).values.sum).toMap
+    val chi2ppb = (for { l <- langs; c <- srcs } yield {
+      val o = cells.getOrElse((l, c), 0L)
+      val num = (o * n - rT(l) * cT(c)).toDouble
+      math.round(num * num / (n * rT(l) * cT(c)).toDouble * 1e9)
+    }).sum
+    assert(row.getAs[Long]("chi2_ppb") == chi2ppb)
+    assert(row.getAs[Int]("dof") == (langs.size - 1) * (srcs.size - 1))
+    assert(row.getAs[Long]("n_docs") == n)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
   test("cross-source matrix agrees with a driver-side recount") {
     val out = CorpusOps.crossSource(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
