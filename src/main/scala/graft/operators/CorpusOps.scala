@@ -446,7 +446,36 @@ object CorpusOps {
        |FROM terms
        |GROUP BY n, nr, nc""".stripMargin
 
+  /** Soft dedup — duplicate DOWN-WEIGHTING instead of removal: every
+    * document stays in the corpus but carries a training weight
+    * 1/|cluster| (so each near-dup cluster contributes one document's
+    * worth of gradient mass in aggregate — the softer alternative
+    * modern data recipes use when hard dedup would discard too much
+    * of a small domain). Weight is integer parts-per-million
+    * (10⁶ div size) — exact in both engines, no float division or
+    * rounding-mode edge (round(1/128, 6) is a half-tie that HALF_UP
+    * and half-even resolve differently). Plan shape: the memoized
+    * cluster relation aggregates per cluster_id and joins back on
+    * the SAME key — one exchange, reused by Spark for both sides. */
+  def softDedup(s: SparkSession, d: String): DataFrame = {
+    val c = clusters(s, d).select("doc_id", "cluster_id")
+    val sizes = c.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    c.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
+  private def softDedupSql: String =
+    s"""WITH RECURSIVE $ccCte,
+       |sz AS (
+       |  SELECT cluster_id, cast(count(*) as bigint) AS cluster_size
+       |  FROM cc GROUP BY 1)
+       |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+       |  1000000 // sz.cluster_size AS weight_ppm
+       |FROM cc JOIN sz USING (cluster_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_soft" -> (softDedup _),
     "corpus_balance_chi2" -> (balanceChi2 _),
     "corpus_cross_source" -> (crossSource _),
     "dedup_clusters" -> (clusters _),
@@ -457,6 +486,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_soft" -> softDedupSql,
     "corpus_balance_chi2" -> balanceChi2Sql,
     "corpus_cross_source" -> crossSourceSql,
     "dedup_clusters" -> clustersSql,

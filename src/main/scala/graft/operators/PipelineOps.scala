@@ -495,7 +495,69 @@ object PipelineOps {
        |SELECT doc_id, n_epochs, cast(epoch as int) AS epoch, n_tokens
        |FROM sel""".stripMargin
 
+  private val TempBudget = 120
+
+  /** Temperature-scaled multilingual sampling (the UNIMAX /
+    * multilingual-recipe step): per-language sampling quotas
+    * proportional to n_l^α with α = 1/2, so low-resource languages
+    * are up-weighted relative to their raw share without swamping
+    * the high-resource ones. All quota arithmetic is INTEGER —
+    * w_l = floor(sqrt(n_l)) (sqrt is correctly-rounded IEEE in both
+    * engines, and floor∘sqrt can only sit on an integer boundary at
+    * perfect squares, where sqrt is exact), then
+    * quota_l = (budget · w_l) div Σw — so both engines compute
+    * bit-identical quotas with no float summation anywhere. Doc
+    * selection inside a language is the deterministic
+    * lowest-rolling-hash rank via the bounded-heap top-k (k = the
+    * whole budget bounds every per-language quota, so only k rows
+    * per language survive the map side). Scale shape: one |langs|-row
+    * aggregate broadcast back, one top-k shuffle on lang. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("wt")).as("tot_w"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr(s"($TempBudget * wt) div tot_w").as("quota"))
+    val base = docs.select(col("doc_id"), col("lang"),
+      text.rollingHash(col("text")).as("fp"))
+    val ranked = graft.functions.topk.perKey(base,
+      keys = Seq("lang"),
+      order = Seq(graft.functions.topk.Order("fp"),
+        graft.functions.topk.Order("doc_id")),
+      k = TempBudget)
+    ranked.join(broadcast(quota), "lang")
+      .filter(col("rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("n_docs"), col("quota"),
+        col("rank"), col("fp"))
+  }
+
+  private val sampleTemperatureSql =
+    s"""WITH c AS (
+       |  SELECT lang, cast(count(*) as bigint) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT lang, n_docs,
+       |    cast(floor(sqrt(cast(n_docs as double))) as bigint) AS wt
+       |  FROM c),
+       |tw AS (SELECT cast(sum(wt) as bigint) AS tot_w FROM w),
+       |q AS (
+       |  SELECT lang, n_docs, ($TempBudget * wt) // tot_w AS quota
+       |  FROM w, tw),
+       |f AS (
+       |  SELECT doc_id, lang, ${TextOps.fpExprSql} AS fp FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang, fp,
+       |    cast(row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) as int)
+       |      AS rank
+       |  FROM f)
+       |SELECT r.doc_id, r.lang, q.n_docs, q.quota, r.rank, r.fp
+       |FROM r JOIN q USING (lang)
+       |WHERE r.rank <= q.quota""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature" -> (sampleTemperature _),
     "sample_epochs" -> (sampleEpochs _),
     "sample_bernoulli" -> (sampleBernoulli _),
     "corpus_token_budget" -> (tokenBudget _),
@@ -508,6 +570,7 @@ object PipelineOps {
     "sample_weighted" -> (sampleWeighted _))
 
   val oracle: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureSql,
     "sample_epochs" -> sampleEpochsSql,
     "sample_bernoulli" -> sampleBernoulliSql,
     "corpus_token_budget" -> tokenBudgetSql,

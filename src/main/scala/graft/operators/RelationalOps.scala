@@ -1662,6 +1662,49 @@ object RelationalOps {
        |FROM events
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- winsorize
+
+  /** Winsorized (robust) mean per return flag: clamp the price column
+    * at its per-group exact p05/p95 before averaging — the standard
+    * outlier-robust aggregate for telemetry with heavy tails. The
+    * clamp thresholds are ROUNDED to 4 dp first so both engines clamp
+    * against bit-identical bounds (the raw interpolated percentiles
+    * can differ in the last ulp — see q_percentiles), and the means
+    * are exact.xavg scaled-integer sums (2 dp raw, 4 dp clamped) so
+    * they are order-independent and engine-exact.
+    * Plan shape: two passes over the fact table (one per-group
+    * percentile sort, one clamp+avg), bounds broadcast — at 100 TB
+    * the first pass would swap in the sketch quantiles of
+    * q_approx_stats; this operator is the exact complement. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.05)"), 4).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        xavg(col("l_extendedprice"), 2).as("mean_raw"),
+        xavg(least(greatest(col("l_extendedprice"), col("lo")),
+          col("hi")), 4).as("mean_winsor"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+  }
+
+  private val winsorizeSql =
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+       |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l.l_returnflag, $oCount AS n,
+       |  ${oAvg("l.l_extendedprice", 2)} AS mean_raw,
+       |  ${oAvg("least(greatest(l.l_extendedprice, b.lo), b.hi)", 4)}
+       |    AS mean_winsor,
+       |  max(b.lo) AS lo, max(b.hi) AS hi
+       |FROM lineitem l JOIN b USING (l_returnflag)
+       |GROUP BY 1""".stripMargin
+
   // ----------------------------------------------------- rank functions
 
   /** The rank-function family (rank / dense_rank / percent_rank /
@@ -2852,6 +2895,7 @@ object RelationalOps {
     "q_skyline" -> (skyline _),
     "q_approx_stats" -> (approxStats _),
     "q_percentiles" -> (percentiles _),
+    "q_winsorize" -> (winsorize _),
     "q_fuzzy_join" -> (fuzzyJoin _),
     "q_window_rank" -> (windowRank _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
@@ -2929,6 +2973,7 @@ object RelationalOps {
     "q_range_join" -> rangeJoinSql,
     "q_skyline" -> skylineSql,
     "q_percentiles" -> percentilesSql,
+    "q_winsorize" -> winsorizeSql,
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_window_rank" -> windowRankSql,
     "q6_forecast_revenue" -> q6Sql,

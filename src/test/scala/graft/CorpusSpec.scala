@@ -55,6 +55,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) == 0L), "all nodes must collapse to cluster 0")
   }
 
+  test("soft dedup weights are exact ppm reciprocals of cluster sizes") {
+    val rows = CorpusOps.softDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every document appears exactly once
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == docs && rows.length == docs.size)
+    // cluster sizes and weights reconcile with the cluster relation
+    val sizes = CorpusOps.clusters(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (docId, cid, size, ppm) =>
+      assert(size == sizes(cid), s"doc $docId cluster size")
+      assert(ppm == 1000000L / size, s"doc $docId weight")
+    }
+    // each cluster contributes ~one document's worth of mass:
+    // size * (10^6 div size) is within one truncation of 10^6
+    sizes.foreach { case (cid, size) =>
+      val mass = size * (1000000L / size)
+      assert(mass > 1000000L - size && mass <= 1000000L, s"cluster $cid mass")
+    }
+  }
+
   test("clean corpus keeps one representative per cluster and passes quality") {
     val cc = CorpusOps.cleanCorpus(spark, sf)
     val n = cc.count()

@@ -59,6 +59,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1.map(_.toString).sorted.sameElements(m2.map(_.toString).sorted))
   }
 
+  test("temperature sample hits integer quotas and flattens lang shares") {
+    val t1 = PipelineOps.sampleTemperature(spark, sf).collect()
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the integer quota arithmetic independently
+    val wt = langSizes.view.mapValues(n => math.sqrt(n.toDouble).floor.toLong).toMap
+    val tot = wt.values.sum
+    val quota = wt.view.mapValues(w => 120L * w / tot).toMap
+    val got = t1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    langSizes.keys.foreach { lang =>
+      assert(got.getOrElse(lang, 0L) == math.min(quota(lang), langSizes(lang)),
+        s"lang $lang: got ${got.getOrElse(lang, 0L)}, quota ${quota(lang)}")
+    }
+    // sqrt temperature flattens: smallest lang's quota share >= its raw share
+    val (loLang, loN) = langSizes.minBy(_._2)
+    val total = langSizes.values.sum
+    assert(quota(loLang).toDouble / 120 >= loN.toDouble / total - 1.0 / 120,
+      s"low-resource lang $loLang must not be down-weighted by temperature")
+    // deterministic
+    val t2 = PipelineOps.sampleTemperature(spark, sf).collect()
+    assert(t1.map(_.toString).sorted.sameElements(t2.map(_.toString).sorted))
+  }
+
   test("chunking covers every doc, respects size/stride arithmetic") {
     import org.apache.spark.sql.functions.{col, size => asize}
     val chunks = PipelineOps.chunkDocs(spark, sf).collect()

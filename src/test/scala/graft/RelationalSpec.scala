@@ -570,6 +570,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.values.map(_._1).sum == total)
   }
 
+  test("winsorize: clamped mean sits inside bounds, matches a driver replay") {
+    val got = RelationalOps.winsorize(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val raw = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    raw.foreach { case (flag, vals) =>
+      val (n, meanRaw, meanWin, lo, hi) = got(flag)
+      assert(n == vals.length.toLong, s"$flag n")
+      assert(lo <= hi, s"$flag bounds ordered")
+      // winsorized mean of clamped values must lie inside the bounds
+      assert(meanWin >= lo && meanWin <= hi, s"$flag winsor mean in bounds")
+      // driver replay with the same scaled-integer discipline
+      val expRaw = vals.map(v => math.round(v * 100)).sum.toDouble / 100 / vals.length
+      val expWin = vals.map(v => math.round(math.min(math.max(v, lo), hi) * 10000))
+        .sum.toDouble / 10000 / vals.length
+      assert(meanRaw == expRaw, s"$flag raw mean")
+      assert(meanWin == expWin, s"$flag winsor mean")
+    }
+  }
+
   test("skew metrics: percentiles bracket, totals conserve") {
     val row = RelationalOps.skewMetrics(spark, sf).collect().head
     val sizes = Tables.orders(spark, sf).groupBy("o_custkey").count()
