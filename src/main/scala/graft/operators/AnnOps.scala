@@ -1431,7 +1431,80 @@ object AnnOps {
       |    / cast(n as double) / cast(n as double) / 1e12, 6) AS variance
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------- covariance
+
+  /** Upper-triangle covariance matrix of the embedding space — the
+    * one-pass distributed Gram computation PCA / whitening / ZCA
+    * start from (AnnSpec power-iterates the collected matrix to the
+    * dominant principal component). Values quantize to 1e-6 integers
+    * (dimStats' discipline) so every Σqᵢqⱼ is an exact integer under
+    * any partitioning; the covariance assembles from those integers
+    * in a fixed IEEE sequence, bit-identical in both engines. Scale
+    * shape: the d² pair products are generated INSIDE one narrow
+    * projection (nested array transform — no self-join, no second
+    * scan), and partial aggregation bounds the exchange at d(d+1)/2
+    * rows per partition regardless of corpus size; per-dim sums ride
+    * the same pass and broadcast back. At 10⁹ vectors the integer
+    * Σqq (≤ n·10¹²) nears BIGINT range — the scale path drops
+    * quantization to 1e-4 (q ≤ 10⁴, q² ≤ 10⁸, exact to n ~ 10¹⁰). */
+  def covariance(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val q = e.select(col("vec_id"),
+      expr("transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
+        .as("q"))
+    val pairs = q.select(posexplode(expr(
+        """filter(
+          |  flatten(transform(q, (qi, i) -> transform(q, (qj, j) ->
+          |    named_struct('i', i, 'j', j, 'p', qi * qj)))),
+          |  s -> s.i <= s.j)""".stripMargin)).as(Seq("pos", "s")))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+    val g = pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sqq"))
+    val dimSums = q.select(posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy("dim").agg(sum(col("qv")).as("sq"))
+    g.join(broadcast(dimSums.select(col("dim").as("i"), col("sq").as("si"))), "i")
+      .join(broadcast(dimSums.select(col("dim").as("j"), col("sq").as("sj"))), "j")
+      .select(col("i"), col("j"), col("n"), col("sqq"),
+        // n·Σqq and Σqi·Σqj can exceed BIGINT: combine in DOUBLE — a
+        // fixed multiply/subtract/divide sequence on identical integer
+        // inputs (same as emb_dim_stats' variance)
+        round((col("sqq").cast("double") * col("n").cast("double")
+            - col("si").cast("double") * col("sj").cast("double"))
+          / col("n").cast("double") / col("n").cast("double") / 1e12, 6)
+          .as("cov"))
+  }
+
+  private val covarianceSql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> cast(round(cast(v as double) * 1e6) as bigint)) AS q
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT i.i AS i, j.j AS j, q[i.i + 1] * q[j.j + 1] AS p
+      |  FROM q,
+      |    (SELECT unnest(range(0, 64)) AS i) i,
+      |    (SELECT unnest(range(0, 64)) AS j) j
+      |  WHERE i.i <= j.j),
+      |g AS (
+      |  SELECT i, j, cast(count(*) as bigint) AS n,
+      |    cast(sum(p) as bigint) AS sqq
+      |  FROM x GROUP BY 1, 2),
+      |ds AS (
+      |  SELECT d.dim AS dim,
+      |    cast(sum(q[d.dim + 1]) as bigint) AS sq
+      |  FROM q, (SELECT unnest(range(0, 64)) AS dim) d
+      |  GROUP BY 1)
+      |SELECT cast(g.i as int) AS i, cast(g.j as int) AS j, g.n, g.sqq,
+      |  round((cast(g.sqq as double) * cast(g.n as double)
+      |      - cast(si.sq as double) * cast(sj.sq as double))
+      |    / cast(g.n as double) / cast(g.n as double) / 1e12, 6) AS cov
+      |FROM g
+      |JOIN ds si ON g.i = si.dim
+      |JOIN ds sj ON g.j = sj.dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_covariance" -> (covariance _),
     "emb_dim_stats" -> (dimStats _),
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
@@ -1449,6 +1522,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "emb_covariance" -> covarianceSql,
     "emb_dim_stats" -> dimStatsSql,
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,

@@ -446,6 +446,53 @@ object CorpusOps {
        |FROM terms
        |GROUP BY n, nr, nc""".stripMargin
 
+  /** Source-pair shingle overlap — the contamination / provenance
+    * diagnostic: Jaccard similarity of the DISTINCT token-shingle
+    * sets of every source pair, in exact integer ppm. High overlap
+    * between two feeds means one mirrors or scrapes the other — the
+    * pair a curation run should dedup across (or drop) BEFORE mixing.
+    * Reuses the memoized df-capped shingle relation every dedup
+    * operator shares (one pass over raw text, ever); the pair join
+    * moves (source, 8-byte hash) with per-shingle fan-out bounded by
+    * the number of sources carrying it — |sources| is the feed count
+    * (recipe-bounded, not data-scaled), so the candidate join is
+    * |sources|²-bounded, never corpus-bounded. Same hash-vs-string
+    * oracle asymmetry as dedup_ngram_jaccard (documented there). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val srcOf = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ss = DedupOps.shingleSets(s, d)
+      .join(srcOf, "doc_id")
+      .select(col("source"), xxhash64(col("sh")).as("hs"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = ss.select(col("source").as("src_a"), col("hs"))
+    val b = ss.select(col("source").as("src_b"), col("hs"))
+    val common = a.join(b, "hs").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"), col("n_a"), col("n_b"),
+        expr("(1000000 * common) div (n_a + n_b - common)").as("jaccard_ppm"))
+  }
+
+  private def sourceOverlapSql: String =
+    s"""WITH ${DedupOps.shingleSetsSqlCte},
+       |ss AS (
+       |  SELECT DISTINCT d.source, sh.sh
+       |  FROM sh JOIN documents d USING (doc_id)),
+       |sz AS (SELECT source, cast(count(*) as bigint) AS n FROM ss GROUP BY 1),
+       |pair AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    cast(count(*) as bigint) AS common
+       |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, p.common, za.n AS n_a, zb.n AS n_b,
+       |  (1000000 * p.common) // (za.n + zb.n - p.common) AS jaccard_ppm
+       |FROM pair p
+       |JOIN sz za ON p.src_a = za.source
+       |JOIN sz zb ON p.src_b = zb.source""".stripMargin
+
   /** Soft dedup — duplicate DOWN-WEIGHTING instead of removal: every
     * document stays in the corpus but carries a training weight
     * 1/|cluster| (so each near-dup cluster contributes one document's
@@ -475,6 +522,7 @@ object CorpusOps {
        |FROM cc JOIN sz USING (cluster_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_source_overlap" -> (sourceOverlap _),
     "dedup_soft" -> (softDedup _),
     "corpus_balance_chi2" -> (balanceChi2 _),
     "corpus_cross_source" -> (crossSource _),
@@ -486,6 +534,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_source_overlap" -> sourceOverlapSql,
     "dedup_soft" -> softDedupSql,
     "corpus_balance_chi2" -> balanceChi2Sql,
     "corpus_cross_source" -> crossSourceSql,

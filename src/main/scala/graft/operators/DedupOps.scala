@@ -48,7 +48,7 @@ object DedupOps {
     * join, verification joins, AND the downstream cluster/corpus
     * operators all reuse one computation of the only pass over the
     * raw text. */
-  private[operators] def shingleSets(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "shingle_sets", d) {
       val sh = Tables.parallelize(Tables.documents(s, d))
         .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
@@ -65,7 +65,7 @@ object DedupOps {
       sh.join(frequent, Seq("sh"), "left_anti")
     }
 
-  private[operators] def shingleSetsSqlCte: String =
+  private[graft] def shingleSetsSqlCte: String =
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
        |  FROM documents),

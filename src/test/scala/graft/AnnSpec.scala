@@ -252,6 +252,45 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("covariance: symmetric PSD-consistent matrix; power iteration finds PC1") {
+    val rows = AnnOps.covariance(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(4))).toMap
+    val dim = 64
+    assert(rows.size == dim * (dim + 1) / 2, "upper triangle complete")
+    // diagonal entries are variances — must be non-negative and agree
+    // with emb_dim_stats' variance column
+    val variances = AnnOps.dimStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    (0 until dim).foreach { i =>
+      assert(rows((i, i)) >= 0.0, s"var($i) >= 0")
+      assert(math.abs(rows((i, i)) - variances(i)) <= 1e-6, s"var($i) matches dim stats")
+    }
+    // driver-side power iteration on the collected matrix: the
+    // dominant eigenvalue must dominate every single-dim variance,
+    // and the residual ||Cv - lambda v|| must be tiny
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      if (i <= j) rows((i, j)) else rows((j, i)))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    (1 to 300).foreach { _ =>
+      val y = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(y.map(x => x * x).sum)
+      v = y.map(_ / norm)
+      lambda = norm
+    }
+    assert(lambda >= variances.values.max - 1e-9,
+      "dominant eigenvalue >= max per-dim variance")
+    // each cov entry is rounded to 1e-6, so the matrix carries an
+    // O(sqrt(d)*5e-7) perturbation — the residual floor is ~1e-4,
+    // independent of iteration count
+    val resid = math.sqrt(Array.tabulate(dim) { i =>
+      val cv = (0 until dim).map(j => c(i)(j) * v(j)).sum
+      val r0 = cv - lambda * v(i)
+      r0 * r0
+    }.sum)
+    assert(resid <= 5e-4, s"power iteration converged (resid $resid)")
+  }
+
   test("range search: exactly the tau-neighbors within probed cells") {
     import graft.functions.vector
     val got = AnnOps.rangeSearch(spark, sf)

@@ -55,6 +55,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) == 0L), "all nodes must collapse to cluster 0")
   }
 
+  test("source overlap agrees with a driver-side shingle-set recount") {
+    val got = CorpusOps.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // join output puts the USING key first: columns are (sh, doc_id)
+    val sets = DedupOps.shingleSets(spark, sf).collect()
+      .map(r => (srcOf(r.getLong(1)), r.getString(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcs = sets.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val common = (sets(a) & sets(b)).size.toLong
+      got.get((a, b)) match {
+        case Some((c, na, nb, ppm)) =>
+          assert(c == common, s"($a,$b) common")
+          assert(na == sets(a).size.toLong && nb == sets(b).size.toLong)
+          assert(ppm == 1000000L * common / (na + nb - common), s"($a,$b) ppm")
+        case None => assert(common == 0L, s"($a,$b) missing but overlaps")
+      }
+    }
+  }
+
   test("soft dedup weights are exact ppm reciprocals of cluster sizes") {
     val rows = CorpusOps.softDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
