@@ -1414,8 +1414,10 @@ object AnnOps {
           .as("variance"))
   }
 
-  private val dimStatsSql =
-    """WITH x AS (
+  /** dim-stats CTE chain ending in `dstats(dim, n, min_v, max_v,
+    * mean, variance)` — shared by emb_dim_stats and emb_standardize. */
+  private val dimStatsCte =
+    """x AS (
       |  SELECT d.dim AS dim, embedding[d.dim + 1] AS v,
       |    cast(round(cast(embedding[d.dim + 1] as double) * 1e6) as bigint) AS q
       |  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d),
@@ -1423,13 +1425,18 @@ object AnnOps {
       |  SELECT dim, cast(count(*) as bigint) AS n,
       |    min(v) AS min_v, max(v) AS max_v,
       |    cast(sum(q) as bigint) AS sq, cast(sum(q * q) as bigint) AS sq2
-      |  FROM x GROUP BY 1)
-      |SELECT cast(dim as int) AS dim, n, min_v, max_v,
-      |  round(cast(sq as double) / 1e6 / n, 6) AS mean,
-      |  round((cast(sq2 as double) * cast(n as double)
-      |      - cast(sq as double) * cast(sq as double))
-      |    / cast(n as double) / cast(n as double) / 1e12, 6) AS variance
-      |FROM a""".stripMargin
+      |  FROM x GROUP BY 1),
+      |dstats AS (
+      |  SELECT cast(dim as int) AS dim, n, min_v, max_v,
+      |    round(cast(sq as double) / 1e6 / n, 6) AS mean,
+      |    round((cast(sq2 as double) * cast(n as double)
+      |        - cast(sq as double) * cast(sq as double))
+      |      / cast(n as double) / cast(n as double) / 1e12, 6) AS variance
+      |  FROM a)""".stripMargin
+
+  private val dimStatsSql =
+    s"""WITH $dimStatsCte
+       |SELECT * FROM dstats""".stripMargin
 
   // ---------------------------------------------------- covariance
 
@@ -1503,7 +1510,55 @@ object AnnOps {
       |JOIN ds si ON g.i = si.dim
       |JOIN ds sj ON g.j = sj.dim""".stripMargin
 
+  // --------------------------------------------------- standardize
+
+  /** Per-dimension z-scoring of the embedding space — the whitening-
+    * lite preprocessing step (subtract dim mean, divide by dim std)
+    * that equalizes dimension scales before distance computations or
+    * quantization; dead dimensions (variance 0) map to 0 rather than
+    * NaN. Completes the embedding-prep family: emb_normalize (L2),
+    * emb_int8_quantize (compression), emb_standardize (scale
+    * equalization). Plan shape: the 64 (mean, variance) pairs
+    * aggregate to ONE row of two dim-ordered arrays that broadcast-
+    * crossJoins back over the scan, and the z-transform is a nested
+    * zip_with — fully lazy, ZERO shuffles on the corpus side at any
+    * scale (the only exchange is the |dims|-bounded stats agg).
+    * Stats come from emb_dim_stats' 6-dp-rounded outputs, so both
+    * engines transform with bit-identical constants. */
+  def standardize(s: SparkSession, d: String): DataFrame = {
+    val statsRow = dimStats(s, d)
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, mean))), x -> x.mean)")
+          .as("means"),
+        expr("transform(array_sort(collect_list(struct(dim, variance))), x -> x.variance)")
+          .as("vars"))
+    DedupOps.embParallel(s, d)
+      .crossJoin(broadcast(statsRow))
+      .select(col("vec_id"),
+        expr(
+          """zip_with(
+            |  zip_with(embedding, means, (v, m) -> cast(v as double) - m),
+            |  vars,
+            |  (x, vr) -> CASE WHEN vr > 0 THEN round(x / sqrt(vr), 6)
+            |             ELSE cast(0 as double) END)""".stripMargin).as("z_vec"))
+  }
+
+  private val standardizeSql =
+    s"""WITH $dimStatsCte,
+       |m AS (
+       |  SELECT list(mean ORDER BY dim) AS means,
+       |    list(variance ORDER BY dim) AS vars
+       |  FROM dstats)
+       |SELECT e.vec_id,
+       |  list_transform(range(1, 65),
+       |    i -> CASE WHEN m.vars[i] > 0
+       |         THEN round((cast(e.embedding[i] as double) - m.means[i])
+       |           / sqrt(m.vars[i]), 6)
+       |         ELSE cast(0 as double) END) AS z_vec
+       |FROM embeddings e, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_standardize" -> (standardize _),
     "emb_covariance" -> (covariance _),
     "emb_dim_stats" -> (dimStats _),
     "ann_bruteforce" -> (bruteForce _),
@@ -1522,6 +1577,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "emb_standardize" -> standardizeSql,
     "emb_covariance" -> covarianceSql,
     "emb_dim_stats" -> dimStatsSql,
     "ann_bruteforce" -> bruteForceSql,

@@ -291,6 +291,28 @@ class AnnSpec extends AnyFunSuite {
     assert(resid <= 5e-4, s"power iteration converged (resid $resid)")
   }
 
+  test("standardize: z-scored dims have ~0 mean and ~unit variance") {
+    val rows = AnnOps.standardize(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val n = rows.length
+    assert(rows.forall(_._2.length == 64), "64 z-dims per vector")
+    val variances = AnnOps.dimStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    (0 until 64).foreach { dim =>
+      val zs = rows.map(_._2(dim))
+      val mean = zs.sum / n
+      val varz = zs.map(z => (z - mean) * (z - mean)).sum / n
+      if (variances(dim) > 0) {
+        // stats are 6-dp rounded, so mean/variance land near, not at,
+        // the ideal 0/1
+        assert(math.abs(mean) <= 1e-3, s"dim $dim mean $mean")
+        assert(math.abs(varz - 1.0) <= 1e-2, s"dim $dim variance $varz")
+      } else {
+        assert(zs.forall(_ == 0.0), s"dead dim $dim maps to 0")
+      }
+    }
+  }
+
   test("range search: exactly the tau-neighbors within probed cells") {
     import graft.functions.vector
     val got = AnnOps.rangeSearch(spark, sf)
