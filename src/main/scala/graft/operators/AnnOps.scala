@@ -1091,9 +1091,9 @@ object AnnOps {
     val n = vector.sql.norm("embedding")
     val unit = s"list_transform(embedding, x -> cast(x as double) / $n)"
     s"""SELECT vec_id,
-       |  round($unit[1], 6) AS unit_head,
-       |  round(list_reduce(list_prepend(cast(0.0 as double), $unit),
-       |        (acc, v) -> acc + v), 6) AS unit_sum,
+       |  (round($unit[1], 6) + 0.0) AS unit_head,
+       |  (round(list_reduce(list_prepend(cast(0.0 as double), $unit),
+       |        (acc, v) -> acc + v), 6) + 0.0) AS unit_sum,
        |  round($n, 6) AS l2_norm
        |FROM embeddings""".stripMargin
   }
@@ -1143,9 +1143,9 @@ object AnnOps {
       |  SELECT label, list(m ORDER BY dim) AS ms, max(n) AS n_vecs
       |  FROM m GROUP BY label)
       |SELECT label, cast(n_vecs as bigint) AS n_vecs,
-      |  round(ms[1], 6) AS centroid_head,
-      |  round(list_reduce(list_prepend(cast(0.0 as double), ms),
-      |        (a, x) -> a + x), 6) AS centroid_sum,
+      |  (round(ms[1], 6) + 0.0) AS centroid_head,
+      |  (round(list_reduce(list_prepend(cast(0.0 as double), ms),
+      |        (a, x) -> a + x), 6) + 0.0) AS centroid_sum,
       |  round(sqrt(list_reduce(list_prepend(cast(0.0 as double), ms),
       |        (a, x) -> a + x*x)), 6) AS centroid_norm
       |FROM c""".stripMargin
@@ -1261,7 +1261,7 @@ object AnnOps {
        |${cAssignSql("corpus", "cent2", "asg")}
        |SELECT cast(s.cell_id as int) AS cluster_id,
        |  cast(count(*) as bigint) AS n_vecs,
-       |  round(cast(s.c_emb[1] as double), 6) AS c_head,
+       |  (round(cast(s.c_emb[1] as double), 6) + 0.0) AS c_head,
        |  round(${vector.sql.norm("s.c_emb")}, 6) AS c_norm
        |FROM asg a JOIN cent2 s USING (cell_id)
        |GROUP BY s.cell_id, s.c_emb""".stripMargin
@@ -1428,10 +1428,10 @@ object AnnOps {
       |  FROM x GROUP BY 1),
       |dstats AS (
       |  SELECT cast(dim as int) AS dim, n, min_v, max_v,
-      |    round(cast(sq as double) / 1e6 / n, 6) AS mean,
-      |    round((cast(sq2 as double) * cast(n as double)
+      |    (round(cast(sq as double) / 1e6 / n, 6) + 0.0) AS mean,
+      |    (round((cast(sq2 as double) * cast(n as double)
       |        - cast(sq as double) * cast(sq as double))
-      |      / cast(n as double) / cast(n as double) / 1e12, 6) AS variance
+      |      / cast(n as double) / cast(n as double) / 1e12, 6) + 0.0) AS variance
       |  FROM a)""".stripMargin
 
   private val dimStatsSql =
@@ -1503,9 +1503,13 @@ object AnnOps {
       |  FROM q, (SELECT unnest(range(0, 64)) AS dim) d
       |  GROUP BY 1)
       |SELECT cast(g.i as int) AS i, cast(g.j as int) AS j, g.n, g.sqq,
-      |  round((cast(g.sqq as double) * cast(g.n as double)
+      |  -- + 0.0 normalizes IEEE -0.0 → +0.0: DuckDB's round() keeps the
+      |  -- sign of a tiny negative (-1e-9 → -0.0) where Spark's
+      |  -- BigDecimal-based round yields +0.0 — without it one
+      |  -- knife-edge cell hash-mismatches (bit at sf0.01: cell (5,9))
+      |  (round((cast(g.sqq as double) * cast(g.n as double)
       |      - cast(si.sq as double) * cast(sj.sq as double))
-      |    / cast(g.n as double) / cast(g.n as double) / 1e12, 6) AS cov
+      |    / cast(g.n as double) / cast(g.n as double) / 1e12, 6) + 0.0) AS cov
       |FROM g
       |JOIN ds si ON g.i = si.dim
       |JOIN ds sj ON g.j = sj.dim""".stripMargin
@@ -1553,7 +1557,7 @@ object AnnOps {
        |  list_transform(range(1, 65),
        |    i -> CASE WHEN m.vars[i] > 0
        |         THEN round((cast(e.embedding[i] as double) - m.means[i])
-       |           / sqrt(m.vars[i]), 6)
+       |           / sqrt(m.vars[i]), 6) + 0.0
        |         ELSE cast(0 as double) END) AS z_vec
        |FROM embeddings e, m""".stripMargin
 

@@ -521,7 +521,48 @@ object CorpusOps {
        |  1000000 // sz.cluster_size AS weight_ppm
        |FROM cc JOIN sz USING (cluster_id)""".stripMargin
 
+  /** Per-source language diversity via the Gini–Simpson index — the
+    * "is this source a monoculture" balance diagnostic next to
+    * corpus_balance_chi2's independence test. Entropy is the textbook
+    * choice but its log is a libm call whose last ulp is
+    * engine-defined; Simpson (1 − Σp²) and effective language count
+    * (1/Σp²) are pure arithmetic on EXACT integer counts — Σc² and n²
+    * assemble in one fixed IEEE divide each, bit-identical in both
+    * engines. One partial/final aggregation over (source, lang), then
+    * a per-source fold of the ≤|langs| counts. */
+  def diversity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    c.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("source"), col("n_docs"), col("n_langs").cast("int").as("n_langs"),
+        round(lit(1.0) - col("sc2").cast("double")
+          / (col("n_docs").cast("double") * col("n_docs").cast("double")), 6)
+          .as("simpson"),
+        round(col("n_docs").cast("double") * col("n_docs").cast("double")
+          / col("sc2").cast("double"), 6).as("effective_langs"))
+  }
+
+  private def diversitySql: String =
+    """WITH c AS (
+      |  SELECT source, lang, cast(count(*) as bigint) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, cast(sum(c) as bigint) AS n_docs,
+      |    cast(count(*) as int) AS n_langs,
+      |    cast(sum(c * c) as bigint) AS sc2
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_docs, n_langs,
+      |  round(1.0 - cast(sc2 as double)
+      |    / (cast(n_docs as double) * cast(n_docs as double)), 6) AS simpson,
+      |  round(cast(n_docs as double) * cast(n_docs as double)
+      |    / cast(sc2 as double), 6) AS effective_langs
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diversity" -> (diversity _),
     "corpus_source_overlap" -> (sourceOverlap _),
     "dedup_soft" -> (softDedup _),
     "corpus_balance_chi2" -> (balanceChi2 _),
@@ -534,6 +575,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_diversity" -> diversitySql,
     "corpus_source_overlap" -> sourceOverlapSql,
     "dedup_soft" -> softDedupSql,
     "corpus_balance_chi2" -> balanceChi2Sql,

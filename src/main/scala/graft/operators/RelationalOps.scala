@@ -2853,9 +2853,89 @@ object RelationalOps {
       |FROM p, tot
       |GROUP BY attributed_type, n_total""".stripMargin
 
+  // ------------------------------------------------------- regression
+
+  /** Per-priority OLS trend of order value over time — the
+    * "is revenue drifting" diagnostic, computed the distributed way:
+    * one partial/final aggregation gathers the five exact integer
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) with x = epoch day and
+    * y = whole-dollar-quantized price, then slope/intercept/r² are a
+    * fixed IEEE multiply/subtract/divide sequence on those integers —
+    * bit-identical in both engines, no `regr_slope` builtin whose
+    * internal accumulation order is engine-defined. Whole-dollar
+    * quantization keeps Σy² within BIGINT to ~10⁸ rows per group; at
+    * larger scale the moments move to DOUBLE partials (documented
+    * trade: exactness → 1-ulp determinism within one engine). */
+  def regression(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val m = o.select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        round(col("o_totalprice")).cast("long").as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    // parens around each full difference: a continuation line starting
+    // with `-` would otherwise parse as its own (discarded) statement
+    val dxx = (nD * col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double"))
+    val dxy = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double"))
+    val dyy = (nD * col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double"))
+    m.select(col("o_orderpriority"), col("n"),
+      round(dxy / dxx, 6).as("slope"),
+      round(col("sy").cast("double") / nD
+        - (dxy / dxx) * (col("sx").cast("double") / nD), 6).as("intercept"),
+      round(dxy * dxy / (dxx * dyy), 6).as("r2"))
+  }
+
+  private val regressionSql =
+    """WITH m AS (
+      |  SELECT o_orderpriority,
+      |    cast(count(*) as bigint) AS n,
+      |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+      |    cast(sum(x * y) as bigint) AS sxy,
+      |    cast(sum(x * x) as bigint) AS sxx,
+      |    cast(sum(y * y) as bigint) AS syy
+      |  FROM (
+      |    SELECT o_orderpriority,
+      |      cast(datediff('day', DATE '1970-01-01',
+      |        cast(o_orderdate as date)) as bigint) AS x,
+      |      cast(round(o_totalprice) as bigint) AS y
+      |    FROM orders)
+      |  GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  -- + 0.0 normalizes a possible IEEE -0.0 from DuckDB's
+      |  -- sign-preserving round() to the +0.0 Spark's round emits
+      |  (round((cast(n as double) * cast(sxy as double)
+      |      - cast(sx as double) * cast(sy as double))
+      |    / (cast(n as double) * cast(sxx as double)
+      |      - cast(sx as double) * cast(sx as double)), 6) + 0.0) AS slope,
+      |  (round(cast(sy as double) / cast(n as double)
+      |    - ((cast(n as double) * cast(sxy as double)
+      |        - cast(sx as double) * cast(sy as double))
+      |      / (cast(n as double) * cast(sxx as double)
+      |        - cast(sx as double) * cast(sx as double)))
+      |      * (cast(sx as double) / cast(n as double)), 6) + 0.0) AS intercept,
+      |  (round((cast(n as double) * cast(sxy as double)
+      |      - cast(sx as double) * cast(sy as double))
+      |    * (cast(n as double) * cast(sxy as double)
+      |      - cast(sx as double) * cast(sy as double))
+      |    / ((cast(n as double) * cast(sxx as double)
+      |      - cast(sx as double) * cast(sx as double))
+      |      * (cast(n as double) * cast(syy as double)
+      |        - cast(sy as double) * cast(sy as double))), 6) + 0.0) AS r2
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regression" -> (regression _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -2935,6 +3015,7 @@ object RelationalOps {
     "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_regression" -> regressionSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

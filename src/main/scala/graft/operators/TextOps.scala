@@ -567,7 +567,80 @@ object TextOps {
        |FROM vecs""".stripMargin
   }
 
+  // ------------------------------------------------- boilerplate spans
+
+  private val BoilerK = 3
+  private val BoilerDf = 5
+  private val BoilerFracMax = 0.5
+
+  /** C4-style boilerplate-span detection: a K-token gram that appears
+    * in ≥ [[BoilerDf]] distinct documents is boilerplate (navigation
+    * chrome, license headers, templated text), and each document
+    * reports what fraction of its gram INSTANCES are boilerplate —
+    * the pre-dedup cleaning signal (a high-boilerplate doc is
+    * template, not content). Scale shape: the gram explode is narrow;
+    * document frequency is one partial/final aggregation over
+    * DISTINCT (doc, gram); the boilerplate set is the Zipf HEAD of
+    * that distribution (df ≥ threshold), orders of magnitude smaller
+    * than the gram universe, so marking instances is a broadcast
+    * join — the exploded grams never shuffle for the mark, only for
+    * the per-doc recount, which partial-aggregates to one row per doc
+    * before the exchange. */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = DedupOps.docsParallel(s, d)
+    val grams = docs.select(col("doc_id"),
+      explode(text.ngrams(text.tokens(col("text")), BoilerK)).as("sh"))
+    val boiler = grams.select(col("doc_id"), col("sh")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("sh"), lit(1L).as("is_boiler"))
+    val per = grams.join(broadcast(boiler), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0,
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .otherwise(0.0))
+      .withColumn("keep", col("boiler_frac") <= BoilerFracMax)
+  }
+
+  private val boilerplateSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t) - ${BoilerK - 2}),
+       |      i -> list_reduce(list_slice(t, i, i + ${BoilerK - 1}),
+       |             (a, b) -> a || ' ' || b))) AS sh
+       |  FROM toks WHERE len(t) >= $BoilerK),
+       |boiler AS (
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM g)
+       |  GROUP BY sh HAVING count(*) >= $BoilerDf),
+       |per AS (
+       |  SELECT g.doc_id,
+       |    cast(count(*) as bigint) AS n_grams,
+       |    cast(count(*) FILTER (b.sh IS NOT NULL) as bigint) AS n_boiler
+       |  FROM g LEFT JOIN boiler b ON g.sh = b.sh
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_grams, 0) AS n_grams,
+       |  coalesce(per.n_boiler, 0) AS n_boiler,
+       |  CASE WHEN coalesce(per.n_grams, 0) > 0
+       |    THEN cast(per.n_boiler as double) / cast(per.n_grams as double)
+       |    ELSE 0.0 END AS boiler_frac,
+       |  (CASE WHEN coalesce(per.n_grams, 0) > 0
+       |    THEN cast(per.n_boiler as double) / cast(per.n_grams as double)
+       |    ELSE 0.0 END) <= $BoilerFracMax AS keep
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplate _),
     "doc_hash_embed" -> (hashEmbed _),
     "text_repetition" -> (repetition _),
     "text_quality_gopher" -> (qualityGopher _),
@@ -581,6 +654,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplateSql,
     "text_langid_eval" -> langIdEvalSql,
     "doc_quality_ensemble" -> qualityEnsembleSql,
     "doc_hash_embed" -> hashEmbedSql,

@@ -199,4 +199,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out == want)
     out.keys.foreach { case (a, b) => assert(a < b, "canonical pair order") }
   }
+
+  test("diversity indices agree with a driver-side recount") {
+    val langsBySrc = Tables.documents(spark, sf).select("source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = CorpusOps.diversity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == langsBySrc.keySet)
+    langsBySrc.foreach { case (src, langs) =>
+      val n = langs.size.toDouble
+      val sc2 = langs.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      val simpson = 1.0 - sc2 / (n * n)
+      val (gn, gl, gs, ge) = got(src)
+      assert(gn == langs.size && gl == langs.distinct.size)
+      assert(math.abs(gs - simpson) < 1e-5, s"$src simpson")
+      assert(math.abs(ge - n * n / sc2) < 1e-4, s"$src effective langs")
+      assert(gs >= 0 && gs < 1 && ge >= 1 && ge <= gl)
+    }
+  }
 }

@@ -611,4 +611,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("max_key_share_ppm") ==
       sizes.last * 1000000L / sizes.sum)
   }
+
+  test("regression slopes agree with a driver-side OLS recount") {
+    val rows = Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        org.apache.spark.sql.functions.expr(
+          "cast(datediff(to_date(o_orderdate), date'1970-01-01') as long)"),
+        org.apache.spark.sql.functions.expr(
+          "cast(round(o_totalprice) as long)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = RelationalOps.regression(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (prio, g) =>
+      val n = g.size.toDouble
+      val (sx, sy) = (g.map(_._2).sum.toDouble, g.map(_._3).sum.toDouble)
+      val sxy = g.map(t => t._2 * t._3).sum.toDouble
+      val sxx = g.map(t => t._2 * t._2).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = sy / n - slope * (sx / n)
+      val (gn, gs, gi, gr2) = got(prio)
+      assert(gn == g.size)
+      assert(math.abs(gs - slope) < 1e-4, s"$prio slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-2, s"$prio intercept")
+      assert(gr2 >= 0 && gr2 <= 1, s"$prio r2 in range")
+      // random TPC-H prices carry no real time trend
+      assert(gr2 < 0.05, s"$prio r2 should be near zero, was $gr2")
+    }
+  }
 }

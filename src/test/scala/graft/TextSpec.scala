@@ -157,4 +157,29 @@ class TextSpec extends AnyFunSuite {
     assert(out.values.exists(_._6) && out.values.exists(!_._6),
       "ensemble must both keep and drop documents")
   }
+
+  test("boilerplate fractions agree with a driver-side recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Seq[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, t) =>
+      grams(t).distinct.foreach(g => df(g) = df.getOrElse(g, Set.empty) + id)
+    }
+    val boiler = df.collect { case (g, ids) if ids.size >= 5 => g }.toSet
+    val got = TextOps.boilerplate(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(got.keySet == docs.keySet, "every doc must appear")
+    docs.foreach { case (id, t) =>
+      val gs = grams(t)
+      val nb = gs.count(boiler)
+      assert(got(id) == ((gs.size.toLong, nb.toLong,
+        gs.isEmpty || nb.toDouble / gs.size <= 0.5)), s"doc $id")
+    }
+    // the threshold must bite on this corpus: some boilerplate exists
+    assert(got.values.exists(_._2 > 0), "no boilerplate grams detected")
+  }
 }
