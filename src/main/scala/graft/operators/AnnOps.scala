@@ -1481,8 +1481,10 @@ object AnnOps {
           .as("cov"))
   }
 
-  private val covarianceSql =
-    """WITH q AS (
+  /** Covariance CTE chain ending in `covm(i, j, n, sqq, cov)` —
+    * shared by emb_covariance and emb_pca. */
+  private val covarianceCte =
+    """q AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      v -> cast(round(cast(v as double) * 1e6) as bigint)) AS q
@@ -1501,18 +1503,23 @@ object AnnOps {
       |  SELECT d.dim AS dim,
       |    cast(sum(q[d.dim + 1]) as bigint) AS sq
       |  FROM q, (SELECT unnest(range(0, 64)) AS dim) d
-      |  GROUP BY 1)
-      |SELECT cast(g.i as int) AS i, cast(g.j as int) AS j, g.n, g.sqq,
-      |  -- + 0.0 normalizes IEEE -0.0 → +0.0: DuckDB's round() keeps the
-      |  -- sign of a tiny negative (-1e-9 → -0.0) where Spark's
-      |  -- BigDecimal-based round yields +0.0 — without it one
-      |  -- knife-edge cell hash-mismatches (bit at sf0.01: cell (5,9))
-      |  (round((cast(g.sqq as double) * cast(g.n as double)
-      |      - cast(si.sq as double) * cast(sj.sq as double))
-      |    / cast(g.n as double) / cast(g.n as double) / 1e12, 6) + 0.0) AS cov
-      |FROM g
-      |JOIN ds si ON g.i = si.dim
-      |JOIN ds sj ON g.j = sj.dim""".stripMargin
+      |  GROUP BY 1),
+      |covm AS (
+      |  SELECT cast(g.i as int) AS i, cast(g.j as int) AS j, g.n, g.sqq,
+      |    -- + 0.0 normalizes IEEE -0.0 → +0.0: DuckDB's round() keeps the
+      |    -- sign of a tiny negative (-1e-9 → -0.0) where Spark's
+      |    -- BigDecimal-based round yields +0.0 — without it one
+      |    -- knife-edge cell hash-mismatches (bit at sf0.01: cell (5,9))
+      |    (round((cast(g.sqq as double) * cast(g.n as double)
+      |        - cast(si.sq as double) * cast(sj.sq as double))
+      |      / cast(g.n as double) / cast(g.n as double) / 1e12, 6) + 0.0) AS cov
+      |  FROM g
+      |  JOIN ds si ON g.i = si.dim
+      |  JOIN ds sj ON g.j = sj.dim)""".stripMargin
+
+  private val covarianceSql =
+    s"""WITH $covarianceCte
+       |SELECT * FROM covm""".stripMargin
 
   // --------------------------------------------------- standardize
 
@@ -1561,7 +1568,125 @@ object AnnOps {
        |         ELSE cast(0 as double) END) AS z_vec
        |FROM embeddings e, m""".stripMargin
 
+  // ----------------------------------------------------------- pca
+
+  private val PcaDim = 64
+  private val PcaIters = 10
+
+  /** Dominant principal component of the embedding space — PCA's
+    * first axis, the projection a curation pipeline reads for
+    * embedding-space drift and as the cheapest 1-d "semantic
+    * coordinate". Computed the way a 100 TB pipeline must: the d×d
+    * covariance is DISTRIBUTED (emb_covariance's exact-integer pass;
+    * exchange bounded by d², not corpus size), the O(T·d²) power
+    * iteration runs on the collected 64×64 matrix at the driver —
+    * 40k flops of bounded state — and the resulting unit vector
+    * broadcasts back for a narrow zip_with projection over the scan.
+    * Cross-engine determinism: both engines iterate from the exact
+    * binary value 1/8·𝟙 over the SAME 6-dp-rounded covariance
+    * entries, with every accumulation a left-fold in ascending index
+    * order — the identical IEEE op sequence (÷, ×, +, sqrt are all
+    * correctly-rounded), so v and λ match bit-for-bit without any
+    * intermediate quantization; the sign is pinned by negating when
+    * v₁ < 0. 10 iterations is part of the operator CONTRACT (both
+    * engines run exactly 10), not a convergence heuristic — AnnSpec
+    * checks the eigenpair against an exact driver-side recount. */
+  def pca(s: SparkSession, d: String): DataFrame = {
+    val m = Array.ofDim[Double](PcaDim, PcaDim)
+    covariance(s, d).select("i", "j", "cov").collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val (v, lambda) = powerIterate(m)
+    val vLit = array(v.map(lit).toIndexedSeq: _*)
+    Tables.embeddings(s, d).select(col("vec_id"),
+      round(aggregate(
+        zip_with(col("embedding"), vLit, (e, c) => e.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x), 6).as("pc1"),
+      round(lit(lambda), 6).as("eigval"))
+  }
+
+  /** The shared driver-side iteration — also the spec's recount
+    * path. Every loop accumulates in ascending index order to mirror
+    * the oracle's list_reduce left-folds exactly. */
+  private[graft] def powerIterate(
+      m: Array[Array[Double]]): (Array[Double], Double) = {
+    def matVec(v: Array[Double]): Array[Double] = {
+      val w = Array.ofDim[Double](PcaDim)
+      var i = 0
+      while (i < PcaDim) {
+        var acc = 0.0
+        var j = 0
+        while (j < PcaDim) { acc = acc + m(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      w
+    }
+    var v = Array.fill(PcaDim)(0.125)
+    var t = 0
+    while (t < PcaIters) {
+      val w = matVec(v)
+      var nrm2 = 0.0
+      var i = 0
+      while (i < PcaDim) { nrm2 = nrm2 + w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(nrm2)
+      v = if (nrm > 0) w.map(_ / nrm) else w
+      t += 1
+    }
+    if (v(0) < 0) v = v.map(x => -x)
+    val w = matVec(v)
+    var lambda = 0.0
+    var i = 0
+    while (i < PcaDim) { lambda = lambda + v(i) * w(i); i += 1 }
+    (v, lambda)
+  }
+
+  private def pcaSql: String = {
+    val matVec =
+      """list_transform(range(1, 65),
+        |      i -> list_reduce(list_prepend(cast(0.0 as double),
+        |        list_transform(range(1, 65), j -> mat[i][j] * v[j])),
+        |        (a, x) -> a + x))""".stripMargin
+    val steps = (1 to PcaIters).map { k =>
+      s"""v$k AS (
+         |  SELECT CASE WHEN nrm > 0
+         |    THEN list_transform(w, x -> x / nrm) ELSE w END AS v
+         |  FROM (
+         |    SELECT w, sqrt(list_reduce(list_prepend(cast(0.0 as double),
+         |      list_transform(w, x -> x * x)), (a, x) -> a + x)) AS nrm
+         |    FROM (SELECT $matVec AS w FROM m, v${k - 1})))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covarianceCte,
+       |full_m AS (
+       |  SELECT i, j, cov FROM covm
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM covm WHERE i < j),
+       |rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
+       |m AS (SELECT list(r ORDER BY i) AS mat FROM rows_m),
+       |v0 AS (SELECT list_transform(range(1, 65),
+       |  x -> cast(0.125 as double)) AS v),
+       |$steps,
+       |vf AS (
+       |  SELECT CASE WHEN v[1] < 0 THEN list_transform(v, x -> -x)
+       |         ELSE v END AS v
+       |  FROM v$PcaIters),
+       |lam AS (
+       |  SELECT v, round(list_reduce(list_prepend(cast(0.0 as double),
+       |      list_transform(range(1, 65), i -> v[i] * w[i])),
+       |      (a, x) -> a + x), 6) AS eigval
+       |  FROM (SELECT v, $matVec AS w FROM m, vf))
+       |SELECT e.vec_id,
+       |  (round(list_reduce(list_prepend(cast(0.0 as double),
+       |    list_transform(range(1, 65),
+       |      i -> cast(e.embedding[i] as double) * l.v[i])),
+       |    (a, x) -> a + x), 6) + 0.0) AS pc1,
+       |  l.eigval
+       |FROM embeddings e, lam l""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca" -> (pca _),
     "emb_standardize" -> (standardize _),
     "emb_covariance" -> (covariance _),
     "emb_dim_stats" -> (dimStats _),
@@ -1581,6 +1706,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "emb_pca" -> pcaSql,
     "emb_standardize" -> standardizeSql,
     "emb_covariance" -> covarianceSql,
     "emb_dim_stats" -> dimStatsSql,

@@ -355,4 +355,46 @@ class AnnSpec extends AnyFunSuite {
       assert(nHit >= 0 && nHit <= 10)
     }
   }
+
+  test("pca: eigenpair matches an exact driver-side recount") {
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim = 64
+    val n = embs.length.toLong
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // replicate the operator's exact-integer covariance (1e-6
+    // quantization, 6-dp round) independently of its Spark plan
+    val q = embs.map { case (_, v) => v.map(x => math.round(x * 1e6)) }
+    val m = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      var sqq = 0L; var si = 0L; var sj = 0L
+      q.foreach { qv => sqq += qv(i) * qv(j); si += qv(i); sj += qv(j) }
+      val c = round6((sqq.toDouble * n.toDouble - si.toDouble * sj.toDouble)
+        / n.toDouble / n.toDouble / 1e12)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val (v, lambda) = graft.operators.AnnOps.powerIterate(m)
+    val got = graft.operators.AnnOps.pca(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == embs.map(_._1).toSet)
+    assert(got.values.map(_._2).toSet == Set(round6(lambda)),
+      "eigenvalue must match the recount exactly")
+    embs.take(50).foreach { case (id, e) =>
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc = acc + e(i) * v(i); i += 1 }
+      assert(math.abs(got(id)._1 - round6(acc)) < 1e-9, s"vec $id pc1")
+    }
+    // the Rayleigh quotient is a genuine eigen-estimate: it must
+    // dominate every single-dimension variance and stay under the
+    // trace (total variance)
+    val diag = (0 until dim).map(i => m(i)(i))
+    assert(lambda >= diag.max - 1e-9)
+    assert(lambda <= diag.sum + 1e-9)
+    // v is unit up to fp rounding
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+  }
 }
