@@ -738,7 +738,61 @@ object EtlOps {
        |FROM ($arms)""".stripMargin
   }
 
+  private val DecayCap = 20
+
+  /** Time-decayed per-type activity: every event contributes weight
+    * 2^(−age_days) relative to the newest observed day (capped at
+    * [[DecayCap]] days — a 2⁻²⁰ tail is noise), giving the
+    * recency-weighted count and value sum a freshness dashboard
+    * ranks feeds by. The dyadic decay makes the whole computation
+    * EXACT integers: weight = 1 << (cap − age) is a bigint, value
+    * joins in as cents, and the weighted sums are plain integer
+    * aggregations under any partitioning — the only IEEE ops are two
+    * final divisions by constants (2²⁰, then 100), identical in both
+    * engines. No libm pow, no order-dependent float accumulation.
+    * Scale shape: one broadcast of the global max day, then one
+    * partial/final agg; weighted cent-sums stay within BIGINT to
+    * ~10⁸ events/type (scale path: split the sum by age bucket). */
+  def decayAgg(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val mx = e.agg(max(to_date(col("ts"))).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        expr(s"shiftleft(cast(1 as bigint), $DecayCap - " +
+          s"least(datediff(mx, to_date(ts)), $DecayCap))").as("w"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("w")).as("sw"),
+        sum(col("w") * col("cents")).as("swv"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sw").cast("double") / (1L << DecayCap).toDouble, 6)
+          .as("decayed_count"),
+        round(col("swv").cast("double") / (1L << DecayCap).toDouble / 100.0, 6)
+          .as("decayed_value"))
+  }
+
+  private val decayAggSql =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    (cast(1 as bigint) << ($DecayCap -
+       |      least(datediff('day', cast(ts as date),
+       |        (SELECT max(cast(ts as date)) FROM events
+       |         WHERE ts IS NOT NULL AND value IS NOT NULL)),
+       |        $DecayCap))) AS w,
+       |    cast(round(value * 100) as bigint) AS cents
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+       |SELECT event_type,
+       |  cast(count(*) as bigint) AS n_events,
+       |  round(cast(sum(w) as double) / ${(1L << DecayCap).toDouble}, 6)
+       |    AS decayed_count,
+       |  round(cast(sum(w * cents) as double)
+       |    / ${(1L << DecayCap).toDouble} / 100.0, 6) AS decayed_value
+       |FROM e GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_decay" -> (decayAgg _),
     "etl_ewma" -> (ewmaSmooth _),
     "etl_zscore_outliers" -> (zscoreOutliers _),
     "etl_mad_outliers" -> (madOutliers _),
@@ -758,6 +812,7 @@ object EtlOps {
     "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_decay" -> decayAggSql,
     "etl_seasonal" -> seasonalSql,
     "etl_dq_rules" -> dqRulesSql,
     "etl_ewma" -> ewmaSmoothSql,

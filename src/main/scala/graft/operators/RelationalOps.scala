@@ -2932,9 +2932,56 @@ object RelationalOps {
       |        - cast(sy as double) * cast(sy as double))), 6) + 0.0) AS r2
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------ stickiness
+
+  /** DAU/MAU stickiness per calendar month — the product-analytics
+    * ratio of average daily actives to monthly actives. All counts
+    * are exact distincts and the ratio is integer parts-per-million
+    * (Σdau · 10⁶ div (days · mau)) — no float division to diverge.
+    * Scale shape: one distinct over (day, user) — the partial
+    * aggregation collapses each user's events per day map-side, so
+    * the exchange carries at most |days|·|users| rows — then two
+    * |days|-sized aggregations and a broadcast-sized month join. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .select(trunc(col("day"), "month").as("month"), col("dau"))
+      .groupBy(col("month"))
+      .agg(sum(col("dau")).as("sdau"), count(lit(1)).as("n_days"))
+    val mau = daily.select(trunc(col("day"), "month").as("month"), col("user_id"))
+      .distinct()
+      .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"), col("n_days").cast("int").as("n_days"),
+        col("mau"), col("sdau"),
+        expr("sdau * 1000000 div (n_days * mau)").as("stickiness_ppm"))
+  }
+
+  private val stickinessSql =
+    """WITH daily AS (
+      |  SELECT DISTINCT cast(ts as date) AS day, user_id
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |dau AS (
+      |  SELECT date_trunc('month', day) AS month,
+      |    cast(sum(dau) as bigint) AS sdau, cast(count(*) as int) AS n_days
+      |  FROM (SELECT day, cast(count(*) as bigint) AS dau
+      |        FROM daily GROUP BY 1)
+      |  GROUP BY 1),
+      |mau AS (
+      |  SELECT month, cast(count(*) as bigint) AS mau
+      |  FROM (SELECT DISTINCT date_trunc('month', day) AS month, user_id
+      |        FROM daily)
+      |  GROUP BY 1)
+      |SELECT cast(dau.month as date) AS month, dau.n_days, mau.mau, dau.sdau,
+      |  dau.sdau * 1000000 // (dau.n_days * mau.mau) AS stickiness_ppm
+      |FROM dau JOIN mau USING (month)""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness" -> (stickiness _),
     "q_regression" -> (regression _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -3015,6 +3062,7 @@ object RelationalOps {
     "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_stickiness" -> stickinessSql,
     "q_regression" -> regressionSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

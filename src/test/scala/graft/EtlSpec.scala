@@ -233,4 +233,57 @@ class EtlSpec extends AnyFunSuite {
     // (the synthetic corpora are clean — every count may be 0; the
     // per-rule arithmetic and the melt shape are what's under test)
   }
+
+  test("decay agg agrees with a driver-side exact recount") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val mx = rows.map(_._2).max
+    val byType = rows.groupBy(_._1)
+    val got = EtlOps.decayAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, g) =>
+      var sw = 0L
+      var swv = 0L
+      g.foreach { case (_, day, v) =>
+        val age = math.min(
+          java.time.temporal.ChronoUnit.DAYS.between(day, mx), 20L)
+        val w = 1L << (20 - age)
+        sw += w
+        swv += w * math.round(v * 100)
+      }
+      val (n, dc, dv) = got(t)
+      assert(n == g.size)
+      assert(math.abs(dc - sw.toDouble / (1L << 20)) < 1e-6, s"$t count")
+      assert(math.abs(dv - swv.toDouble / (1L << 20) / 100.0) < 1e-6, s"$t value")
+      // decayed count is bounded by the raw count and must be positive
+      assert(dc > 0 && dc <= n.toDouble)
+    }
+  }
+
+  test("stickiness ratio agrees with a driver-side recount") {
+    val rows = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).distinct
+    val got = operators.RelationalOps.stickiness(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byMonth = rows.groupBy(p => p._1.withDayOfMonth(1))
+    assert(got.keySet == byMonth.keySet)
+    byMonth.foreach { case (m, g) =>
+      val days = g.map(_._1).distinct.size
+      val mau = g.map(_._2).distinct.size.toLong
+      val sdau = g.groupBy(_._1).values.map(_.map(_._2).distinct.size.toLong).sum
+      val (gd, gm, gs, ppm) = got(m)
+      assert(gd == days && gm == mau && gs == sdau, s"month $m")
+      assert(ppm == sdau * 1000000L / (days * mau), s"month $m ppm")
+      // dau <= mau per day implies the ratio is within (0, 1]
+      assert(ppm > 0 && ppm <= 1000000L)
+    }
+  }
 }
