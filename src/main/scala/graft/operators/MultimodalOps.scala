@@ -242,7 +242,49 @@ object MultimodalOps {
       |  cast(least(ls * 4 // ss, 8) as int) AS aspect_bucket
       |FROM s""".stripMargin
 
+  private val ChunkMs = 2000
+  private val HopMs = 1500
+
+  /** Overlapping fixed-window audio chunking — the segmentation an
+    * ASR/audio-training pipeline applies before batch decode (think
+    * 30 s windows with overlap, scaled to the fake decoder's
+    * millisecond space). Duration derives from the payload length via
+    * the deterministic fake decode (10 ms per byte); the chunk grid
+    * [k·hop, k·hop+chunk) ∩ [0, duration) is pure integer arithmetic
+    * exploded as a narrow map — one row per window, no shuffle at any
+    * scale. The last window clips to the duration; zero-length
+    * payloads emit no chunks on both engines (empty sequence). */
+  def audioChunks(s: SparkSession, d: String): DataFrame = {
+    val durMs = (octet_length(encode(col("text"), "UTF-8")) * 10L).as("duration_ms")
+    Tables.documents(s, d)
+      .select(col("doc_id"), durMs)
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(HopMs.toLong)))
+          .as("start_ms"))
+      .select(col("doc_id"),
+        (col("start_ms") / HopMs).cast("int").as("chunk_idx"),
+        col("start_ms"),
+        least(col("start_ms") + ChunkMs, col("duration_ms")).as("end_ms"),
+        col("duration_ms"))
+  }
+
+  private val audioChunksSql =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    cast(octet_length(encode(text)) * 10 as bigint) AS duration_ms
+       |  FROM documents),
+       |c AS (SELECT doc_id, duration_ms,
+       |        unnest(range(0, duration_ms, $HopMs)) AS start_ms
+       |      FROM m)
+       |SELECT doc_id,
+       |  cast(start_ms / $HopMs as int) AS chunk_idx,
+       |  cast(start_ms as bigint) AS start_ms,
+       |  cast(least(start_ms + $ChunkMs, duration_ms) as bigint) AS end_ms,
+       |  duration_ms
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_chunks" -> (audioChunks _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_dedup_payload" -> (payloadDedup _),
@@ -250,6 +292,7 @@ object MultimodalOps {
     "mm_resize_plan" -> (resizePlan _))
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_chunks" -> audioChunksSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_dedup_payload" -> payloadDedupSql,

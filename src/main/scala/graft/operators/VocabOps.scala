@@ -700,7 +700,90 @@ object VocabOps {
        |LIMIT $HybridTopK""".stripMargin
   }
 
+  private val KeynessK = 20
+
+  /** χ² keyness: the K most source-distinctive tokens per source —
+    * the "what characterizes this corpus slice" diagnostic a data
+    * card prints. Per token×source the 2×2 contingency (in-source df
+    * vs rest-of-corpus df) reduces to four exact integer margins;
+    * χ² = N(ad−bc)²/(row·col margins) is assembled in one fixed IEEE
+    * multiply chain on those integers — the log-likelihood-ratio
+    * variant would drag in libm ln, χ² ranks identically for top-K.
+    * Only over-represented tokens (ad>bc) qualify. Scale shape: one
+    * tokenize pass, (source, token) partial/final agg, a token-keyed
+    * join against the df totals, then a per-source bounded window
+    * over |vocab| rows; integer products stay exact to ~10⁹ docs
+    * (beyond: the margins move to DOUBLE, same op sequence). */
+  def keyness(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.parallelize(Tables.documents(s, d))
+    val a = docs.select(col("source"),
+        explode(array_distinct(text.tokens(col("text")))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("a"))
+    val dfTot = a.groupBy("token").agg(sum(col("a")).as("df_tot"))
+    val srcN = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val tot = docs.agg(count(lit(1)).as("n_all"))
+    val j = a.join(dfTot, "token")
+      .join(broadcast(srcN), "source")
+      .crossJoin(broadcast(tot))
+      .filter(col("df_tot") < col("n_all"))
+      .withColumn("b", col("n_src") - col("a"))
+      .withColumn("c", col("df_tot") - col("a"))
+      .withColumn("dd", col("n_all") - col("n_src") - col("c"))
+      .filter(col("a") * col("dd") > col("b") * col("c"))
+      .withColumn("diff", col("a") * col("dd") - col("b") * col("c"))
+      .withColumn("chi2", round(
+        col("n_all").cast("double") * col("diff").cast("double")
+          * col("diff").cast("double")
+          / (col("n_src").cast("double")
+            * (col("n_all") - col("n_src")).cast("double")
+            * col("df_tot").cast("double")
+            * (col("n_all") - col("df_tot")).cast("double")), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("chi2").desc, col("token"))
+    j.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= KeynessK)
+      .select(col("source"), col("token"), col("a").as("df_in_source"),
+        col("c").as("df_rest"), col("chi2"), col("rank"))
+  }
+
+  private val keynessSql = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH ts AS (
+       |  SELECT source, unnest(list_distinct($toks)) AS token
+       |  FROM documents),
+       |a AS (SELECT source, token, cast(count(*) as bigint) AS a
+       |      FROM ts GROUP BY 1, 2),
+       |dft AS (SELECT token, cast(sum(a) as bigint) AS df_tot
+       |        FROM a GROUP BY 1),
+       |sn AS (SELECT source, cast(count(*) as bigint) AS n_src
+       |       FROM documents GROUP BY 1),
+       |tot AS (SELECT cast(count(*) as bigint) AS n_all FROM documents),
+       |j AS (
+       |  SELECT a.source, a.token, a.a, dft.df_tot, sn.n_src, tot.n_all,
+       |    sn.n_src - a.a AS b, dft.df_tot - a.a AS c,
+       |    tot.n_all - sn.n_src - (dft.df_tot - a.a) AS dd
+       |  FROM a
+       |  JOIN dft USING (token) JOIN sn ON a.source = sn.source, tot
+       |  WHERE dft.df_tot < tot.n_all),
+       |k AS (
+       |  SELECT source, token, a AS df_in_source, c AS df_rest,
+       |    round(cast(n_all as double)
+       |        * cast(a * dd - b * c as double)
+       |        * cast(a * dd - b * c as double)
+       |      / (cast(n_src as double)
+       |        * cast(n_all - n_src as double)
+       |        * cast(df_tot as double)
+       |        * cast(n_all - df_tot as double)), 6) AS chi2
+       |  FROM j WHERE a * dd > b * c)
+       |SELECT source, token, df_in_source, df_rest, chi2,
+       |  cast(row_number() OVER (PARTITION BY source
+       |       ORDER BY chi2 DESC, token) as int) AS rank
+       |FROM k
+       |QUALIFY rank <= $KeynessK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_keyness" -> (keyness _),
     "doc_hybrid_search" -> (hybridSearch _),
     "vocab_growth" -> (vocabGrowth _),
     "vocab_oov_rate" -> (oovRate _),
@@ -714,6 +797,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_keyness" -> keynessSql,
     "doc_hybrid_search" -> hybridSearchSql,
     "vocab_growth" -> vocabGrowthSql,
     "vocab_oov_rate" -> oovRateSql,

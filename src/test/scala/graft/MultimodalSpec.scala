@@ -82,4 +82,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(b >= 4 && b <= 8, "long/short >= 1 so bucket >= 4")
     }
   }
+
+  test("audio chunks tile every payload with clipped overlap windows") {
+    val durations = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) * 10L as dur")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = MultimodalOps.audioChunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = got.groupBy(_._1)
+    durations.foreach { case (id, dur) =>
+      val chunks = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+      if (dur == 0) assert(chunks.isEmpty, s"doc $id: zero duration")
+      else {
+        // the expected grid: starts at every 1500ms below the duration
+        val starts = 0L.until(dur, 1500L).toSeq
+        assert(chunks.map(_._3).toSeq == starts, s"doc $id starts")
+        chunks.foreach { case (_, idx, start, end, d) =>
+          assert(d == dur && start == idx * 1500L)
+          assert(end == math.min(start + 2000L, dur), s"doc $id chunk $idx")
+          assert(end > start, "windows are non-empty")
+        }
+        // full coverage: consecutive windows overlap or touch
+        chunks.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 <= a._4, "no gap between windows")
+          case _ =>
+        }
+        assert(chunks.last._4 == dur, "last window reaches the end")
+      }
+    }
+  }
 }

@@ -314,4 +314,48 @@ class VocabSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("keyness: chi2 and ranking agree with a driver-side recount") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct))
+    val nAll = docs.length.toLong
+    val bySrc = docs.groupBy(_._1)
+    val dfTot = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = bySrc.flatMap { case (src, g) =>
+      val nSrc = g.size.toLong
+      val dfSrc = g.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      dfSrc.toSeq.flatMap { case (tok, a) =>
+        val tot = dfTot(tok)
+        if (tot >= nAll) None
+        else {
+          val b = nSrc - a
+          val c = tot - a
+          val dd = nAll - nSrc - c
+          if (a * dd <= b * c) None
+          else {
+            val diff = (a * dd - b * c).toDouble
+            Some((tok, round6(nAll.toDouble * diff * diff /
+              (nSrc.toDouble * (nAll - nSrc).toDouble
+                * tot.toDouble * (nAll - tot).toDouble))))
+          }
+        }
+      }.sortBy { case (tok, chi2) => (-chi2, tok) }
+        .take(20).zipWithIndex
+        .map { case ((tok, chi2), i) => (src, tok) -> (chi2, i + 1) }
+    }.toMap
+    val got = graft.operators.VocabOps.keyness(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getInt(5))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (chi2, rank)) =>
+      assert(math.abs(chi2 - want(k)._1) < 1e-9, s"$k chi2")
+      assert(rank == want(k)._2, s"$k rank")
+    }
+  }
 }
