@@ -1685,7 +1685,93 @@ object AnnOps {
        |FROM embeddings e, lam l""".stripMargin
   }
 
+  // ------------------------------------------------------- outliers
+
+  /** Distance-to-centroid outlier detection: flag vectors more than
+    * 2σ farther from their label centroid than typical — the "mislabeled
+    * or corrupted embedding" screen run before training on labeled
+    * vectors. Determinism discipline: centroids come from exact
+    * integer dim-sums (1e-6 quantization, 6-dp rounding), each
+    * distance is a fixed ascending-dim left-fold + sqrt, and the
+    * per-label distance statistics re-quantize the 6-dp distances to
+    * exact integers — so mean, σ, and the flag threshold are the
+    * same fixed IEEE assembly in both engines and the boolean flag
+    * cannot sit on a knife edge. Scale shape: two bounded exchanges
+    * (|labels|×dims, then |labels|), two broadcasts back over narrow
+    * maps — the corpus never shuffles. */
+  def outliers(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val means = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"))
+      .withColumn("m", round(col("sq").cast("double") / 1e6 / col("n"), 6))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("label"), expr("transform(dm, x -> x.m)").as("mean_vec"))
+    val dist = e.join(broadcast(means), "label")
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("embedding"), col("mean_vec"),
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+          lit(0.0), (a, x) => a + x)), 6).as("dist"))
+      .withColumn("dq", round(col("dist") * 1e6).cast("long"))
+    val thresh = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dq")).as("sd"),
+        sum(col("dq") * col("dq")).as("sd2"))
+      .select(col("label"), round(
+        col("sd").cast("double") / col("n").cast("double") / 1e6
+          + lit(2.0) * sqrt(
+            (col("sd2").cast("double") * col("n").cast("double")
+              - col("sd").cast("double") * col("sd").cast("double"))
+            / col("n").cast("double") / col("n").cast("double") / 1e12),
+        6).as("thresh"))
+    dist.join(broadcast(thresh), "label")
+      .select(col("vec_id"), col("label"), col("dist"), col("thresh"),
+        (col("dist") > col("thresh")).as("is_outlier"))
+  }
+
+  private val outliersSql =
+    """WITH d AS (
+      |  SELECT label, dd.dim AS dim, embedding[dd.dim + 1] AS v
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) dd),
+      |a AS (
+      |  SELECT label, dim, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(cast(v as double) * 1e6) as bigint)) as bigint)
+      |      AS sq
+      |  FROM d GROUP BY 1, 2),
+      |mv AS (
+      |  SELECT label,
+      |    list(round(cast(sq as double) / 1e6 / n, 6) ORDER BY dim)
+      |      AS mean_vec
+      |  FROM a GROUP BY 1),
+      |dist AS (
+      |  SELECT e.vec_id, e.label,
+      |    round(sqrt(list_reduce(list_prepend(cast(0.0 as double),
+      |      list_transform(range(1, 65),
+      |        i -> (cast(e.embedding[i] as double) - mv.mean_vec[i])
+      |           * (cast(e.embedding[i] as double) - mv.mean_vec[i]))),
+      |      (acc, x) -> acc + x)), 6) AS dist
+      |  FROM embeddings e JOIN mv USING (label)),
+      |dq AS (SELECT vec_id, label, dist,
+      |         cast(round(dist * 1e6) as bigint) AS dq
+      |       FROM dist),
+      |th AS (
+      |  SELECT label, round(
+      |    cast(sum(dq) as double) / cast(count(*) as double) / 1e6
+      |      + 2.0 * sqrt(
+      |        (cast(sum(dq * dq) as double) * cast(count(*) as double)
+      |          - cast(sum(dq) as double) * cast(sum(dq) as double))
+      |        / cast(count(*) as double) / cast(count(*) as double) / 1e12),
+      |    6) AS thresh
+      |  FROM dq GROUP BY 1)
+      |SELECT dq.vec_id, dq.label, dq.dist, th.thresh,
+      |  dq.dist > th.thresh AS is_outlier
+      |FROM dq JOIN th USING (label)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (outliers _),
     "emb_pca" -> (pca _),
     "emb_standardize" -> (standardize _),
     "emb_covariance" -> (covariance _),
@@ -1706,6 +1792,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "emb_outliers" -> outliersSql,
     "emb_pca" -> pcaSql,
     "emb_standardize" -> standardizeSql,
     "emb_covariance" -> covarianceSql,

@@ -791,7 +791,63 @@ object EtlOps {
        |    / ${(1L << DecayCap).toDouble} / 100.0, 6) AS decayed_value
        |FROM e GROUP BY 1""".stripMargin
 
+  private val IncidentPpm = 300000L
+
+  /** Incident windows: maximal runs of consecutive hours whose error
+    * share exceeds [[IncidentPpm]] — the alerting view an on-call
+    * rotation actually pages on (not "an error happened" but "errors
+    * have been elevated since 14:00"). Share is integer ppm (no float
+    * rate), and the merge is the islands construction: hour − rank is
+    * constant within a consecutive run. The run-merge window is
+    * partition-less by construction over ≤ CALENDAR hours (8.8k/year
+    * — same bounded-input argument as the ANN seed windows), never
+    * event volume; everything upstream is one partial/final hourly
+    * aggregation. */
+  def incidents(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      .withColumn("rate_ppm", expr("err * 1000000 div total"))
+      .filter(col("rate_ppm") > IncidentPpm)
+      .withColumn("h", expr("unix_timestamp(hour_ts) div 3600"))
+    val w = Window.orderBy(col("h"))
+    hourly
+      .withColumn("grp", col("h") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("hour_ts")).as("incident_start"),
+        max(col("hour_ts")).as("incident_end"),
+        count(lit(1)).as("n_hours"),
+        max(col("rate_ppm")).as("peak_ppm"),
+        sum(col("err")).as("total_errors"))
+      .select(col("incident_start"), col("incident_end"), col("n_hours"),
+        col("peak_ppm"), col("total_errors"))
+  }
+
+  private val incidentsSql =
+    s"""WITH h AS (
+       |  SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+       |    cast(count(*) as bigint) AS total,
+       |    cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      as bigint) AS err
+       |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       |f AS (
+       |  SELECT hour_ts, err, err * 1000000 // total AS rate_ppm,
+       |    epoch(hour_ts) // 3600 AS hr
+       |  FROM h WHERE err * 1000000 // total > $IncidentPpm),
+       |g AS (
+       |  SELECT hour_ts, err, rate_ppm,
+       |    hr - row_number() OVER (ORDER BY hr) AS grp
+       |  FROM f)
+       |SELECT min(hour_ts) AS incident_start, max(hour_ts) AS incident_end,
+       |  cast(count(*) as bigint) AS n_hours,
+       |  cast(max(rate_ppm) as bigint) AS peak_ppm,
+       |  cast(sum(err) as bigint) AS total_errors
+       |FROM g GROUP BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_incidents" -> (incidents _),
     "etl_decay" -> (decayAgg _),
     "etl_ewma" -> (ewmaSmooth _),
     "etl_zscore_outliers" -> (zscoreOutliers _),
@@ -812,6 +868,7 @@ object EtlOps {
     "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_incidents" -> incidentsSql,
     "etl_decay" -> decayAggSql,
     "etl_seasonal" -> seasonalSql,
     "etl_dq_rules" -> dqRulesSql,

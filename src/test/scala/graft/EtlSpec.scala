@@ -286,4 +286,35 @@ class EtlSpec extends AnyFunSuite {
       assert(ppm > 0 && ppm <= 1000000L)
     }
   }
+
+  test("incident windows are maximal elevated-error runs") {
+    val flagged = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      .filter(expr("err * 1000000 div total > 300000"))
+      .select(expr("unix_timestamp(h) div 3600")).collect()
+      .map(_.getLong(0)).sorted
+    val got = EtlOps.incidents(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every flagged hour is covered exactly once, runs are maximal
+    val covered = got.flatMap { case (s0, e0, n, _, _) =>
+      val h0 = s0.toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+      val h1 = e0.toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+      assert(h1 - h0 + 1 == n, "window span equals its hour count")
+      (h0 to h1)
+    }.sorted
+    assert(covered.toSeq == flagged.toSeq, "windows tile the flagged hours")
+    // maximality: no two windows are adjacent
+    val spans = got.map { case (s0, e0, _, _, _) =>
+      (s0.toEpochSecond(java.time.ZoneOffset.UTC) / 3600,
+        e0.toEpochSecond(java.time.ZoneOffset.UTC) / 3600)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(b._1 > a._2 + 1, "adjacent runs must merge")
+      case _ =>
+    }
+    assert(got.nonEmpty, "threshold must bite on this corpus")
+  }
 }
