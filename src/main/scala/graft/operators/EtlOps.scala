@@ -846,7 +846,73 @@ object EtlOps {
        |  cast(sum(err) as bigint) AS total_errors
        |FROM g GROUP BY grp""".stripMargin
 
+  private val CorrHours = 24
+
+  /** Rolling 24 h correlation between hourly error count and hourly
+    * value turnover — the "do errors track load" drill-down next to
+    * etl_incidents' thresholding. Exactness: per hour x = error
+    * count and y = value cents are exact integers, every rolling
+    * Σx, Σy, Σxy, Σx², Σy² is an integer window sum (order-free), and
+    * the three correlation terms nΣxy−ΣxΣy, nΣx²−(Σx)², nΣy²−(Σy)²
+    * stay EXACT LONGS at this scale — the only IEEE ops are one
+    * divide and two sqrt on identical integers (at petabyte cent
+    * volumes the diffs move to DOUBLE, same fixed sequence).
+    * Degenerate windows (either variance 0) yield NULL on both
+    * engines. The frame is partition-less but bounded by CALENDAR
+    * hours, the same argument as etl_incidents. */
+  def rollingCorr(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val w = Window.orderBy(col("hour_ts")).rowsBetween(-(CorrHours - 1), 0)
+    val r = hourly.select(col("hour_ts"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+      sum(col("x") * col("y")).over(w).as("sxy"),
+      sum(col("x") * col("x")).over(w).as("sx2"),
+      sum(col("y") * col("y")).over(w).as("sy2"))
+    r.select(col("hour_ts"), col("n").as("n_hours"),
+      when(
+        (col("n") * col("sx2") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("sy2") - col("sy") * col("sy")) > 0,
+        (round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double"))),
+          6) + 0.0))
+        .otherwise(lit(null).cast("double")).as("corr"))
+  }
+
+  private val rollingCorrSql =
+    s"""WITH h AS (
+       |  SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+       |    cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      as bigint) AS x,
+       |    cast(sum(cast(round(value * 100) as bigint)) as bigint) AS y
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT hour_ts,
+       |    cast(count(*) OVER w as bigint) AS n,
+       |    cast(sum(x) OVER w as bigint) AS sx,
+       |    cast(sum(y) OVER w as bigint) AS sy,
+       |    cast(sum(x * y) OVER w as bigint) AS sxy,
+       |    cast(sum(x * x) OVER w as bigint) AS sx2,
+       |    cast(sum(y * y) OVER w as bigint) AS sy2
+       |  FROM h
+       |  WINDOW w AS (ORDER BY hour_ts
+       |    ROWS BETWEEN ${CorrHours - 1} PRECEDING AND CURRENT ROW))
+       |SELECT hour_ts, n AS n_hours,
+       |  CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+       |    THEN round(cast(n * sxy - sx * sy as double)
+       |      / (sqrt(cast(n * sx2 - sx * sx as double))
+       |        * sqrt(cast(n * sy2 - sy * sy as double))), 6) + 0.0
+       |    ELSE NULL END AS corr
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_rolling_corr" -> (rollingCorr _),
     "etl_incidents" -> (incidents _),
     "etl_decay" -> (decayAgg _),
     "etl_ewma" -> (ewmaSmooth _),
@@ -868,6 +934,7 @@ object EtlOps {
     "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_rolling_corr" -> rollingCorrSql,
     "etl_incidents" -> incidentsSql,
     "etl_decay" -> decayAggSql,
     "etl_seasonal" -> seasonalSql,

@@ -317,4 +317,34 @@ class EtlSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty, "threshold must bite on this corpus")
   }
+
+  test("rolling correlation agrees with a driver-side recount") {
+    val hourly = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("x"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+      .orderBy("h").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val got = EtlOps.rollingCorr(spark, sf)
+      .orderBy("hour_ts").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == hourly.length)
+    hourly.indices.foreach { i =>
+      val win = hourly.slice(math.max(0, i - 23), i + 1)
+      val n = win.length.toLong
+      assert(got(i)._1 == n, s"row $i window size")
+      val (sx, sy) = (win.map(_._1).sum, win.map(_._2).sum)
+      val sxy = win.map(t => t._1 * t._2).sum
+      val sx2 = win.map(t => t._1 * t._1).sum
+      val sy2 = win.map(t => t._2 * t._2).sum
+      val (dxx, dyy, dxy) = (n * sx2 - sx * sx, n * sy2 - sy * sy,
+        n * sxy - sx * sy)
+      if (dxx > 0 && dyy > 0) {
+        val want = dxy.toDouble / (math.sqrt(dxx.toDouble) * math.sqrt(dyy.toDouble))
+        assert(math.abs(got(i)._2.get - want) < 1e-6, s"row $i corr")
+        assert(got(i)._2.get >= -1.0 - 1e-9 && got(i)._2.get <= 1.0 + 1e-9)
+      } else assert(got(i)._2.isEmpty, s"row $i degenerate window")
+    }
+  }
 }
