@@ -911,7 +911,71 @@ object EtlOps {
        |    ELSE NULL END AS corr
        |FROM r""".stripMargin
 
+  /** Benford first-digit expectations log10(1+1/d), d=1..9, as the
+    * exact double literals both engines parse identically. */
+  private val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** Benford first-digit screen per event type — the classic
+    * fabricated-numbers detector a DQ suite runs over any value
+    * column. Digit counts are one conditional-sum aggregation (nine
+    * exact integers per type, one exchange bounded by |types|); the
+    * χ² statistic Σ(obs−n·p)²/(n·p) is then assembled per row as a
+    * FIXED nine-term addition chain in digit order — no group-sum of
+    * floats, so the result is bit-identical cross-engine (the
+    * expected shares are literal constants, not libm log calls at
+    * query time). The synthetic uniform-ish values WON'T be Benford —
+    * the spec asserts the statistic flags them — but real financial/
+    * telemetry magnitudes would pass; the operator is the test, not
+    * a claim about the corpus. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val digit = expr("cast(substring(cast(cast(round(value * 100) as bigint)" +
+      " as string), 1, 1) as int)")
+    val counts = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("value") >= 0.01)
+      .select(col("event_type"), digit.as("d1"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (1 to 9).map(dd =>
+          sum(when(col("d1") === dd, 1L).otherwise(0L)).as(s"c$dd")): _*)
+    val nD = col("n").cast("double")
+    val chi2 = (1 to 9).map { dd =>
+      val e = nD * lit(BenfordP(dd - 1))
+      (col(s"c$dd").cast("double") - e) * (col(s"c$dd").cast("double") - e) / e
+    }.reduce(_ + _)
+    counts.select(col("event_type"), col("n"),
+      round(chi2, 6).as("chi2"),
+      // χ²(8 dof) critical value at 0.001 — fixed literal
+      (chi2 > 26.124).as("suspicious"))
+  }
+
+  private val benfordSql = {
+    val digit = "cast(substring(cast(cast(round(value * 100) as bigint)" +
+      " as varchar), 1, 1) as int)"
+    val sums = (1 to 9).map(dd =>
+      s"cast(sum(CASE WHEN d1 = $dd THEN 1 ELSE 0 END) as bigint) AS c$dd")
+      .mkString(",\n    ")
+    val chi2 = (1 to 9).map { dd =>
+      val e = s"(cast(n as double) * ${BenfordP(dd - 1)})"
+      s"((cast(c$dd as double) - $e) * (cast(c$dd as double) - $e) / $e)"
+    }.mkString(" + ")
+    s"""WITH c AS (
+       |  SELECT event_type, cast(count(*) as bigint) AS n,
+       |    $sums
+       |  FROM (
+       |    SELECT event_type, $digit AS d1
+       |    FROM events WHERE value IS NOT NULL AND value >= 0.01)
+       |  GROUP BY 1)
+       |SELECT event_type, n,
+       |  round($chi2, 6) AS chi2,
+       |  ($chi2) > 26.124 AS suspicious
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_benford" -> (benford _),
     "etl_rolling_corr" -> (rollingCorr _),
     "etl_incidents" -> (incidents _),
     "etl_decay" -> (decayAgg _),
@@ -934,6 +998,7 @@ object EtlOps {
     "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_benford" -> benfordSql,
     "etl_rolling_corr" -> rollingCorrSql,
     "etl_incidents" -> incidentsSql,
     "etl_decay" -> decayAggSql,

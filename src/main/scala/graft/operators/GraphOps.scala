@@ -201,6 +201,85 @@ object GraphOps {
 
   private val KnnPartners = 8
 
+  /** Canonical top-K association edge set (u < v, deduped,
+    * localCheckpointed) — shared by the triangle census and the
+    * degree distribution; memoized so the co-occurrence join runs
+    * once per dataset per process. */
+  private[graft] def assocEdges(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "assoc_edges", d) {
+      val os = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("sk"))
+        .distinct()
+      val cow = os.as("a").join(os.as("b"),
+          col("a.okey") === col("b.okey") && col("a.sk") < col("b.sk"))
+        .select(col("a.sk").as("cu"), col("b.sk").as("cv"))
+        .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("w"))
+      val dir = cow.select(col("cu").as("src"), col("cv").as("dst"), col("w"))
+        .union(cow.select(col("cv").as("src"), col("cu").as("dst"), col("w")))
+      val knn = graft.functions.topk.perKey(dir,
+        keys = Seq("src"),
+        order = Seq(graft.functions.topk.Order("w", ascending = false),
+          graft.functions.topk.Order("dst")),
+        k = KnnPartners)
+      knn.select(
+          least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  private def assocDegrees(e0: DataFrame): DataFrame =
+    e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Edge-set CTE chain ending in `e(u, v)` — the SQL twin of
+    * [[assocEdges]], shared by the triangle and degree-dist mirrors. */
+  private val assocCte =
+    s"""os AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS sk
+      |            FROM lineitem),
+      |cow AS (
+      |  SELECT a.sk AS cu, b.sk AS cv, count(*) AS w
+      |  FROM os a JOIN os b ON a.okey = b.okey AND a.sk < b.sk
+      |  GROUP BY 1, 2),
+      |dir AS (
+      |  SELECT cu AS src, cv AS dst, w FROM cow
+      |  UNION ALL
+      |  SELECT cv AS src, cu AS dst, w FROM cow),
+      |knn AS (
+      |  SELECT src, dst FROM dir
+      |  QUALIFY row_number() OVER (PARTITION BY src
+      |    ORDER BY w DESC, dst) <= $KnnPartners),
+      |e AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM knn),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY 1)""".stripMargin
+
+  /** Degree distribution of the association graph — the shape
+    * diagnostic (hub concentration, K-saturation) read before any
+    * graph algorithm is trusted. Pure integer counting over the
+    * shared bounded-degree edge set; shares in exact ppm. */
+  def degreeDist(s: SparkSession, d: String): DataFrame = {
+    val deg = assocDegrees(assocEdges(s, d))
+    val tot = deg.agg(count(lit(1)).as("n_total"))
+    deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(tot))
+      .select(col("deg"), col("n_nodes"),
+        expr("n_nodes * 1000000 div n_total").as("share_ppm"))
+  }
+
+  private val degreeDistSql =
+    s"""WITH $assocCte,
+       |tot AS (SELECT cast(count(*) as bigint) AS n_total FROM deg)
+       |SELECT cast(deg as bigint) AS deg,
+       |  cast(count(*) as bigint) AS n_nodes,
+       |  cast(count(*) * 1000000 // max(tot.n_total) as bigint) AS share_ppm
+       |FROM deg, tot
+       |GROUP BY deg""".stripMargin
+
   /** Triangle census of the supplier ASSOCIATION graph — the
     * connectivity/community diagnostic next to PageRank's centrality
     * and BFS's reachability. One row: nodes, edges, wedges
@@ -229,28 +308,8 @@ object GraphOps {
     * number. Everything is integer counting: exact under any
     * partitioning. */
   def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val os = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("okey"), col("l_suppkey").as("sk"))
-      .distinct()
-    val cow = os.as("a").join(os.as("b"),
-        col("a.okey") === col("b.okey") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("cu"), col("b.sk").as("cv"))
-      .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("w"))
-    val dir = cow.select(col("cu").as("src"), col("cv").as("dst"), col("w"))
-      .union(cow.select(col("cv").as("src"), col("cu").as("dst"), col("w")))
-    val knn = graft.functions.topk.perKey(dir,
-      keys = Seq("src"),
-      order = Seq(graft.functions.topk.Order("w", ascending = false),
-        graft.functions.topk.Order("dst")),
-      k = KnnPartners)
-    val e0 = knn.select(
-        least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    val deg = e0.select(col("u").as("node"))
-      .union(e0.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val e0 = assocEdges(s, d)
+    val deg = assocDegrees(e0)
     val withDeg = e0
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
@@ -276,27 +335,7 @@ object GraphOps {
   }
 
   private val triangleSql =
-    s"""WITH os AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS sk
-      |            FROM lineitem),
-      |cow AS (
-      |  SELECT a.sk AS cu, b.sk AS cv, count(*) AS w
-      |  FROM os a JOIN os b ON a.okey = b.okey AND a.sk < b.sk
-      |  GROUP BY 1, 2),
-      |dir AS (
-      |  SELECT cu AS src, cv AS dst, w FROM cow
-      |  UNION ALL
-      |  SELECT cv AS src, cu AS dst, w FROM cow),
-      |knn AS (
-      |  SELECT src, dst FROM dir
-      |  QUALIFY row_number() OVER (PARTITION BY src
-      |    ORDER BY w DESC, dst) <= $KnnPartners),
-      |e AS (
-      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-      |  FROM knn),
-      |deg AS (
-      |  SELECT node, count(*) AS deg FROM (
-      |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-      |  GROUP BY 1),
+    s"""WITH $assocCte,
       |tri AS (
       |  SELECT cast(count(*) as bigint) AS n_triangles
       |  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
@@ -313,10 +352,12 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank_supplier" -> (pagerankSupplier _),
     "q_bfs_hops" -> (bfsHops _),
+    "q_degree_dist" -> (degreeDist _),
     "q_triangle_count" -> (triangleCount _))
 
   val oracle: Map[String, String] = Map(
     "q_pagerank_supplier" -> pagerankSql,
     "q_bfs_hops" -> bfsSql,
+    "q_degree_dist" -> degreeDistSql,
     "q_triangle_count" -> triangleSql)
 }

@@ -347,4 +347,40 @@ class EtlSpec extends AnyFunSuite {
       } else assert(got(i)._2.isEmpty, s"row $i degenerate window")
     }
   }
+
+  test("benford chi2 agrees with a driver-side recount and flags uniform values") {
+    val p = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val rows = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("value") >= 0.01)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val got = EtlOps.benford(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val byType = rows.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, g) =>
+      val digits = g.map { case (_, v) =>
+        math.round(v * 100).toString.head.asDigit }
+      val n = g.size.toDouble
+      val chi2 = (1 to 9).map { d =>
+        val e = n * p(d - 1)
+        val o = digits.count(_ == d).toDouble
+        (o - e) * (o - e) / e
+      }.sum
+      val (gn, gchi2, flag) = got(t)
+      assert(gn == g.size)
+      assert(math.abs(gchi2 - chi2) < 1e-6, s"$t chi2")
+      assert(flag == (chi2 > 26.124), s"$t flag")
+    }
+    // uniform synthetic magnitudes are decidedly NOT Benford, but the
+    // chi2 needs enough sample to clear the 0.001 critical value —
+    // only assert the flag where the test has power (n >= 500)
+    got.values.filter(_._1 >= 500).foreach { case (_, _, flag) =>
+      assert(flag, "uniform values must be flagged at adequate n")
+    }
+    assert(got.values.forall(_._2 > 0), "chi2 is positive")
+  }
 }

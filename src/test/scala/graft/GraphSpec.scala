@@ -106,4 +106,26 @@ class GraphSpec extends AnyFunSuite {
     assert(nTri == bruteTri.toLong, s"triangles $nTri vs brute $bruteTri")
     assert(nTri > 0, "test corpus must contain at least one triangle")
   }
+
+  test("degree distribution reconciles with the edge set and triangle stats") {
+    val edges = GraphOps.assocEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = degs.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.degreeDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    val total = degs.size.toLong
+    got.foreach { case (deg, (n, ppm)) =>
+      assert(n == want(deg), s"degree $deg")
+      assert(ppm == n * 1000000L / total, s"degree $deg share")
+    }
+    // node/edge totals must reconcile with the triangle stats row
+    val tri = GraphOps.triangleCount(spark, sf).collect().head
+    assert(got.values.map(_._1).sum == tri.getAs[Long]("n_nodes"))
+    assert(got.map { case (d, (n, _)) => d * n }.sum == 2 * tri.getAs[Long]("n_edges"))
+    // top-K construction bounds degree at 2K after symmetrization...
+    assert(got.keys.max <= 16, "degree must respect the top-K bound")
+  }
 }
