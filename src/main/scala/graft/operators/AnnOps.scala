@@ -1685,6 +1685,48 @@ object AnnOps {
        |FROM embeddings e, lam l""".stripMargin
   }
 
+  // -------------------------------------------------- hard negatives
+
+  /** Hard-negative mining: for each query vector, the most similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * staple (a good negative is nearly-positive). Same scale shape as
+    * brute force (broadcast query block, one corpus pass, bounded-heap
+    * top-k) with a label-mismatch predicate fused into the scan; at
+    * production scale the candidate pass swaps to the IVF probe chain
+    * unchanged, because the ranking contract is identical. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("q_label"))
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "q_label", "vec_id", "label", "cos")
+    graft.functions.topk.perKey(scored,
+      keys = Seq("query_id"),
+      order = Seq(graft.functions.topk.Order("cos", ascending = false),
+        graft.functions.topk.Order("vec_id")),
+      k = K)
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("negative_id"), col("label").as("neg_label"),
+        col("rank"), round(col("cos"), 6).as("cosine"))
+  }
+
+  private val hardNegativesSql = {
+    val cos = vector.sql.cosine("e.embedding", "q.embedding")
+    s"""SELECT q.vec_id AS query_id, q.label AS q_label,
+       |  e.vec_id AS negative_id, e.label AS neg_label,
+       |  cast(row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY $cos DESC, e.vec_id) as int) AS rank,
+       |  round($cos, 6) AS cosine
+       |FROM embeddings e, embeddings q
+       |WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id
+       |  AND e.label <> q.label
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   // ------------------------------------------------------- outliers
 
   /** Distance-to-centroid outlier detection: flag vectors more than
@@ -1771,6 +1813,7 @@ object AnnOps {
       |FROM dq JOIN th USING (label)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hard_negatives" -> (hardNegatives _),
     "emb_outliers" -> (outliers _),
     "emb_pca" -> (pca _),
     "emb_standardize" -> (standardize _),
@@ -1792,6 +1835,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "ann_hard_negatives" -> hardNegativesSql,
     "emb_outliers" -> outliersSql,
     "emb_pca" -> pcaSql,
     "emb_standardize" -> standardizeSql,

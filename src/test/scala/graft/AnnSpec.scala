@@ -441,4 +441,38 @@ class AnnSpec extends AnyFunSuite {
     val frac = got.values.count(_._3).toDouble / got.size
     assert(frac > 0 && frac < 0.2, s"outlier fraction $frac")
   }
+
+  test("hard negatives: cross-label top-k agrees with a brute recount") {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = graft.operators.AnnOps.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))
+    val byQ = got.groupBy(_._1)
+    embs.filter(_._1 < 5).foreach { case (qid, qe, ql) =>
+      val want = embs
+        .filter(t => t._1 != qid && t._3 != ql)
+        .map(t => (t._1, cos(qe, t._2)))
+        .sortBy { case (id, c) => (-c, id) }.take(10)
+      val rows = byQ(qid).sortBy(_._5)
+      assert(rows.map(_._3).toSeq == want.map(_._1).toSeq, s"query $qid ids")
+      rows.foreach { case (_, gql, _, nl, _, _) =>
+        assert(gql == ql && nl != ql, s"query $qid labels")
+      }
+      rows.map(_._6).zip(want.map(_._2)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-5, s"query $qid cosine")
+      }
+    }
+  }
 }
