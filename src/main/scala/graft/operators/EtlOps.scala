@@ -974,7 +974,64 @@ object EtlOps {
        |FROM c""".stripMargin
   }
 
+  /** Telemetry schema drift: per day, which JSON property keys
+    * appeared ('new'), persisted ('stable'), or vanished ('dropped',
+    * emitted with n_events = 0 on the first day of absence) relative
+    * to the previous calendar day — the silent-producer-change alarm
+    * an ingest pipeline runs on its semi-structured payloads. Key
+    * sets come from one explode + (day, key) count; the three
+    * statuses are two keyed self-joins on day−1, all bounded by
+    * |days|·|keys| regardless of event volume. Validity filters
+    * match the engines' shared JSON parser discipline (q_variant's
+    * reconciliation): malformed payloads drop on both sides. */
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val k = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("props").isNotNull &&
+        expr("try_parse_json(props)").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        explode(expr("json_object_keys(props)")).as("key"))
+      .groupBy(col("day"), col("key")).agg(count(lit(1)).as("n_events"))
+    val prev = k.select(date_add(col("day"), 1).as("day"), col("key"),
+      lit(1L).as("was_present"))
+    val present = k.join(prev.select("day", "key", "was_present"),
+        Seq("day", "key"), "left")
+      .select(col("day"), col("key"), col("n_events"),
+        when(col("was_present").isNotNull, "stable").otherwise("new")
+          .as("status"))
+    val days = k.select(col("day")).distinct()
+    val dropped = prev.join(days, "day")
+      .join(k, Seq("day", "key"), "left_anti")
+      .select(col("day"), col("key"), lit(0L).as("n_events"),
+        lit("dropped").as("status"))
+    present.unionAll(dropped)
+  }
+
+  private val schemaDriftSql =
+    """WITH k AS (
+      |  SELECT day, key, cast(count(*) as bigint) AS n_events
+      |  FROM (
+      |    SELECT cast(ts as date) AS day, unnest(json_keys(props)) AS key
+      |    FROM events
+      |    WHERE ts IS NOT NULL AND props IS NOT NULL AND json_valid(props))
+      |  GROUP BY 1, 2),
+      |prev AS (SELECT day + 1 AS day, key FROM k),
+      |days AS (SELECT DISTINCT day FROM k),
+      |present AS (
+      |  SELECT k.day, k.key, k.n_events,
+      |    CASE WHEN p.key IS NOT NULL THEN 'stable' ELSE 'new' END AS status
+      |  FROM k LEFT JOIN prev p ON k.day = p.day AND k.key = p.key),
+      |dropped AS (
+      |  SELECT p.day, p.key, cast(0 as bigint) AS n_events,
+      |    'dropped' AS status
+      |  FROM prev p JOIN days USING (day)
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM k WHERE k.day = p.day AND k.key = p.key))
+      |SELECT * FROM present
+      |UNION ALL
+      |SELECT * FROM dropped""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_schema_drift" -> (schemaDrift _),
     "etl_benford" -> (benford _),
     "etl_rolling_corr" -> (rollingCorr _),
     "etl_incidents" -> (incidents _),
@@ -998,6 +1055,7 @@ object EtlOps {
     "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_schema_drift" -> schemaDriftSql,
     "etl_benford" -> benfordSql,
     "etl_rolling_corr" -> rollingCorrSql,
     "etl_incidents" -> incidentsSql,

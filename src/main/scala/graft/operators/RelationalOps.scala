@@ -2978,9 +2978,48 @@ object RelationalOps {
       |  dau.sdau * 1000000 // (dau.n_days * mau.mau) AS stickiness_ppm
       |FROM dau JOIN mau USING (month)""".stripMargin
 
+  // --------------------------------------------------- new/returning
+
+  /** Daily growth accounting: new vs returning actives — the first
+    * split any growth dashboard draws. A user's first-seen day is one
+    * exact min-aggregation; each day's actives then split by whether
+    * the day IS their first. All integer counts, one (day, user)
+    * distinct (collapsed map-side) plus two bounded aggregations —
+    * the per-user state is a single date at any scale. */
+  def newUsers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val first = daily.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    daily.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning_users"),
+        expr("new_users * 1000000 div dau").as("new_share_ppm"))
+  }
+
+  private val newUsersSql =
+    """WITH daily AS (
+      |  SELECT DISTINCT cast(ts as date) AS day, user_id
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |f AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1)
+      |SELECT daily.day,
+      |  cast(count(*) as bigint) AS dau,
+      |  cast(sum(CASE WHEN daily.day = f.first_day THEN 1 ELSE 0 END)
+      |    as bigint) AS new_users,
+      |  cast(count(*) - sum(CASE WHEN daily.day = f.first_day THEN 1 ELSE 0 END)
+      |    as bigint) AS returning_users,
+      |  cast(sum(CASE WHEN daily.day = f.first_day THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) as bigint) AS new_share_ppm
+      |FROM daily JOIN f USING (user_id)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_new_users" -> (newUsers _),
     "q_stickiness" -> (stickiness _),
     "q_regression" -> (regression _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -3062,6 +3101,7 @@ object RelationalOps {
     "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_new_users" -> newUsersSql,
     "q_stickiness" -> stickinessSql,
     "q_regression" -> regressionSql,
     "q1_pricing_summary" -> q1Sql,

@@ -383,4 +383,33 @@ class EtlSpec extends AnyFunSuite {
     }
     assert(got.values.forall(_._2 > 0), "chi2 is positive")
   }
+
+  test("schema drift statuses agree with a driver-side key-set diff") {
+    val keysByDay = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("props").isNotNull &&
+        expr("try_parse_json(props)").isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        explode(expr("json_object_keys(props)")).as("key"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = EtlOps.schemaDrift(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    val days = keysByDay.keySet
+    days.foreach { day =>
+      val cur = keysByDay(day).groupBy(identity).view.mapValues(_.size.toLong)
+      val prev = keysByDay.get(day.minusDays(1)).map(_.toSet).getOrElse(Set.empty)
+      cur.foreach { case (k, n) =>
+        val want = if (prev(k)) "stable" else "new"
+        assert(got((day, k)) == ((n, want)), s"$day $k")
+      }
+      prev.diff(cur.keySet).foreach { k =>
+        assert(got((day, k)) == ((0L, "dropped")), s"$day $k dropped")
+      }
+    }
+    assert(got.nonEmpty && got.values.exists(_._2 == "stable"))
+    // the first observed day's keys are all 'new'
+    val d0 = days.min
+    assert(keysByDay(d0).toSet.forall(k => got((d0, k))._2 == "new"))
+  }
 }

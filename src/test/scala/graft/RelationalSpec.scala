@@ -639,4 +639,26 @@ class RelationalSpec extends AnyFunSuite {
       assert(gr2 < 0.05, s"$prio r2 should be near zero, was $gr2")
     }
   }
+
+  test("new/returning split agrees with a driver-side recount") {
+    val daily = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("user_id").isNotNull &&
+        org.apache.spark.sql.functions.col("ts").isNotNull)
+      .selectExpr("cast(ts as date) as day", "user_id").distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val first = daily.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val got = RelationalOps.newUsers(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byDay = daily.groupBy(_._1)
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (day, g) =>
+      val dau = g.size.toLong
+      val nu = g.count(p => first(p._2) == day).toLong
+      assert(got(day) == ((dau, nu, dau - nu, nu * 1000000L / dau)), s"$day")
+    }
+    // day one is all-new; every user is new exactly once overall
+    assert(got(byDay.keySet.min)._2 == got(byDay.keySet.min)._1)
+    assert(got.values.map(_._2).sum == first.size.toLong)
+  }
 }
