@@ -1734,11 +1734,11 @@ object AnnOps {
     * or corrupted embedding" screen run before training on labeled
     * vectors. Determinism discipline: centroids come from exact
     * integer dim-sums (1e-6 quantization, 6-dp rounding), each
-    * distance is a fixed ascending-dim left-fold + sqrt, and the
-    * per-label distance statistics re-quantize the 6-dp distances to
-    * exact integers — so mean, σ, and the flag threshold are the
-    * same fixed IEEE assembly in both engines and the boolean flag
-    * cannot sit on a knife edge. Scale shape: two bounded exchanges
+    * distance is a fixed ascending-dim left-fold + sqrt, the
+    * per-label statistics run on floor-quantized integer distances,
+    * and the flag compares the RAW doubles — no rounding in any
+    * decision path (see the floor note at the dist relation).
+    * Scale shape: two bounded exchanges
     * (|labels|×dims, then |labels|), two broadcasts back over narrow
     * maps — the corpus never shuffles. */
   def outliers(s: SparkSession, d: String): DataFrame = {
@@ -1748,30 +1748,43 @@ object AnnOps {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"))
-      .withColumn("m", round(col("sq").cast("double") / 1e6 / col("n"), 6))
+      // NO round on the mean: sq and n are exact integers, so the raw
+      // quotient is already bit-identical cross-engine — a 6-dp round
+      // here would re-introduce the decimal-string tie hazard the
+      // floor discipline below exists to avoid
+      .withColumn("m", col("sq").cast("double") / 1e6 / col("n"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("label"), expr("transform(dm, x -> x.m)").as("mean_vec"))
+    // raw distances are bit-identical across engines (fixed-order
+    // fold); published values go through floor(x·1e6), NOT round —
+    // Spark's round() reads the double's shortest DECIMAL repr
+    // (BigDecimal) while DuckDB rounds the BINARY value, so a
+    // shortest-repr 6-dp tie rounds apart (bit one sf0.1 row);
+    // floor of the same double is engine-independent. The flag
+    // compares the RAW doubles — no rounding in any decision path.
     val dist = e.join(broadcast(means), "label")
       .select(col("vec_id"), col("label"),
-        round(sqrt(aggregate(
+        sqrt(aggregate(
           zip_with(col("embedding"), col("mean_vec"),
             (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
-          lit(0.0), (a, x) => a + x)), 6).as("dist"))
-      .withColumn("dq", round(col("dist") * 1e6).cast("long"))
+          lit(0.0), (a, x) => a + x)).as("raw"))
+      .withColumn("dq", floor(col("raw") * 1e6).cast("long"))
     val thresh = dist.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(col("dq")).as("sd"),
         sum(col("dq") * col("dq")).as("sd2"))
-      .select(col("label"), round(
-        col("sd").cast("double") / col("n").cast("double") / 1e6
+      .select(col("label"),
+        (col("sd").cast("double") / col("n").cast("double") / 1e6
           + lit(2.0) * sqrt(
             (col("sd2").cast("double") * col("n").cast("double")
               - col("sd").cast("double") * col("sd").cast("double"))
-            / col("n").cast("double") / col("n").cast("double") / 1e12),
-        6).as("thresh"))
+            / col("n").cast("double") / col("n").cast("double") / 1e12))
+          .as("traw"))
     dist.join(broadcast(thresh), "label")
-      .select(col("vec_id"), col("label"), col("dist"), col("thresh"),
-        (col("dist") > col("thresh")).as("is_outlier"))
+      .select(col("vec_id"), col("label"),
+        (col("dq").cast("double") / 1e6).as("dist"),
+        (floor(col("traw") * 1e6).cast("double") / 1e6).as("thresh"),
+        (col("raw") > col("traw")).as("is_outlier"))
   }
 
   private val outliersSql =
@@ -1785,31 +1798,32 @@ object AnnOps {
       |  FROM d GROUP BY 1, 2),
       |mv AS (
       |  SELECT label,
-      |    list(round(cast(sq as double) / 1e6 / n, 6) ORDER BY dim)
-      |      AS mean_vec
+      |    list(cast(sq as double) / 1e6 / n ORDER BY dim) AS mean_vec
       |  FROM a GROUP BY 1),
       |dist AS (
       |  SELECT e.vec_id, e.label,
-      |    round(sqrt(list_reduce(list_prepend(cast(0.0 as double),
+      |    sqrt(list_reduce(list_prepend(cast(0.0 as double),
       |      list_transform(range(1, 65),
       |        i -> (cast(e.embedding[i] as double) - mv.mean_vec[i])
       |           * (cast(e.embedding[i] as double) - mv.mean_vec[i]))),
-      |      (acc, x) -> acc + x)), 6) AS dist
+      |      (acc, x) -> acc + x)) AS raw
       |  FROM embeddings e JOIN mv USING (label)),
-      |dq AS (SELECT vec_id, label, dist,
-      |         cast(round(dist * 1e6) as bigint) AS dq
+      |dq AS (SELECT vec_id, label, raw,
+      |         cast(floor(raw * 1e6) as bigint) AS dq
       |       FROM dist),
       |th AS (
-      |  SELECT label, round(
+      |  SELECT label,
       |    cast(sum(dq) as double) / cast(count(*) as double) / 1e6
       |      + 2.0 * sqrt(
       |        (cast(sum(dq * dq) as double) * cast(count(*) as double)
       |          - cast(sum(dq) as double) * cast(sum(dq) as double))
-      |        / cast(count(*) as double) / cast(count(*) as double) / 1e12),
-      |    6) AS thresh
+      |        / cast(count(*) as double) / cast(count(*) as double) / 1e12)
+      |      AS traw
       |  FROM dq GROUP BY 1)
-      |SELECT dq.vec_id, dq.label, dq.dist, th.thresh,
-      |  dq.dist > th.thresh AS is_outlier
+      |SELECT dq.vec_id, dq.label,
+      |  cast(dq.dq as double) / 1e6 AS dist,
+      |  cast(floor(th.traw * 1e6) as double) / 1e6 AS thresh,
+      |  dq.raw > th.traw AS is_outlier
       |FROM dq JOIN th USING (label)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -410,7 +410,7 @@ class AnnSpec extends AnyFunSuite {
     val centroids = byLabel.map { case (l, g) =>
       l -> (0 until 64).map { dim =>
         val sq = g.map(t => math.round(t._2(dim) * 1e6)).sum
-        round6(sq.toDouble / 1e6 / g.size)
+        sq.toDouble / 1e6 / g.size
       }.toArray
     }
     val dists = embs.map { case (id, e, l) =>
@@ -418,24 +418,25 @@ class AnnSpec extends AnyFunSuite {
       var acc = 0.0
       var i = 0
       while (i < 64) { acc = acc + (e(i) - m(i)) * (e(i) - m(i)); i += 1 }
-      (id, l, round6(math.sqrt(acc)))
+      (id, l, math.sqrt(acc))
     }
     val thresh = dists.groupBy(_._2).map { case (l, g) =>
-      val dq = g.map(t => math.round(t._3 * 1e6))
+      val dq = g.map(t => math.floor(t._3 * 1e6).toLong)
       val (n, sd) = (dq.length.toDouble, dq.sum.toDouble)
       val sd2 = dq.map(x => x * x).sum.toDouble
-      l -> round6(sd / n / 1e6
+      l -> (sd / n / 1e6
         + 2.0 * math.sqrt((sd2 * n - sd * sd) / n / n / 1e12))
     }
     val got = graft.operators.AnnOps.outliers(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
       .toMap
     assert(got.keySet == embs.map(_._1).toSet)
-    dists.foreach { case (id, l, dd) =>
+    dists.foreach { case (id, l, raw) =>
       val (gd, gt, gf) = got(id)
-      assert(math.abs(gd - dd) < 1e-9, s"vec $id dist")
-      assert(math.abs(gt - thresh(l)) < 1e-9, s"label $l thresh")
-      assert(gf == (dd > thresh(l)), s"vec $id flag")
+      assert(math.abs(gd - math.floor(raw * 1e6) / 1e6) < 1e-9, s"vec $id dist")
+      assert(math.abs(gt - math.floor(thresh(l) * 1e6) / 1e6) < 1e-9,
+        s"label $l thresh")
+      assert(gf == (raw > thresh(l)), s"vec $id flag")
     }
     // 2-sigma must flag a small minority, not nothing and not half
     val frac = got.values.count(_._3).toDouble / got.size
