@@ -731,19 +731,25 @@ object VocabOps {
       .withColumn("dd", col("n_all") - col("n_src") - col("c"))
       .filter(col("a") * col("dd") > col("b") * col("c"))
       .withColumn("diff", col("a") * col("dd") - col("b") * col("c"))
-      .withColumn("chi2", round(
+      // raw chi2 (fixed IEEE chain on exact integers) drives the
+      // RANKING; the published value goes through floor(x·1e6)/1e6 —
+      // round() would read the shortest decimal repr and can split a
+      // 6-dp tie across engines (§7e.7's second hazard class)
+      .withColumn("chi2_raw",
         col("n_all").cast("double") * col("diff").cast("double")
           * col("diff").cast("double")
           / (col("n_src").cast("double")
             * (col("n_all") - col("n_src")).cast("double")
             * col("df_tot").cast("double")
-            * (col("n_all") - col("df_tot")).cast("double")), 6))
+            * (col("n_all") - col("df_tot")).cast("double")))
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("chi2").desc, col("token"))
+      .orderBy(col("chi2_raw").desc, col("token"))
     j.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= KeynessK)
       .select(col("source"), col("token"), col("a").as("df_in_source"),
-        col("c").as("df_rest"), col("chi2"), col("rank"))
+        col("c").as("df_rest"),
+        (floor(col("chi2_raw") * 1e6).cast("double") / 1e6).as("chi2"),
+        col("rank"))
   }
 
   private val keynessSql = {
@@ -767,17 +773,18 @@ object VocabOps {
        |  WHERE dft.df_tot < tot.n_all),
        |k AS (
        |  SELECT source, token, a AS df_in_source, c AS df_rest,
-       |    round(cast(n_all as double)
+       |    cast(n_all as double)
        |        * cast(a * dd - b * c as double)
        |        * cast(a * dd - b * c as double)
        |      / (cast(n_src as double)
        |        * cast(n_all - n_src as double)
        |        * cast(df_tot as double)
-       |        * cast(n_all - df_tot as double)), 6) AS chi2
+       |        * cast(n_all - df_tot as double)) AS chi2_raw
        |  FROM j WHERE a * dd > b * c)
-       |SELECT source, token, df_in_source, df_rest, chi2,
+       |SELECT source, token, df_in_source, df_rest,
+       |  cast(floor(chi2_raw * 1e6) as double) / 1e6 AS chi2,
        |  cast(row_number() OVER (PARTITION BY source
-       |       ORDER BY chi2 DESC, token) as int) AS rank
+       |       ORDER BY chi2_raw DESC, token) as int) AS rank
        |FROM k
        |QUALIFY rank <= $KeynessK""".stripMargin
   }

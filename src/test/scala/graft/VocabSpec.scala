@@ -323,9 +323,6 @@ class VocabSpec extends AnyFunSuite {
     val bySrc = docs.groupBy(_._1)
     val dfTot = docs.flatMap(_._2).groupBy(identity).view
       .mapValues(_.size.toLong).toMap
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val want = bySrc.flatMap { case (src, g) =>
       val nSrc = g.size.toLong
       val dfSrc = g.flatMap(_._2).groupBy(identity).view
@@ -340,14 +337,15 @@ class VocabSpec extends AnyFunSuite {
           if (a * dd <= b * c) None
           else {
             val diff = (a * dd - b * c).toDouble
-            Some((tok, round6(nAll.toDouble * diff * diff /
+            Some((tok, nAll.toDouble * diff * diff /
               (nSrc.toDouble * (nAll - nSrc).toDouble
-                * tot.toDouble * (nAll - tot).toDouble))))
+                * tot.toDouble * (nAll - tot).toDouble)))
           }
         }
       }.sortBy { case (tok, chi2) => (-chi2, tok) }
         .take(20).zipWithIndex
-        .map { case ((tok, chi2), i) => (src, tok) -> (chi2, i + 1) }
+        .map { case ((tok, chi2), i) =>
+          (src, tok) -> (math.floor(chi2 * 1e6) / 1e6, i + 1) }
     }.toMap
     val got = graft.operators.VocabOps.keyness(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
