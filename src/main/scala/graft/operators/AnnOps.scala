@@ -1685,6 +1685,85 @@ object AnnOps {
        |FROM embeddings e, lam l""".stripMargin
   }
 
+  // ------------------------------------------------------- clipping
+
+  /** Per-dimension 3σ clipping report — the "how much tail mass would
+    * value clipping remove" preprocessing decision (winsorization for
+    * vectors, run before int8 quantization so a single wild
+    * coordinate doesn't stretch a dimension's [min,max] range).
+    * Bounds are RAW IEEE assemblies of exact integer sums (mean ±
+    * 3σ, no rounding — bit-identical cross-engine), published via the
+    * floor discipline; the clip decisions compare raw doubles.
+    * Scale shape: two bounded |dims| exchanges with the 64-row bound
+    * table broadcast back over the second narrow pass. */
+  def clipStats(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val dims = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+    val bounds = dims
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
+        sum(round(col("v").cast("double") * 1e6).cast("long")
+          * round(col("v").cast("double") * 1e6).cast("long")).as("sq2"))
+      .select(col("dim"), col("n"),
+        (col("sq").cast("double") / 1e6 / col("n")
+          - lit(3.0) * sqrt(
+            (col("sq2").cast("double") * col("n").cast("double")
+              - col("sq").cast("double") * col("sq").cast("double"))
+            / col("n").cast("double") / col("n").cast("double") / 1e12))
+          .as("lo_raw"),
+        (col("sq").cast("double") / 1e6 / col("n")
+          + lit(3.0) * sqrt(
+            (col("sq2").cast("double") * col("n").cast("double")
+              - col("sq").cast("double") * col("sq").cast("double"))
+            / col("n").cast("double") / col("n").cast("double") / 1e12))
+          .as("hi_raw"))
+    dims.join(broadcast(bounds), "dim")
+      .groupBy(col("dim"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("v").cast("double") < col("lo_raw"), 1L).otherwise(0L))
+          .as("lo_clip"),
+        sum(when(col("v").cast("double") > col("hi_raw"), 1L).otherwise(0L))
+          .as("hi_clip"),
+        (floor(max(col("lo_raw")) * 1e6).cast("double") / 1e6).as("lo_bound"),
+        (floor(max(col("hi_raw")) * 1e6).cast("double") / 1e6).as("hi_bound"))
+      .select(col("dim"), col("n"), col("lo_clip"), col("hi_clip"),
+        col("lo_bound"), col("hi_bound"))
+  }
+
+  private val clipStatsSql =
+    """WITH d AS (
+      |  SELECT dd.dim AS dim, embedding[dd.dim + 1] AS v
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) dd),
+      |a AS (
+      |  SELECT dim, cast(count(*) as bigint) AS n,
+      |    cast(sum(cast(round(cast(v as double) * 1e6) as bigint))
+      |      as bigint) AS sq,
+      |    cast(sum(cast(round(cast(v as double) * 1e6) as bigint)
+      |           * cast(round(cast(v as double) * 1e6) as bigint))
+      |      as bigint) AS sq2
+      |  FROM d GROUP BY 1),
+      |b AS (
+      |  SELECT dim, n,
+      |    cast(sq as double) / 1e6 / n
+      |      - 3.0 * sqrt((cast(sq2 as double) * cast(n as double)
+      |          - cast(sq as double) * cast(sq as double))
+      |        / cast(n as double) / cast(n as double) / 1e12) AS lo_raw,
+      |    cast(sq as double) / 1e6 / n
+      |      + 3.0 * sqrt((cast(sq2 as double) * cast(n as double)
+      |          - cast(sq as double) * cast(sq as double))
+      |        / cast(n as double) / cast(n as double) / 1e12) AS hi_raw
+      |  FROM a)
+      |SELECT cast(d.dim as int) AS dim, b.n,
+      |  cast(sum(CASE WHEN cast(d.v as double) < b.lo_raw
+      |           THEN 1 ELSE 0 END) as bigint) AS lo_clip,
+      |  cast(sum(CASE WHEN cast(d.v as double) > b.hi_raw
+      |           THEN 1 ELSE 0 END) as bigint) AS hi_clip,
+      |  cast(floor(max(b.lo_raw) * 1e6) as double) / 1e6 AS lo_bound,
+      |  cast(floor(max(b.hi_raw) * 1e6) as double) / 1e6 AS hi_bound
+      |FROM d JOIN b USING (dim)
+      |GROUP BY d.dim, b.n""".stripMargin
+
   // -------------------------------------------------- hard negatives
 
   /** Hard-negative mining: for each query vector, the most similar
@@ -1827,6 +1906,7 @@ object AnnOps {
       |FROM dq JOIN th USING (label)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_clip" -> (clipStats _),
     "ann_hard_negatives" -> (hardNegatives _),
     "emb_outliers" -> (outliers _),
     "emb_pca" -> (pca _),
@@ -1849,6 +1929,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "emb_clip" -> clipStatsSql,
     "ann_hard_negatives" -> hardNegativesSql,
     "emb_outliers" -> outliersSql,
     "emb_pca" -> pcaSql,

@@ -443,6 +443,33 @@ class AnnSpec extends AnyFunSuite {
     assert(frac > 0 && frac < 0.2, s"outlier fraction $frac")
   }
 
+  test("clip stats agree with a driver-side recount") {
+    val embs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = embs.length
+    val got = graft.operators.AnnOps.clipStats(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == (0 until 64).toSet)
+    (0 until 64).foreach { dim =>
+      val vs = embs.map(_(dim))
+      val q = vs.map(v => math.round(v.toDouble * 1e6))
+      val (sq, sq2) = (q.sum.toDouble, q.map(x => x * x).sum.toDouble)
+      val mean = sq / 1e6 / n
+      val sigma = math.sqrt((sq2 * n - sq * sq) / n.toDouble / n / 1e12)
+      val (lo, hi) = (mean - 3.0 * sigma, mean + 3.0 * sigma)
+      val (gn, gl, gh, glb, ghb) = got(dim)
+      assert(gn == n)
+      assert(gl == vs.count(_.toDouble < lo).toLong, s"dim $dim lo")
+      assert(gh == vs.count(_.toDouble > hi).toLong, s"dim $dim hi")
+      assert(math.abs(glb - math.floor(lo * 1e6) / 1e6) < 1e-9)
+      assert(math.abs(ghb - math.floor(hi * 1e6) / 1e6) < 1e-9)
+      // 3-sigma tails of anything vaguely bell-shaped are small
+      assert((gl + gh).toDouble / n < 0.05, s"dim $dim tail mass")
+    }
+  }
+
   test("hard negatives: cross-label top-k agrees with a brute recount") {
     val embs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()
