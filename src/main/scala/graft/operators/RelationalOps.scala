@@ -3016,9 +3016,56 @@ object RelationalOps {
       |FROM daily JOIN f USING (user_id)
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- lag features
+
+  /** Per-user lag feature table — the feature-engineering step an ML
+    * pipeline runs before training on event streams: previous value,
+    * delta, and a 3-event rolling mean, per user in time order. All
+    * values move as exact cents; the rolling mean publishes as exact
+    * integer MICRO-dollars (sum·10⁴ div n — no float anywhere, so at
+    * millions of rows there is no decimal-tie exposure at all). One
+    * user_id exchange; window partitions are per-user event counts. */
+  def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w3 = w.rowsBetween(-2, 0)
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      .withColumn("roll3_sum", sum(col("cents")).over(w3))
+      .withColumn("roll3_n", count(lit(1)).over(w3))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("prev_cents"), col("delta_cents"),
+        expr("roll3_sum * 10000 div roll3_n").as("roll3_mean_micros"))
+  }
+
+  private val lagFeaturesSql =
+    """SELECT event_id, user_id, cents, prev_cents,
+      |  cents - prev_cents AS delta_cents,
+      |  roll3_sum * 10000 // roll3_n AS roll3_mean_micros
+      |FROM (
+      |  SELECT event_id, user_id, cents,
+      |    lag(cents, 1) OVER w AS prev_cents,
+      |    cast(sum(cents) OVER w3 as bigint) AS roll3_sum,
+      |    cast(count(*) OVER w3 as bigint) AS roll3_n
+      |  FROM (
+      |    SELECT event_id, user_id, ts,
+      |      cast(round(value * 100) as bigint) AS cents
+      |    FROM events
+      |    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |      AND value IS NOT NULL)
+      |  WINDOW
+      |    w AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_features" -> (lagFeatures _),
     "q_new_users" -> (newUsers _),
     "q_stickiness" -> (stickiness _),
     "q_regression" -> (regression _),
@@ -3101,6 +3148,7 @@ object RelationalOps {
     "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_lag_features" -> lagFeaturesSql,
     "q_new_users" -> newUsersSql,
     "q_stickiness" -> stickinessSql,
     "q_regression" -> regressionSql,

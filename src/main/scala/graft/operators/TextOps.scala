@@ -639,7 +639,57 @@ object TextOps {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- char classes
+
+  /** Character-class profile per document — the alphabetic/digit/
+    * whitespace/symbol breakdown quality pipelines threshold on
+    * (code-vs-prose detection, mojibake screens, the C4 "too much
+    * punctuation" cut). Counts come from length differences after
+    * class-targeted regexp strips (one narrow codegen'd map, zero
+    * shuffle); shares are exact integer ppm. */
+  def charStats(s: SparkSession, d: String): DataFrame = {
+    def cnt(pat: String) =
+      length(col("text")) - length(regexp_replace(col("text"), pat, ""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        cnt("[A-Za-z]").as("n_alpha"), cnt("[0-9]").as("n_digit"),
+        cnt("\\s").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_ppm",
+        when(col("n_chars") > 0,
+          expr("cast(n_alpha as bigint) * 1000000 div n_chars"))
+          .otherwise(0L))
+      .select(col("doc_id"), col("n_chars").cast("int").as("n_chars"),
+        col("n_alpha").cast("int").as("n_alpha"),
+        col("n_digit").cast("int").as("n_digit"),
+        col("n_space").cast("int").as("n_space"),
+        col("n_other").cast("int").as("n_other"),
+        col("alpha_ppm"))
+  }
+
+  private val charStatsSql =
+    """WITH c AS (
+      |  SELECT doc_id, cast(length(text) as int) AS n_chars,
+      |    cast(length(text)
+      |      - length(regexp_replace(text, '[A-Za-z]', '', 'g')) as int)
+      |      AS n_alpha,
+      |    cast(length(text)
+      |      - length(regexp_replace(text, '[0-9]', '', 'g')) as int)
+      |      AS n_digit,
+      |    cast(length(text)
+      |      - length(regexp_replace(text, '\s', '', 'g')) as int)
+      |      AS n_space
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,
+      |  n_chars - n_alpha - n_digit - n_space AS n_other,
+      |  CASE WHEN n_chars > 0
+      |    THEN cast(n_alpha as bigint) * 1000000 // n_chars
+      |    ELSE 0 END AS alpha_ppm
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_stats" -> (charStats _),
     "text_boilerplate" -> (boilerplate _),
     "doc_hash_embed" -> (hashEmbed _),
     "text_repetition" -> (repetition _),
@@ -654,6 +704,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_char_stats" -> charStatsSql,
     "text_boilerplate" -> boilerplateSql,
     "text_langid_eval" -> langIdEvalSql,
     "doc_quality_ensemble" -> qualityEnsembleSql,

@@ -661,4 +661,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(byDay.keySet.min)._2 == got(byDay.keySet.min)._1)
     assert(got.values.map(_._2).sum == first.size.toLong)
   }
+
+  test("lag features agree with a driver-side per-user replay") {
+    val rows = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr(
+        "user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL"))
+      .selectExpr("event_id", "user_id", "ts",
+        "cast(round(value * 100) as bigint) as cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    val got = RelationalOps.lagFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getLong(5))).toMap
+    assert(got.size == rows.length)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val ordered = g.sortBy(t => (t._3, t._1))
+      ordered.zipWithIndex.foreach { case ((eid, _, _, cents), i) =>
+        val win = ordered.slice(math.max(0, i - 2), i + 1).map(_._4)
+        val prev = if (i == 0) None else Some(ordered(i - 1)._4)
+        val (gp, gd, gm) = got(eid)
+        assert(gp == prev, s"event $eid prev")
+        assert(gd == prev.map(cents - _), s"event $eid delta")
+        assert(gm == win.sum * 10000L / win.length, s"event $eid roll3")
+      }
+    }
+  }
 }

@@ -182,4 +182,24 @@ class TextSpec extends AnyFunSuite {
     // the threshold must bite on this corpus: some boilerplate exists
     assert(got.values.exists(_._2 > 0), "no boilerplate grams detected")
   }
+
+  test("char-class counts agree with a driver-side recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.charStats(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getLong(6))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, t) =>
+      val alpha = t.count(_.isLetter)
+      val digit = t.count(_.isDigit)
+      val space = t.count(c => c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == '\u000B' || c == '\f')
+      val other = t.length - alpha - digit - space
+      val ppm = if (t.nonEmpty) alpha.toLong * 1000000L / t.length else 0L
+      assert(got(id) == ((t.length, alpha, digit, space, other, ppm)),
+        s"doc $id")
+    }
+  }
 }
