@@ -752,7 +752,49 @@ object DedupOps {
        |FROM m""".stripMargin
   }
 
+  /** MinHash-LSH S-curve tuning table: candidate probability
+    * 1 − (1 − s^r)^b over a Jaccard-similarity grid for the dedup
+    * family's ACTUAL parameters (b = [[Bands]], r = MinHashK/Bands)
+    * plus the two neighboring band counts — the table you read
+    * before committing bands/rows to a 100 TB run (where is the
+    * threshold, how sharp is the cliff). Pure arithmetic, no data
+    * read: s = k/40 on an integer grid, s^r and (1−x)^b are FIXED
+    * repeated-multiplication chains (integer exponents — no libm
+    * pow), so every cell is bit-identical cross-engine. */
+  def lshCurve(s: SparkSession, d: String): DataFrame = {
+    val r = MinHashK / Bands
+    def powChain(base: org.apache.spark.sql.Column, n: Int) =
+      (1 until n).foldLeft(base)((acc, _) => acc * base)
+    val grid = s.range(1, 40).select((col("id").cast("double") / 40.0).as("s"))
+    val configs = Seq(Bands / 2, Bands, Bands * 2)
+    configs.map { b =>
+      val rr = MinHashK / b
+      val sr = powChain(col("s"), rr)
+      val p = lit(1.0) - powChain(lit(1.0) - sr, b)
+      grid.select(lit(b).as("bands"), lit(rr).as("rows_per_band"),
+        col("s"), round(p, 6).as("p_candidate"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def lshCurveSql: String = {
+    def powChain(base: String, n: Int) =
+      Seq.fill(n)(base).mkString("(", " * ", ")")
+    val selects = Seq(Bands / 2, Bands, Bands * 2).map { b =>
+      val rr = MinHashK / b
+      val sr = powChain("s", rr)
+      val p = s"1.0 - ${powChain(s"(1.0 - $sr)", b)}"
+      s"""SELECT $b AS bands, $rr AS rows_per_band, s,
+         |  round($p, 6) AS p_candidate
+         |FROM g""".stripMargin
+    }
+    s"""WITH g AS (
+       |  SELECT cast(k as double) / 40.0 AS s
+       |  FROM (SELECT unnest(range(1, 40)) AS k))
+       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_curve" -> (lshCurve _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
@@ -763,6 +805,7 @@ object DedupOps {
     "dedup_eval" -> (dedupEval _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_curve" -> lshCurveSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,

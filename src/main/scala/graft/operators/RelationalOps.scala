@@ -3062,9 +3062,41 @@ object RelationalOps {
       |    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
       |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))""".stripMargin
 
+  // ---------------------------------------------------- activity grid
+
+  /** Day-of-week × hour activity heatmap — the usage-pattern grid
+    * every ops dashboard draws (when do users actually show up).
+    * One partial/final aggregation to ≤168 cells with an exact ppm
+    * share against the broadcast total; weekday normalized to
+    * Sunday=0 on both engines (Spark's dayofweek is 1-based,
+    * DuckDB's 0-based). */
+  def activityGrid(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_events")).as("n_total"))))
+      .select(col("dow").cast("int").as("dow"),
+        col("hod").cast("int").as("hod"), col("n_events"),
+        expr("n_events * 1000000 div n_total").as("share_ppm"))
+  }
+
+  private val activityGridSql =
+    """WITH cells AS (
+      |  SELECT dayofweek(ts) AS dow, hour(ts) AS hod,
+      |    cast(count(*) as bigint) AS n_events
+      |  FROM events WHERE ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT cast(sum(n_events) as bigint) AS n_total FROM cells)
+      |SELECT cast(dow as int) AS dow, cast(hod as int) AS hod, n_events,
+      |  n_events * 1000000 // n_total AS share_ppm
+      |FROM cells, tot""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_activity_grid" -> (activityGrid _),
     "q_lag_features" -> (lagFeatures _),
     "q_new_users" -> (newUsers _),
     "q_stickiness" -> (stickiness _),
@@ -3148,6 +3180,7 @@ object RelationalOps {
     "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_activity_grid" -> activityGridSql,
     "q_lag_features" -> lagFeaturesSql,
     "q_new_users" -> newUsersSql,
     "q_stickiness" -> stickinessSql,

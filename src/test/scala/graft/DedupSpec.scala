@@ -192,4 +192,30 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("removed_share_ppm") == (cs - 1) * nc * 1000000L / docs)
     }
   }
+
+  test("lsh curve matches the closed form and behaves like an S-curve") {
+    val got = DedupOps.lshCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 3 * 39)
+    got.groupBy(b => (b._1, b._2)).foreach { case ((b, r), cells) =>
+      assert(b * r == 64, "configs partition the 64 minhashes")
+      val byS = cells.sortBy(_._3)
+      // monotone nondecreasing in s, pinned near 0 and 1 at the ends
+      byS.sliding(2).foreach {
+        case Array(x, y) => assert(y._4 >= x._4 - 1e-9, s"b=$b monotone")
+        case _ =>
+      }
+      assert(byS.head._4 < 0.1 && byS.last._4 > 0.9, s"b=$b S-shape")
+      byS.foreach { case (_, _, s0, p) =>
+        val want = 1.0 - math.pow(1.0 - math.pow(s0, r), b)
+        assert(math.abs(p - want) < 1e-6, s"b=$b s=$s0")
+      }
+      // the candidate threshold sits near (1/b)^(1/r)
+      val t = math.pow(1.0 / b, 1.0 / r)
+      val below = byS.filter(_._3 < t - 0.1).map(_._4)
+      val above = byS.filter(_._3 > t + 0.1).map(_._4)
+      assert(below.isEmpty || below.max < 0.95)
+      assert(above.isEmpty || above.min > 0.2, s"b=$b cliff location")
+    }
+  }
 }

@@ -689,4 +689,23 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("activity grid reconciles with a driver-side recount") {
+    val rows = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
+      .selectExpr("dayofweek(ts) - 1 as dow", "hour(ts) as hod").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = RelationalOps.activityGrid(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    val total = rows.length.toLong
+    got.foreach { case (cell, (n, ppm)) =>
+      assert(n == want(cell), s"cell $cell")
+      assert(ppm == n * 1000000L / total, s"cell $cell share")
+      assert(cell._1 >= 0 && cell._1 <= 6 && cell._2 >= 0 && cell._2 <= 23)
+    }
+    assert(got.values.map(_._1).sum == total, "cells partition the events")
+  }
 }
