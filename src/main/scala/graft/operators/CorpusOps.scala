@@ -561,7 +561,41 @@ object CorpusOps {
       |    / cast(sc2 as double), 6) AS effective_langs
       |FROM g""".stripMargin
 
+  private val LenBucket = 100L
+
+  /** Per-source document-length histogram (100-char buckets, exact
+    * within-source ppm shares) — the length-distribution panel of a
+    * dataset card, and the input to choosing packing sequence
+    * lengths. Pure integer bucketing; one partial/final agg bounded
+    * by sources × buckets plus a broadcast per-source total. */
+  def lengthHist(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(col("source"),
+        expr(s"coalesce(n_chars, 0) div $LenBucket").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("n_src"))
+    cells.join(broadcast(totals), "source")
+      .select(col("source"), col("bucket").cast("int").as("bucket"),
+        (col("bucket") * LenBucket).cast("int").as("lo_chars"),
+        col("n_docs"),
+        expr("n_docs * 1000000 div n_src").as("share_ppm"))
+  }
+
+  private def lengthHistSql: String =
+    s"""WITH cells AS (
+       |  SELECT source, coalesce(n_chars, 0) // $LenBucket AS bucket,
+       |    cast(count(*) as bigint) AS n_docs
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (SELECT source, cast(sum(n_docs) as bigint) AS n_src
+       |      FROM cells GROUP BY 1)
+       |SELECT cells.source, cast(bucket as int) AS bucket,
+       |  cast(bucket * $LenBucket as int) AS lo_chars, n_docs,
+       |  n_docs * 1000000 // n_src AS share_ppm
+       |FROM cells JOIN t ON cells.source = t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_length_hist" -> (lengthHist _),
     "corpus_diversity" -> (diversity _),
     "corpus_source_overlap" -> (sourceOverlap _),
     "dedup_soft" -> (softDedup _),
@@ -575,6 +609,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_length_hist" -> lengthHistSql,
     "corpus_diversity" -> diversitySql,
     "corpus_source_overlap" -> sourceOverlapSql,
     "dedup_soft" -> softDedupSql,

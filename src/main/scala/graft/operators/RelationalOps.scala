@@ -3093,9 +3093,45 @@ object RelationalOps {
       |  n_events * 1000000 // n_total AS share_ppm
       |FROM cells, tot""".stripMargin
 
+  // ------------------------------------------------------ cycle time
+
+  /** Order→ship cycle-time percentiles per priority — the
+    * fulfillment-latency SLA view (does URGENT actually ship
+    * faster). Day deltas are exact integers; the percentile
+    * interpolation follows q_percentiles' established cross-engine
+    * precedent (4-dp round on both sides). The orderkey join is the
+    * canonical fact-fact shuffle shape q3/q12 use — AQE converts the
+    * provably small side at runtime. */
+  def cycleTime(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"), to_date(col("o_orderdate")).as("od"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      to_date(col("l_shipdate")).as("rd"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("rd"), col("od")).as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(days, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(days, 0.9)"), 4).as("p90_days"),
+        max(col("days")).cast("int").as("max_days"))
+  }
+
+  private val cycleTimeSql =
+    """SELECT o_orderpriority, cast(count(*) as bigint) AS n,
+      |  round(quantile_cont(days, 0.5), 4) AS p50_days,
+      |  round(quantile_cont(days, 0.9), 4) AS p90_days,
+      |  cast(max(days) as int) AS max_days
+      |FROM (
+      |  SELECT o.o_orderpriority,
+      |    datediff('day', cast(o.o_orderdate as date),
+      |      cast(l.l_shipdate as date)) AS days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cycle_time" -> (cycleTime _),
     "q_activity_grid" -> (activityGrid _),
     "q_lag_features" -> (lagFeatures _),
     "q_new_users" -> (newUsers _),
@@ -3180,6 +3216,7 @@ object RelationalOps {
     "q_attribution" -> (attribution _))
 
   val oracle: Map[String, String] = Map(
+    "q_cycle_time" -> cycleTimeSql,
     "q_activity_grid" -> activityGridSql,
     "q_lag_features" -> lagFeaturesSql,
     "q_new_users" -> newUsersSql,

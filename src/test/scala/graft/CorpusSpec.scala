@@ -219,4 +219,26 @@ class CorpusSpec extends AnyFunSuite {
       assert(gs >= 0 && gs < 1 && ge >= 1 && ge <= gl)
     }
   }
+
+  test("length histogram reconciles with a driver-side recount") {
+    val docs = Tables.documents(spark, sf).select("source", "n_chars")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
+    val want = docs.groupBy { case (s0, n) => (s0, (n / 100).toInt) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = CorpusOps.lengthHist(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == want.keySet)
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { case ((s0, b), (lo, n, ppm)) =>
+      assert(lo == b * 100, s"$s0/$b bound")
+      assert(n == want((s0, b)), s"$s0/$b count")
+      assert(ppm == n * 1000000L / bySrc(s0), s"$s0/$b share")
+    }
+    // per-source shares recompose the whole source
+    got.keys.map(_._1).toSeq.distinct.foreach { s0 =>
+      assert(got.collect { case ((`s0`, _), v) => v._2 }.sum == bySrc(s0))
+    }
+  }
 }

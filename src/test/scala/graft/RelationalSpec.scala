@@ -708,4 +708,32 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._1).sum == total, "cells partition the events")
   }
+
+  test("cycle time percentiles agree with a driver-side recount") {
+    val deltas = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_orderpriority",
+        "datediff(to_date(l_shipdate), to_date(o_orderdate)) as days")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val got = RelationalOps.cycleTime(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    val byP = deltas.groupBy(_._1)
+    assert(got.keySet == byP.keySet)
+    byP.foreach { case (p, g) =>
+      val xs = g.map(_._2).sorted
+      def q(f: Double): Double = {
+        val pos = f * (xs.length - 1)
+        val (lo, hi) = (xs(pos.toInt), xs(math.ceil(pos).toInt))
+        lo + (hi - lo) * (pos - math.floor(pos))
+      }
+      val (n, p50, p90, mx) = got(p)
+      assert(n == g.size && mx == xs.last, s"$p counts")
+      assert(math.abs(p50 - q(0.5)) < 1e-3, s"$p p50")
+      assert(math.abs(p90 - q(0.9)) < 1e-3, s"$p p90")
+      assert(p50 <= p90 && p90 <= mx.toDouble, s"$p monotone")
+    }
+  }
 }
