@@ -1685,6 +1685,35 @@ object AnnOps {
        |FROM embeddings e, lam l""".stripMargin
   }
 
+  // ------------------------------------------------------ cell stats
+
+  /** IVF index-balance report — the one-row diagnostic read after
+    * building the coarse quantizer (a skewed cell-size distribution
+    * means probe cost is unpredictable and the k-means needs more
+    * sample or different seeding). All integer counting over the
+    * memoized assignment; imbalance = max/avg in exact ppm. */
+  def cellStats(s: SparkSession, d: String): DataFrame =
+    annAssigned(s, d).groupBy(col("cell_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("sz")).as("n_vecs"),
+        min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+      .select(col("n_cells"), col("n_vecs"), col("min_sz"), col("max_sz"),
+        expr("n_vecs * 100 div n_cells").as("avg_sz_x100"),
+        expr("max_sz * n_cells * 1000000 div n_vecs").as("imbalance_ppm"))
+
+  private def cellStatsSql: String =
+    s"""WITH $ivfChainSql,
+       |cells AS (
+       |  SELECT cell_id, cast(count(*) as bigint) AS sz
+       |  FROM asg GROUP BY 1)
+       |SELECT cast(count(*) as bigint) AS n_cells,
+       |  cast(sum(sz) as bigint) AS n_vecs,
+       |  cast(min(sz) as bigint) AS min_sz,
+       |  cast(max(sz) as bigint) AS max_sz,
+       |  cast(sum(sz) * 100 // count(*) as bigint) AS avg_sz_x100,
+       |  cast(max(sz) * count(*) * 1000000 // sum(sz) as bigint)
+       |    AS imbalance_ppm
+       |FROM cells""".stripMargin
+
   // ------------------------------------------------------- clipping
 
   /** Per-dimension 3σ clipping report — the "how much tail mass would
@@ -1906,6 +1935,7 @@ object AnnOps {
       |FROM dq JOIN th USING (label)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_cell_stats" -> (cellStats _),
     "emb_clip" -> (clipStats _),
     "ann_hard_negatives" -> (hardNegatives _),
     "emb_outliers" -> (outliers _),
@@ -1929,6 +1959,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _))
 
   val oracle: Map[String, String] = Map(
+    "ann_cell_stats" -> cellStatsSql,
     "emb_clip" -> clipStatsSql,
     "ann_hard_negatives" -> hardNegativesSql,
     "emb_outliers" -> outliersSql,

@@ -594,7 +594,38 @@ object CorpusOps {
        |  n_docs * 1000000 // n_src AS share_ppm
        |FROM cells JOIN t ON cells.source = t.source""".stripMargin
 
+  /** Per-source contamination report — "how much would
+    * decontamination remove from each feed" (the number a data card
+    * publishes next to the benchmark-overlap policy). Aggregates the
+    * shared decontaminate relation (benchmark docs excluded) to one
+    * row per source with an exact ppm share; sources-bounded agg over
+    * an already-memoized computation. */
+  def contaminationStats(s: SparkSession, d: String): DataFrame = {
+    val dec = decontaminate(s, d).filter(!col("is_benchmark"))
+    dec.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        expr("n_contaminated * 1000000 div n_docs").as("contaminated_ppm"))
+  }
+
+  private def contaminationStatsSql: String =
+    s"""SELECT d.source,
+       |  cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(CASE WHEN dd.is_contaminated THEN 1 ELSE 0 END)
+       |    as bigint) AS n_contaminated,
+       |  cast(sum(CASE WHEN dd.is_contaminated THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) as bigint) AS contaminated_ppm
+       |FROM ($decontaminateSql) dd
+       |JOIN documents d ON dd.doc_id = d.doc_id
+       |WHERE NOT dd.is_benchmark
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_contamination_stats" -> (contaminationStats _),
     "corpus_length_hist" -> (lengthHist _),
     "corpus_diversity" -> (diversity _),
     "corpus_source_overlap" -> (sourceOverlap _),
@@ -609,6 +640,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_contamination_stats" -> contaminationStatsSql,
     "corpus_length_hist" -> lengthHistSql,
     "corpus_diversity" -> diversitySql,
     "corpus_source_overlap" -> sourceOverlapSql,

@@ -443,6 +443,17 @@ class AnnSpec extends AnyFunSuite {
     assert(frac > 0 && frac < 0.2, s"outlier fraction $frac")
   }
 
+  test("cell stats reconcile with the corpus and stay internally consistent") {
+    val row = graft.operators.AnnOps.cellStats(spark, sf).collect().head
+    val (nc, nv, mn, mx, avg100, imb) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(nv == Tables.embeddings(spark, sf).count(), "every vector assigned")
+    assert(mn >= 1 && mn <= mx && mx <= nv)
+    assert(avg100 == nv * 100L / nc)
+    assert(imb == mx * nc * 1000000L / nv)
+    assert(imb >= 1000000L, "max cell is at least the average")
+  }
+
   test("clip stats agree with a driver-side recount") {
     val embs = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)

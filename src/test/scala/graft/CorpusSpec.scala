@@ -241,4 +241,24 @@ class CorpusSpec extends AnyFunSuite {
       assert(got.collect { case ((`s0`, _), v) => v._2 }.sum == bySrc(s0))
     }
   }
+
+  test("contamination stats recompose from the per-doc decontaminate view") {
+    val srcByDoc = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dec = CorpusOps.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Boolean]("is_benchmark"),
+        r.getAs[Boolean]("is_contaminated")))
+      .filter(!_._2)
+    val want = dec.groupBy(t => srcByDoc(t._1)).view.mapValues { g =>
+      (g.size.toLong, g.count(_._3).toLong)
+    }.toMap
+    val got = CorpusOps.contaminationStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (s0, (n, c, ppm)) =>
+      assert((n, c) == want(s0), s"source $s0")
+      assert(ppm == c * 1000000L / n, s"source $s0 share")
+    }
+  }
 }
