@@ -1030,7 +1030,36 @@ object EtlOps {
       |UNION ALL
       |SELECT * FROM dropped""".stripMargin
 
+  /** Per-day per-type completeness scorecard: observed distinct hours
+    * out of 24 as exact ppm coverage, with a full flag — the grid a
+    * pipeline SLA dashboard colors (gap_fill repairs the holes, this
+    * REPORTS them). One distinct + one partial/final agg, bounded by
+    * days × types × 24. */
+  def coverage(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        hour(col("ts")).as("hod"))
+      .distinct()
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_hours"))
+      .select(col("day"), col("event_type"),
+        col("n_hours").cast("int").as("n_hours"),
+        expr("n_hours * 1000000 div 24").as("coverage_ppm"),
+        (col("n_hours") === 24).as("is_complete"))
+
+  private val coverageSql =
+    """SELECT day, event_type, cast(count(*) as int) AS n_hours,
+      |  count(*) * 1000000 // 24 AS coverage_ppm,
+      |  count(*) = 24 AS is_complete
+      |FROM (
+      |  SELECT DISTINCT cast(ts as date) AS day, event_type,
+      |    hour(ts) AS hod
+      |  FROM events WHERE ts IS NOT NULL)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_coverage" -> (coverage _),
     "etl_schema_drift" -> (schemaDrift _),
     "etl_benford" -> (benford _),
     "etl_rolling_corr" -> (rollingCorr _),
@@ -1055,6 +1084,7 @@ object EtlOps {
     "etl_dq_rules" -> (dqRules _))
 
   val oracle: Map[String, String] = Map(
+    "etl_coverage" -> coverageSql,
     "etl_schema_drift" -> schemaDriftSql,
     "etl_benford" -> benfordSql,
     "etl_rolling_corr" -> rollingCorrSql,

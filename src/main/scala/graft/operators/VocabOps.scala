@@ -789,7 +789,47 @@ object VocabOps {
        |QUALIFY rank <= $KeynessK""".stripMargin
   }
 
+  /** Token-shape profile for tokenizer design: BPE-pretokenizer
+    * classes (letter runs / digit runs / single symbols) × length,
+    * with occurrence counts and distinct-type counts — the table
+    * that sizes a subword vocabulary (how much of the stream is
+    * short alpha runs vs digits vs punctuation). One regexp extract
+    * + two-level partial/final agg bounded by classes × lengths. */
+  def tokenShapes(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.parallelize(Tables.documents(s, d))
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .as("tok"))
+      .select(col("tok"),
+        when(col("tok").rlike("^[a-z]+$"), "alpha")
+          .when(col("tok").rlike("^[0-9]+$"), "digit")
+          .otherwise("symbol").as("cls"),
+        length(col("tok")).as("len"))
+    toks.groupBy(col("cls"), col("len"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("tok")).as("n_types"))
+      .select(col("cls"), col("len").cast("int").as("len"),
+        col("n_occurrences"), col("n_types"))
+  }
+
+  private val tokenShapesSql =
+    """SELECT cls, cast(len as int) AS len,
+      |  cast(count(*) as bigint) AS n_occurrences,
+      |  cast(count(DISTINCT tok) as bigint) AS n_types
+      |FROM (
+      |  SELECT tok,
+      |    CASE WHEN regexp_full_match(tok, '[a-z]+') THEN 'alpha'
+      |         WHEN regexp_full_match(tok, '[0-9]+') THEN 'digit'
+      |         ELSE 'symbol' END AS cls,
+      |    length(tok) AS len
+      |  FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+      |    FROM documents))
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_token_shapes" -> (tokenShapes _),
     "vocab_keyness" -> (keyness _),
     "doc_hybrid_search" -> (hybridSearch _),
     "vocab_growth" -> (vocabGrowth _),
@@ -804,6 +844,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_token_shapes" -> tokenShapesSql,
     "vocab_keyness" -> keynessSql,
     "doc_hybrid_search" -> hybridSearchSql,
     "vocab_growth" -> vocabGrowthSql,

@@ -412,4 +412,24 @@ class EtlSpec extends AnyFunSuite {
     val d0 = days.min
     assert(keysByDay(d0).toSet.forall(k => got((d0, k))._2 == "new"))
   }
+
+  test("coverage grid agrees with a driver-side distinct-hour recount") {
+    val cells = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .selectExpr("cast(ts as date) as day", "event_type", "hour(ts) as hod")
+      .distinct().collect()
+      .map(r => ((r.getDate(0).toLocalDate, r.getString(1)), r.getInt(2)))
+    val want = cells.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val got = EtlOps.coverage(spark, sf).collect()
+      .map(r => ((r.getDate(0).toLocalDate, r.getString(1)),
+        (r.getInt(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, ppm, full)) =>
+      assert(n == want(k), s"$k hours")
+      assert(ppm == n.toLong * 1000000L / 24, s"$k ppm")
+      assert(full == (n == 24) && n >= 1 && n <= 24, s"$k flag")
+    }
+    // (completeness itself is data-dependent — sf0.001 is sparse —
+    // so only the exact reconciliation above is asserted)
+    assert(got.nonEmpty)
+  }
 }

@@ -356,4 +356,23 @@ class VocabSpec extends AnyFunSuite {
       assert(rank == want(k)._2, s"$k rank")
     }
   }
+
+  test("token shapes agree with a driver-side pretokenizer recount") {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => pat.findAllIn(r.getString(0).toLowerCase))
+    def cls(t: String) =
+      if (t.forall(c => c >= 'a' && c <= 'z')) "alpha"
+      else if (t.forall(_.isDigit)) "digit" else "symbol"
+    val want = toks.groupBy(t => (cls(t), t.length)).view.mapValues { g =>
+      (g.size.toLong, g.distinct.size.toLong)
+    }.toMap
+    val got = graft.operators.VocabOps.tokenShapes(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(v == want(k), s"shape $k") }
+    assert(got.values.map(_._1).sum == toks.length.toLong,
+      "occurrences partition the token stream")
+  }
 }
