@@ -13,11 +13,43 @@ import org.apache.spark.sql.functions._
   */
 object text {
 
-  /** Lowercased whitespace tokens, empties dropped (split keeps
+  /** TOKENIZER CONTRACT (pinned, round 6): both engines must produce
+    * bit-identical tokens for ARBITRARY input, so the contract uses
+    * only operations with identical semantics in Spark/Java and
+    * DuckDB/utf8proc/RE2:
+    *  - lowercasing is ASCII-range only, via translate(A-Z → a-z).
+    *    Java's String.toLowerCase is context-sensitive (final-sigma
+    *    Σ→ς, İ→i̇) where DuckDB's utf8proc lower is not — so full
+    *    Unicode lower() can silently diverge; translate cannot.
+    *  - the whitespace class is explicit: [ \t\n\x0B\f\r] (what Java
+    *    regex \s means) — RE2's \s omits \x0B, so '\s' spelled on
+    *    both sides is NOT the same class.
+    * Non-ASCII letters pass through unchanged on both sides. */
+  private val Uppers = ('A' to 'Z').mkString
+  private val Lowers = ('a' to 'z').mkString
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** ASCII-lowercased whitespace tokens, empties dropped (split keeps
     * trailing empties; DuckDB's string_split_regex does too — both
-    * sides filter). */
+    * sides filter). See the tokenizer contract above. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= "")
+    filter(split(translate(c, Uppers, Lowers), WsClass + "+"), t => t =!= "")
+
+  /** ASCII-range lowercase — the contract's lowercasing primitive for
+    * non-tokenizing call sites that previously used lower(). */
+  def asciiLower(c: Column): Column = translate(c, Uppers, Lowers)
+
+  /** The DuckDB mirror of [[tokens]] over a column named `text` —
+    * the ONE shared oracle-side tokenizer string (was repeated
+    * per-file before round 6). */
+  val tokensSql: String =
+    s"list_filter(string_split_regex(translate(text, '$Uppers', '$Lowers'), " +
+      "'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+
+  /** DuckDB mirror of [[asciiLower]] applied to an arbitrary SQL
+    * expression. */
+  def asciiLowerSql(e: String): String =
+    s"translate($e, '$Uppers', '$Lowers')"
 
   /** Distinct n-token shingles joined with single spaces. Guarded:
     * sequence(1, size-n+1) would count DOWN for short docs. */

@@ -1535,8 +1535,14 @@ object AnnOps {
     * zip_with — fully lazy, ZERO shuffles on the corpus side at any
     * scale (the only exchange is the |dims|-bounded stats agg).
     * Stats come from emb_dim_stats' 6-dp-rounded outputs, so both
-    * engines transform with bit-identical constants. */
-  def standardize(s: SparkSession, d: String): DataFrame = {
+    * engines transform with bit-identical constants.
+    *
+    * [[standardizeVectors]] is the full-array API; the ORACLED
+    * [[standardize]] publishes per-vector scalar digests (head,
+    * sequential-fold sum, min, max) like emb_normalize does — the
+    * driver's row-sort+hash compare cannot canonicalize array cells
+    * (round 5: it crashed on z_vec, leaving the query unverified). */
+  def standardizeVectors(s: SparkSession, d: String): DataFrame = {
     val statsRow = dimStats(s, d)
       .agg(
         expr("transform(array_sort(collect_list(struct(dim, mean))), x -> x.mean)")
@@ -1554,19 +1560,38 @@ object AnnOps {
             |             ELSE cast(0 as double) END)""".stripMargin).as("z_vec"))
   }
 
+  /** Oracled digest view of [[standardizeVectors]]: one row per
+    * vector, scalar columns only (driver-hashable contract). */
+  def standardize(s: SparkSession, d: String): DataFrame =
+    standardizeVectors(s, d).select(
+      col("vec_id"),
+      element_at(col("z_vec"), 1).as("z_head"),
+      round(aggregate(col("z_vec"), lit(0.0), (acc, v) => acc + v), 6)
+        .as("z_sum"),
+      array_min(col("z_vec")).as("z_min"),
+      array_max(col("z_vec")).as("z_max"))
+
   private val standardizeSql =
     s"""WITH $dimStatsCte,
        |m AS (
        |  SELECT list(mean ORDER BY dim) AS means,
        |    list(variance ORDER BY dim) AS vars
-       |  FROM dstats)
-       |SELECT e.vec_id,
-       |  list_transform(range(1, 65),
-       |    i -> CASE WHEN m.vars[i] > 0
-       |         THEN round((cast(e.embedding[i] as double) - m.means[i])
-       |           / sqrt(m.vars[i]), 6) + 0.0
-       |         ELSE cast(0 as double) END) AS z_vec
-       |FROM embeddings e, m""".stripMargin
+       |  FROM dstats),
+       |z AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CASE WHEN m.vars[i] > 0
+       |           THEN round((cast(e.embedding[i] as double) - m.means[i])
+       |             / sqrt(m.vars[i]), 6) + 0.0
+       |           ELSE cast(0 as double) END) AS z_vec
+       |  FROM embeddings e, m)
+       |SELECT vec_id,
+       |  z_vec[1] AS z_head,
+       |  (round(list_reduce(list_prepend(cast(0.0 as double), z_vec),
+       |        (acc, v) -> acc + v), 6) + 0.0) AS z_sum,
+       |  list_aggregate(z_vec, 'min') AS z_min,
+       |  list_aggregate(z_vec, 'max') AS z_max
+       |FROM z""".stripMargin
 
   // ----------------------------------------------------------- pca
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.text
 
 /** §2.C capstone — from near-dup PAIRS to a clean corpus.
   *
@@ -296,7 +297,7 @@ object CorpusOps {
         max(col("n_chars")).as("max_chars"))
 
   private val corpusStatsSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""SELECT source,
        |  cast(count(*) as bigint) AS n_docs,
        |  cast(count(DISTINCT lang) as bigint) AS n_langs,

@@ -25,14 +25,15 @@ object DedupOps {
     * in-group min — identical result). */
   def exact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .groupBy(trim(regexp_replace(text.asciiLower(col("text")),
+        text.WsClass + "+", " ")).as("norm_text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
   private[operators] val exactSql =
-    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents
-      |GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin
+      |GROUP BY trim(regexp_replace(${text.asciiLowerSql("text")}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))""".stripMargin
 
   // ------------------------------------------------ shingle machinery
 
@@ -67,7 +68,7 @@ object DedupOps {
 
   private[graft] def shingleSetsSqlCte: String =
     s"""toks AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  SELECT doc_id, ${text.tokensSql} AS t
        |  FROM documents),
        |sh0 AS (
        |  SELECT DISTINCT doc_id,
@@ -450,7 +451,7 @@ object DedupOps {
     val sb = (0 until SimHashChunks).map(simB).mkString("[", ",", "]")
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+       |    unnest(${text.tokensSql}) AS tok
        |  FROM documents),
        |fph AS (SELECT doc_id, ${fpSql("tok")} AS fp FROM toks),
        |hashes AS (
@@ -650,7 +651,7 @@ object DedupOps {
   }
 
   private val passageDedupSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
        |ch AS (
        |  SELECT doc_id,

@@ -423,26 +423,30 @@ object EtlOps {
     *
     * Exactness: values carry 2 decimals, so everything runs on cent
     * integers. med2 = 2·median(cents) and mad4 = 2·median(2·|dev|)
-    * are INTEGERS in both engines (the 0.5-quantile of an even count
-    * interpolates to an exact half, doubled away), and the outlier
-    * test 2·dev2 > MadK·mad4 is pure integer arithmetic — no float
-    * compare anywhere near the decision boundary. Shape: two
-    * partial/final aggregations over the scan with the per-type
-    * medians broadcast between them — the grouped-percentile state
-    * is per-type, the same reducer shape as the z-score pass. */
+    * are INTEGERS in both engines: for cents < 2⁵² every term of the
+    * 0.5-quantile interpolation (a + 0.5·(b−a)) is IEEE-exact, and a
+    * round() half-unit guard before the bigint cast makes the integer
+    * immune to a hypothetical last-ulp drift anyway (the truncating
+    * cast alone would flip on x−ulp — round() cannot). The outlier
+    * test 2·dev2 > MadK·mad4 is pure integer arithmetic, and med2/
+    * mad4 are PUBLISHED as integers too (round 5 failed the driver's
+    * dtype-sensitive hash on a derived float column, not on values).
+    * Shape: two partial/final aggregations over the scan with the
+    * per-type medians broadcast between them — the grouped-percentile
+    * state is per-type, the same reducer shape as the z-score pass. */
   def madOutliers(s: SparkSession, d: String): DataFrame = {
     val v = Tables.events(s, d)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("cast(round(value * 100) as bigint)").as("c"))
     val med = v.groupBy("event_type")
-      .agg(expr("cast(2 * percentile(c, 0.5D) as bigint)").as("med2"))
+      .agg(expr("cast(round(2 * percentile(c, 0.5D)) as bigint)").as("med2"))
     val dev = v.join(broadcast(med), Seq("event_type"))
       .withColumn("dev2", abs(col("c") * 2 - col("med2")))
     val st = dev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         max(col("med2")).as("med2"),
-        expr("cast(2 * percentile(dev2, 0.5D) as bigint)").as("mad4"))
+        expr("cast(round(2 * percentile(dev2, 0.5D)) as bigint)").as("mad4"))
     // conditional sum, not a filtered join: a type whose values never
     // stray past MadK·MAD must still report n_outliers = 0
     dev.select(col("event_type"), col("dev2"))
@@ -450,9 +454,7 @@ object EtlOps {
       .groupBy(col("event_type"), col("n"), col("med2"), col("mad4"))
       .agg(sum(when(col("dev2") * 2 > col("mad4") * MadK, 1L)
         .otherwise(0L)).as("n_outliers"))
-      .select(col("event_type"), col("n"),
-        (col("med2") / lit(200.0)).as("median_value"),
-        (col("mad4") / lit(400.0)).as("mad_value"),
+      .select(col("event_type"), col("n"), col("med2"), col("mad4"),
         col("n_outliers"))
   }
 
@@ -461,20 +463,19 @@ object EtlOps {
        |  SELECT event_type, cast(round(value * 100) as bigint) AS c
        |  FROM events WHERE value IS NOT NULL),
        |m AS (
-       |  SELECT event_type, cast(2 * quantile_cont(c, 0.5) as bigint) AS med2
+       |  SELECT event_type,
+       |    cast(round(2 * quantile_cont(c, 0.5)) as bigint) AS med2
        |  FROM v GROUP BY 1),
        |dv AS (
        |  SELECT v.event_type, v.c, m.med2, abs(2 * v.c - m.med2) AS dev2
        |  FROM v JOIN m USING (event_type)),
        |md AS (
        |  SELECT event_type, count(*) AS n, max(med2) AS med2,
-       |    cast(2 * quantile_cont(dev2, 0.5) as bigint) AS mad4
+       |    cast(round(2 * quantile_cont(dev2, 0.5)) as bigint) AS mad4
        |  FROM dv GROUP BY 1)
-       |SELECT md.event_type, md.n,
-       |  md.med2 / 200.0 AS median_value,
-       |  md.mad4 / 400.0 AS mad_value,
-       |  sum(CASE WHEN dv.dev2 * 2 > md.mad4 * $MadK THEN 1 ELSE 0 END)
-       |    AS n_outliers
+       |SELECT md.event_type, md.n, md.med2, md.mad4,
+       |  cast(sum(CASE WHEN dv.dev2 * 2 > md.mad4 * $MadK THEN 1 ELSE 0 END)
+       |    as bigint) AS n_outliers
        |FROM md JOIN dv ON md.event_type = dv.event_type
        |GROUP BY 1, 2, 3, 4""".stripMargin
 

@@ -215,8 +215,8 @@ object MultimodalOps {
     val nBytes = octet_length(encode(col("text"), "UTF-8"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        greatest(nBytes % 640, lit(1)).cast("int").as("in_w"),
-        greatest((nBytes * 3) % 480, lit(1)).cast("int").as("in_h"))
+        greatest(nBytes % 640, lit(1)).cast("long").as("in_w"),
+        greatest((nBytes * 3) % 480, lit(1)).cast("long").as("in_h"))
       .select(col("doc_id"), col("in_w"), col("in_h"),
         least(col("in_w"), col("in_h")).as("ss"),
         greatest(col("in_w"), col("in_h")).as("ls"))
@@ -231,8 +231,8 @@ object MultimodalOps {
   private val resizePlanSql =
     """WITH m AS (
       |  SELECT doc_id,
-      |    greatest(cast(octet_length(encode(text)) % 640 as int), 1) AS in_w,
-      |    greatest(cast((octet_length(encode(text)) * 3) % 480 as int), 1) AS in_h
+      |    cast(greatest(octet_length(encode(text)) % 640, 1) as bigint) AS in_w,
+      |    cast(greatest((octet_length(encode(text)) * 3) % 480, 1) as bigint) AS in_h
       |  FROM documents),
       |s AS (SELECT doc_id, in_w, in_h,
       |        least(in_w, in_h) AS ss, greatest(in_w, in_h) AS ls FROM m)

@@ -95,7 +95,7 @@ object PipelineOps {
   }
 
   private val packShardsSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t AS (
        |  SELECT doc_id, lang, cast(len($toks) as bigint) AS n_tok FROM documents)
        |SELECT doc_id, lang, n_tok,
@@ -267,7 +267,7 @@ object PipelineOps {
   }
 
   private val chunkDocsSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val fp = """list_reduce(
       |    list_prepend(cast(0 as bigint),
       |      list_transform(list_filter(string_split(array_to_string(ctoks, ' '), ''),
@@ -400,7 +400,7 @@ object PipelineOps {
   }
 
   private val tokenBudgetSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val hash = graft.functions.ihash.quadSqlNested("doc_id")
     s"""WITH t AS (
        |  SELECT doc_id, lang, cast(len($toks) as bigint) AS n_tok, $hash AS h

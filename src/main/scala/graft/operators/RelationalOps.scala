@@ -805,7 +805,7 @@ object RelationalOps {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(s, d)
-      .withColumn("order_seq", row_number().over(w))
+      .withColumn("order_seq", row_number().over(w).cast("long"))
       .withColumn("running_spend",
         sum(round(col("o_totalprice") * 100.0).cast("long"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

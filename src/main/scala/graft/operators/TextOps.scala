@@ -17,7 +17,8 @@ object TextOps {
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single other
     * non-space chars — the standard regex shape used before byte-pair
     * merges. */
-  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  // \s spelled explicitly: Java \s includes \x0B, RE2 \s does not
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]"
 
   // ------------------------------------------------------ token count
 
@@ -25,14 +26,14 @@ object TextOps {
     Tables.documents(s, d).select(
       col("doc_id"),
       size(text.tokens(col("text"))).as("n_ws_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+      size(regexp_extract_all(text.asciiLower(col("text")), lit(BpePattern), lit(0)))
         .as("n_bpe_tokens"),
       length(col("text")).as("text_len"))
 
   private val tokenCountSql =
     s"""SELECT doc_id,
-       |  cast(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) as int) AS n_ws_tokens,
-       |  cast(len(regexp_extract_all(lower(text), '$BpePattern')) as int) AS n_bpe_tokens,
+       |  cast(len(${text.tokensSql}) as int) AS n_ws_tokens,
+       |  cast(len(regexp_extract_all(${text.asciiLowerSql("text")}, '$BpePattern')) as int) AS n_bpe_tokens,
        |  cast(length(text) as int) AS text_len
        |FROM documents""".stripMargin
 
@@ -59,7 +60,7 @@ object TextOps {
   }
 
   private val qualitySql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val stopList = text.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH t AS (
        |  SELECT doc_id, $toks AS toks FROM documents),
@@ -111,7 +112,7 @@ object TextOps {
     * struct list (lexicographic (score, lang) comparison — identical
     * tiebreak to Spark's array_max). */
   private val langIdSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val structs = langProfiles.map { case (lang, words) =>
       val wl = words.map(w => s"'$w'").mkString("[", ",", "]")
       s"{'score': cast(len(list_filter(toks, x -> list_contains($wl, x))) as int), 'lang': '$lang'}"
@@ -216,7 +217,7 @@ object TextOps {
     * only, for oracles that embed it (clean_corpus). Must stay
     * expression-identical to `quality`/`qualitySql`. */
   private[operators] val qualityCte: String = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val stopList = text.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""qt AS (SELECT doc_id, $toks AS toks FROM documents),
        |qm AS (
@@ -275,7 +276,7 @@ object TextOps {
 
   private val normalizeSql = {
     val stopList = text.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""SELECT doc_id,
        |  array_to_string(list_filter($toks, x -> NOT list_contains($stopList, x)), ' ')
        |    AS norm_text,
@@ -365,7 +366,7 @@ object TextOps {
   }
 
   private val repetitionSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
        |g AS (
        |  SELECT doc_id,
@@ -429,7 +430,7 @@ object TextOps {
   }
 
   private val qualityGopherSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
        |m AS (
        |  SELECT doc_id,
@@ -536,7 +537,7 @@ object TextOps {
           .as("digest"))
 
   private val hashEmbedSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val tokHash = "list_reduce(list_prepend(cast(0 as bigint), " +
       "list_transform(list_filter(string_split_regex(token, ''), c -> c <> ''), " +
       "c -> cast(ascii(c) as bigint))), (acc, x) -> (acc * 31 + x) % $M)"
@@ -610,7 +611,7 @@ object TextOps {
   }
 
   private val boilerplateSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
        |g AS (
        |  SELECT doc_id,

@@ -48,7 +48,7 @@ object VocabOps {
   }
 
   private val docFreqSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH tok AS (
        |  SELECT unnest(list_distinct($toks)) AS token FROM documents),
        |df AS (SELECT token, count(*) AS doc_freq FROM tok GROUP BY 1),
@@ -95,7 +95,7 @@ object VocabOps {
   }
 
   private val docTfidfSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val score = "cast(tf as double) * ((cast(n_docs as double) - doc_freq + 0.5)" +
       " / (cast(doc_freq as double) + 0.5))"
     s"""WITH tok AS (
@@ -133,7 +133,7 @@ object VocabOps {
   }
 
   private val ngramTopKSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t AS (SELECT lang, $toks AS toks FROM documents),
        |g AS (
        |  SELECT lang,
@@ -202,7 +202,7 @@ object VocabOps {
   }
 
   private val bm25Sql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"cast(len(list_filter(toks, x -> x = '$t')) as int) AS tf$i"
     }.mkString(",\n       |    ")
@@ -277,7 +277,7 @@ object VocabOps {
   }
 
   private[operators] val lmScoreSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
        |g AS (
        |  SELECT doc_id, g, string_split(g, ' ')[1] AS w1
@@ -354,7 +354,7 @@ object VocabOps {
   }
 
   private val pmiSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH t0 AS (SELECT $toks AS toks FROM documents),
        |tok AS (SELECT unnest(toks) AS w FROM t0),
        |uni AS (SELECT w, cast(count(*) as bigint) AS n_w FROM tok GROUP BY 1),
@@ -407,14 +407,17 @@ object VocabOps {
     // window over ≤ CoverageTopK rows — bounded by construction
     val w = Window.orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // rank cast to long: DuckDB row_number() is BIGINT and the
+    // driver's compare hashes pandas DTYPES, so int32 vs int64 fails
+    // even with equal values (round-5 regression)
     top.crossJoin(broadcast(tot))
       .withColumn("cum", sum(col("cnt")).over(w))
-      .select(col("rank"), col("token"), col("cnt"),
+      .select(col("rank").cast("long").as("rank"), col("token"), col("cnt"),
         expr("cum * 1000000 div total").as("cum_ppm"))
   }
 
   private val coverageSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
        |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
        |tot AS (SELECT sum(cnt) AS total FROM tc),
@@ -424,7 +427,8 @@ object VocabOps {
        |  FROM tc
        |  QUALIFY rank <= $CoverageTopK)
        |SELECT rank, token, cnt,
-       |  sum(cnt) OVER (ORDER BY rank) * 1000000 // total AS cum_ppm
+       |  cast(sum(cnt) OVER (ORDER BY rank) * 1000000 // total as bigint)
+       |    AS cum_ppm
        |FROM r, tot""".stripMargin
   }
 
@@ -453,7 +457,7 @@ object VocabOps {
   }
 
   private val freqSpectrumSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH tok AS (
        |  SELECT unnest($toks) AS token FROM documents),
        |tf AS (SELECT token, $oCount AS freq FROM tok GROUP BY 1),
@@ -498,7 +502,7 @@ object VocabOps {
   }
 
   private val oovRateSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($toks) AS token FROM documents),
        |vocab AS (
@@ -557,7 +561,7 @@ object VocabOps {
   }
 
   private def vocabGrowthSql: String = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val hash = graft.functions.ihash.quadSqlNested("doc_id")
     s"""WITH f AS (SELECT doc_id, text, $hash AS h FROM documents),
        |r AS (
@@ -647,7 +651,7 @@ object VocabOps {
   }
 
   private def hybridSearchSql: String = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     val dim = TextOps.hashEmbedDim
     val qStr = Bm25Terms.mkString(" ")
     s"""WITH tokh AS (
@@ -753,7 +757,7 @@ object VocabOps {
   }
 
   private val keynessSql = {
-    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val toks = text.tokensSql
     s"""WITH ts AS (
        |  SELECT source, unnest(list_distinct($toks)) AS token
        |  FROM documents),
@@ -798,7 +802,7 @@ object VocabOps {
   def tokenShapes(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.parallelize(Tables.documents(s, d))
       .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        s"regexp_extract_all(${text.asciiLowerSql("text")}, '[a-z]+|[0-9]+|[^a-z0-9 \\\\t\\\\n\\\\x0b\\\\f\\\\r]', 0)"))
         .as("tok"))
       .select(col("tok"),
         when(col("tok").rlike("^[a-z]+$"), "alpha")
@@ -813,7 +817,7 @@ object VocabOps {
   }
 
   private val tokenShapesSql =
-    """SELECT cls, cast(len as int) AS len,
+    s"""SELECT cls, cast(len as int) AS len,
       |  cast(count(*) as bigint) AS n_occurrences,
       |  cast(count(DISTINCT tok) as bigint) AS n_types
       |FROM (
@@ -823,8 +827,8 @@ object VocabOps {
       |         ELSE 'symbol' END AS cls,
       |    length(tok) AS len
       |  FROM (
-      |    SELECT unnest(regexp_extract_all(lower(text),
-      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+      |    SELECT unnest(regexp_extract_all(${text.asciiLowerSql("text")},
+      |      '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS tok
       |    FROM documents))
       |GROUP BY 1, 2""".stripMargin
 

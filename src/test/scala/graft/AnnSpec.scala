@@ -292,7 +292,7 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("standardize: z-scored dims have ~0 mean and ~unit variance") {
-    val rows = AnnOps.standardize(spark, sf).collect()
+    val rows = AnnOps.standardizeVectors(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
     val n = rows.length
     assert(rows.forall(_._2.length == 64), "64 z-dims per vector")

@@ -120,7 +120,7 @@ class EtlSpec extends AnyFunSuite {
   test("mad outliers: median/MAD/outlier counts match an exact driver recompute") {
     val out = EtlOps.madOutliers(spark, sf).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out.nonEmpty)
     val byType = Tables.events(spark, sf).collect()
       .filter(!_.isNullAt(4))
@@ -133,10 +133,10 @@ class EtlSpec extends AnyFunSuite {
       val (n, medV, madV, nOut) = out(t)
       assert(n == cents.length)
       val m2 = med2(cents)
-      assert(medV == m2 / 200.0, s"$t median")
+      assert(medV == m2, s"$t median (2x cents)")
       val dev2 = cents.map(c => math.abs(2 * c - m2)).sorted
       val m4 = med2(dev2)
-      assert(madV == m4 / 400.0, s"$t mad")
+      assert(madV == m4, s"$t mad (4x cents)")
       assert(nOut == dev2.count(d => 2 * d > 3 * m4).toLong, s"$t outliers")
       assert(nOut > 0 && nOut < n, s"$t rule should be non-vacuous on this corpus")
     }

@@ -68,7 +68,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.foreach { r =>
       val (w, h, ow, oh, b) =
-        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+        (r.getLong(1), r.getLong(2), r.getInt(3).toLong, r.getInt(4).toLong,
+          r.getInt(5))
       val (ss, ls) = (math.min(w, h), math.max(w, h))
       if (ss > 224) {
         // scaled: short side lands exactly on 224, long side floors

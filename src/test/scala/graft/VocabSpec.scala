@@ -203,7 +203,7 @@ class VocabSpec extends AnyFunSuite {
 
   test("coverage: cum_ppm strictly increasing, counts desc, agrees with a recount") {
     val rows = VocabOps.coverage(spark, sf).collect()
-      .map(r => (r.getAs[Int]("rank"), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("rank"), r.getString(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     assert(rows.nonEmpty && rows.length <= 30)
     // counts non-increasing with rank, cumulative share strictly increasing, <= 1e6

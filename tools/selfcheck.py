@@ -6,29 +6,56 @@ Usage: python3 tools/selfcheck.py <sfDir> <outDir>
 
 For each query in <outDir>/oracle_sql.json: load the Spark result
 parquet, run the oracle SQL against views over <sfDir>, sort columns
-by name, sort rows, compare cell-by-cell (exact; floats must be
-bit-identical — the engine's exact-sum discipline makes that hold).
+by name, sort rows, and compare STRICTLY the way the driver's
+pandas-sort+hash does:
+
+- pandas DTYPES must match exactly (int64 vs float64 vs int32 vs
+  object all hash differently even when values compare equal — this
+  is what sank etl_mad_outliers/vocab_coverage in round 5: DuckDB
+  sum(int) returns HUGEINT -> pandas float64, Spark rank() is int32);
+- array/list cells are a hard FAIL (the driver's compare crashes on
+  them — round 5 emb_standardize);
+- floats must be bit-identical incl. the sign of zero (-0.0 vs 0.0
+  compare == but hash differently); NaN==NaN is accepted.
 """
 import duckdb, json, sys, glob, os, math
 import pandas as pd
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
 def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
-    # array cells (numpy arrays / lists) aren't sortable/hashable:
-    # canonicalize them to tuples first
-    for c in cols:
-        if df[c].map(lambda v: isinstance(v, (list,)) or hasattr(v, "tolist")).any():
-            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist")
-                              else (tuple(v) if isinstance(v, list) else v))
+    bad_cols = [c for c in cols
+                if df[c].map(lambda v: isinstance(v, (list, dict))
+                             or hasattr(v, "tolist")).any()]
+    if bad_cols:
+        raise ValueError(f"non-scalar (array/struct) columns {bad_cols} — "
+                         "driver compare cannot sort/hash these")
     df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     return df
+
+
+def cells_equal(a, b):
+    try:
+        both_na = bool(pd.isna(a)) and bool(pd.isna(b))
+    except (TypeError, ValueError):
+        both_na = False
+    if both_na:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        # bit-identical: catches -0.0 vs 0.0 which == tolerates
+        return math.copysign(1.0, a) == math.copysign(1.0, b) and a == b
+    return a == b and type(a) is type(b) or (a == b and
+        isinstance(a, (int, float)) == isinstance(b, (int, float)))
+
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
+    for t in TABLES:
         con.sql(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_fail = 0
@@ -47,16 +74,20 @@ def main():
         if len(got) != len(exp):
             print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}")
             n_fail += 1; continue
+        # dtype parity: the driver hashes typed values, so int64 vs
+        # float64 (or int32 vs int64) mismatches even when values ==
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes differ {dt_bad}")
+            n_fail += 1; continue
         bad = None
         for c in got.columns:
             g, e = got[c].tolist(), exp[c].tolist()
             for i, (a, b) in enumerate(zip(g, e)):
-                try:
-                    both_na = bool(pd.isna(a)) and bool(pd.isna(b))
-                except (TypeError, ValueError):
-                    both_na = False
-                if a != b and not both_na:
-                    d = abs(a - b) if isinstance(a, (int, float)) and isinstance(b, (int, float)) else None
+                if not cells_equal(a, b):
+                    d = (abs(a - b) if isinstance(a, (int, float))
+                         and isinstance(b, (int, float)) else None)
                     bad = (c, i, a, b, d); break
             if bad: break
         if bad:
@@ -73,6 +104,7 @@ def main():
         print(f"ROWS {name}: {n} rows (no SQL oracle)")
     print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
