@@ -40,11 +40,17 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfJson}"""
   }
 
-  /** The full line (per-query map included) written to the file copy. */
-  def detailLine(total: Double, results: Seq[(String, Double)], sfDir: String): String = {
+  /** The full line (per-query map included) written to the file copy.
+    * `fills` carries the shared-relation materialization cost (one
+    * entry per memo) SEPARATELY from the query timings: per-query
+    * numbers then measure the probe, not whichever query ran first. */
+  def detailLine(total: Double, results: Seq[(String, Double)], sfDir: String,
+                 fills: Seq[(String, Double)] = Nil): String = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}"""
+    val fl = fills.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fills":$fl,"sf":${jsonStr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,15 +72,19 @@ object Bench {
         .agg(sum(graft.functions.vector.norm(col("embedding")))).collect()
       Tables.orders(spark, sfDir).agg(sum("o_totalprice")).collect()
     }
+    // materialize the shared memo relations ONCE, timed separately:
+    // fill cost is real work and stays in the total, but no longer
+    // lands on whichever query alphabetically touches a memo first
+    val fills = Memo.fill(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).sum + fills.map(f => math.max(f._2, 0.0)).sum
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      detailLine(total, results, sfDir) + "\n")
+      detailLine(total, results, sfDir, fills) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     Memo.clear(spark)

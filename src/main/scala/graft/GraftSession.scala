@@ -44,6 +44,18 @@ object GraftSession {
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val s = builder(master, shufflePartitions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Every partition-less window in this engine is bounded by
+    // construction (post-limit(√N) ANN seed ranking, ≤32-row block
+    // prefix maxima, calendar-bounded run merges — see §6 of
+    // SURVEY.md), so WindowExec's "No Partition Defined" warning is
+    // pure noise here and was 90% of the bench log tail. Silence that
+    // one logger rather than partitionBy(lit(1))-ing every bounded
+    // site: the literal would add a pointless hash exchange of the
+    // same single partition and hide GENUINE unbounded-window
+    // mistakes from future plans' explain() output.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 import scala.collection.concurrent.TrieMap
 
 /** Process-wide memo of cached intermediate DataFrames, keyed by
@@ -16,9 +17,17 @@ import scala.collection.concurrent.TrieMap
   * same pattern holds: a pipeline materializes the shared relation
   * once and fans out.
   *
-  * Entries are Spark-`cache()`d lazily; Spark's LRU block manager
-  * bounds memory, and keying by session means a fresh session never
-  * sees another session's (possibly invalidated) plans.
+  * Entries persist at MEMORY_AND_DISK explicitly (also the Dataset
+  * `cache()` default, but relied upon here, so spelled out): under
+  * memory pressure a partition spills to local disk and is re-READ,
+  * never recomputed through the full upstream LSH/k-means chain —
+  * at 100 TB-scale concurrency, eviction-then-recompute of a shared
+  * relation is exactly the failure mode that turns a 1 s probe into
+  * a 14 s rebuild (round-5 driver bench, corpus_cross_source).
+  *
+  * [[fill]] materializes every shared relation up front in dependency
+  * order; Bench calls it once (timed separately from the queries it
+  * de-noises) and Verify calls it on full runs.
   */
 object Memo {
   private val m = TrieMap.empty[(SparkSession, String, String), DataFrame]
@@ -26,7 +35,8 @@ object Memo {
 
   def cached(s: SparkSession, key: String, dir: String)
             (build: => DataFrame): DataFrame =
-    m.getOrElseUpdate((s, key, dir), build.cache())
+    m.getOrElseUpdate((s, key, dir),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Like [[cached]] but the first call materializes the cache before
     * returning. For intermediates a SINGLE query references more than
@@ -36,7 +46,7 @@ object Memo {
   def cachedEager(s: SparkSession, key: String, dir: String)
                  (build: => DataFrame): DataFrame =
     m.getOrElseUpdate((s, key, dir), {
-      val df = build.cache()
+      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.foreach(_ => ())
       df
     })
@@ -46,6 +56,26 @@ object Memo {
     * hook so `clear` empties it with everything else. */
   def registerClearHook(name: String)(f: SparkSession => Unit): Unit =
     hooks.put(name, f)
+
+  /** Materialize every shared memoized relation for `dir`, in
+    * dependency order, one count() job each. Returns (name, seconds)
+    * per fill so Bench can publish fill cost SEPARATELY from query
+    * cost — per-query timings then measure the probe, not whichever
+    * query happened to run first (round-5 driver bench attributed a
+    * 14 s LSH-chain fill to corpus_cross_source). A failed fill is
+    * reported as a negative time and does not block the others. */
+  def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps}
+    val fills: Seq[(String, () => Unit)] =
+      DedupOps.memoFills(s, dir) ++ CorpusOps.memoFills(s, dir) ++
+        AnnOps.memoFills(s, dir) ++ GraphOps.memoFills(s, dir)
+    fills.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      val ok = try { f(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -dt)
+    }
+  }
 
   /** Drop and unpersist every entry belonging to `s` — for long-lived
     * library sessions (a one-shot Bench/Verify process could rely on

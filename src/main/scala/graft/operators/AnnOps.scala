@@ -404,6 +404,17 @@ object AnnOps {
     graft.Memo.cached(s, "ann_assigned", d)(
       coarseAssign(annCorpus(s, d), annCents(s, d)))
 
+  /** The ANN model pieces (training sample → coarse centroids →
+    * assignment → PQ codebooks → PQ codes), in dependency order —
+    * consumed by [[graft.Memo.fill]]. embeddings_par is filled by the
+    * dedup family ahead of these. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "ann_train" -> (() => { annTrain(s, d).count(); () }),
+    "ann_cents" -> (() => { annCents(s, d).count(); () }),
+    "ann_assigned" -> (() => { annAssigned(s, d).count(); () }),
+    "ann_pqcents" -> (() => { annPqCents(s, d).count(); () }),
+    "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }))
+
   // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
   // ---- mirrors must stay bit-identical, so the deterministic-fold
   // ---- SQL lives here, not per-mirror)

@@ -29,6 +29,12 @@ object CorpusOps {
       clustersFromPairs(Tables.documents(s, d).select("doc_id"), pairs)
     }
 
+  /** This family's shared memoized relation (the cluster map) —
+    * consumed by [[graft.Memo.fill]]. Dedup fills run first, so the
+    * pair set this builds on is already warm. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "dedup_clusters" -> (() => { clusters(s, d).count(); () }))
+
   /** Edge count below which the component resolution collapses to a
     * driver-side union-find: O(E α(E)) on one core beats ~diameter
     * distributed rounds when the pair graph fits trivially in memory

@@ -351,19 +351,20 @@ object DedupOps {
     * (a pair within distance 3 MUST agree on one chunk, so recall is
     * 100% — no approximation for buckets within the size cap). */
   def simhash(s: SparkSession, d: String): DataFrame =
-    // memoize the tiny (doc_id, sig) relation: the bucket join below
-    // references it on BOTH sides, and without materialization each
-    // side re-runs the full token-scan + 64-sum aggregation (the
-    // expensive part of this operator — ~4× the work for the same
-    // answer). The fill is EAGER (foreach) because the join's two
-    // scan stages run concurrently on first use — both would miss the
-    // lazy cache and race into the recompute. n_docs × 16 bytes
-    // cached is nothing at any scale; on a cluster a pipeline would
-    // land signatures once and fan out
-    simhashPairsFromSignatures(
-      graft.Memo.cachedEager(s, "simhash_sigs", d)(
-        simhashSignatures(docsParallel(s, d))),
-      SimHashBucketCap)
+    simhashPairsFromSignatures(simhashSigsMemo(s, d), SimHashBucketCap)
+
+  /** Memoized tiny (doc_id, sig) relation: the bucket join above
+    * references it on BOTH sides, and without materialization each
+    * side re-runs the full token-scan + 64-sum aggregation (the
+    * expensive part of this operator — ~4× the work for the same
+    * answer). The fill is EAGER (foreach) because the join's two
+    * scan stages run concurrently on first use — both would miss the
+    * lazy cache and race into the recompute. n_docs × 16 bytes
+    * cached is nothing at any scale; on a cluster a pipeline would
+    * land signatures once and fan out. */
+  private def simhashSigsMemo(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cachedEager(s, "simhash_sigs", d)(
+      simhashSignatures(docsParallel(s, d)))
 
   /** `docs` needs (doc_id, text); `bucketCap` is the per-bucket
     * representative cap (see SimHashBucketCap). Spec entry point —
@@ -593,6 +594,16 @@ object DedupOps {
        |JOIN embeddings eb ON c.vec_b = eb.vec_id
        |WHERE $cos >= $CosTau""".stripMargin
   }
+
+  /** This family's shared memoized relations, in dependency order —
+    * consumed by [[graft.Memo.fill]] (each thunk forces one memo). */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "documents_par" -> (() => { docsParallel(s, d).count(); () }),
+    "embeddings_par" -> (() => { embParallel(s, d).count(); () }),
+    "shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
+    "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () }),
+    "minhash_cand" -> (() => { minhashCandidates(s, d).count(); () }),
+    "simhash_sigs" -> (() => { simhashSigsMemo(s, d); () }))
 
   /** Memo-cached parallelized scans shared across the dedup/ANN
     * family (one compute per dataset per process). */

@@ -201,6 +201,11 @@ object GraphOps {
 
   private val KnnPartners = 8
 
+  /** This family's shared memoized relation — consumed by
+    * [[graft.Memo.fill]]. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "assoc_edges" -> (() => { assocEdges(s, d).count(); () }))
+
   /** Canonical top-K association edge set (u < v, deduped,
     * localCheckpointed) — shared by the triangle census and the
     * degree distribution; memoized so the co-occurrence join runs
