@@ -29,6 +29,10 @@ object text {
   private val Lowers = ('a' to 'z').mkString
   val WsClass = "[ \\t\\n\\x0B\\f\\r]"
 
+  /** The same class spelled for RE2 (DuckDB regexp functions) — for
+    * splicing into oracle SQL regex literals. */
+  val WsClassRe2 = "[ \\t\\n\\x0b\\f\\r]"
+
   /** ASCII-lowercased whitespace tokens, empties dropped (split keeps
     * trailing empties; DuckDB's string_split_regex does too — both
     * sides filter). See the tokenizer contract above. */

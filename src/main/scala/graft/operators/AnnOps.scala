@@ -1465,7 +1465,32 @@ object AnnOps {
     * the same pass and broadcast back. At 10⁹ vectors the integer
     * Σqq (≤ n·10¹²) nears BIGINT range — the scale path drops
     * quantization to 1e-4 (q ≤ 10⁴, q² ≤ 10⁸, exact to n ~ 10¹⁰). */
-  def covariance(s: SparkSession, d: String): DataFrame = {
+  def covariance(s: SparkSession, d: String): DataFrame =
+    covarianceBase(s, d)
+      .select(col("i"), col("j"), col("n"), col("sqq"),
+        round(covExpr, 6).as("cov"))
+
+  /** The covariance feeding the pca power iteration — floor-quantized
+    * (floor(x·1e6)/1e6) instead of round()ed: floor of the identical
+    * IEEE expression is bit-identical across engines UNCONDITIONALLY,
+    * where decimal round() can differ on a knife-edge tie (Spark
+    * rounds the exact decimal expansion via BigDecimal; DuckDB rounds
+    * through a float multiply). A tie in the PUBLISHED matrix flips
+    * one displayed cell; a tie in THIS matrix would desync the whole
+    * eigenvector — so the decision path gets the tie-free quantizer
+    * and the published view keeps the friendlier round. */
+  private def covarianceQ(s: SparkSession, d: String): DataFrame =
+    covarianceBase(s, d)
+      .select(col("i"), col("j"), (floor(covExpr * 1e6) / 1e6).as("cov"))
+
+  /** (sqq·n − si·sj)/n²/1e12 in the fixed IEEE sequence both engines
+    * share — the ONE covariance formula, consumed by both views. */
+  private def covExpr =
+    (col("sqq").cast("double") * col("n").cast("double")
+      - col("si").cast("double") * col("sj").cast("double")) /
+      col("n").cast("double") / col("n").cast("double") / 1e12
+
+  private def covarianceBase(s: SparkSession, d: String): DataFrame = {
     val e = DedupOps.embParallel(s, d)
     val q = e.select(col("vec_id"),
       expr("transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
@@ -1480,20 +1505,17 @@ object AnnOps {
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sqq"))
     val dimSums = q.select(posexplode(col("q")).as(Seq("dim", "qv")))
       .groupBy("dim").agg(sum(col("qv")).as("sq"))
+    // n·Σqq and Σqi·Σqj can exceed BIGINT: covExpr combines them in
+    // DOUBLE — a fixed multiply/subtract/divide sequence on identical
+    // integer inputs (same as emb_dim_stats' variance)
     g.join(broadcast(dimSums.select(col("dim").as("i"), col("sq").as("si"))), "i")
       .join(broadcast(dimSums.select(col("dim").as("j"), col("sq").as("sj"))), "j")
-      .select(col("i"), col("j"), col("n"), col("sqq"),
-        // n·Σqq and Σqi·Σqj can exceed BIGINT: combine in DOUBLE — a
-        // fixed multiply/subtract/divide sequence on identical integer
-        // inputs (same as emb_dim_stats' variance)
-        round((col("sqq").cast("double") * col("n").cast("double")
-            - col("si").cast("double") * col("sj").cast("double"))
-          / col("n").cast("double") / col("n").cast("double") / 1e12, 6)
-          .as("cov"))
   }
 
-  /** Covariance CTE chain ending in `covm(i, j, n, sqq, cov)` —
-    * shared by emb_covariance and emb_pca. */
+  /** Covariance CTE chain ending in `covm(i, j, n, sqq, cov)` (the
+    * published round()ed view) and `covq(i, j, cov)` (the
+    * floor-quantized view the pca power iteration consumes — see
+    * [[covarianceQ]] for why the decision path must not round). */
   private val covarianceCte =
     """q AS (
       |  SELECT vec_id,
@@ -1524,6 +1546,15 @@ object AnnOps {
       |    (round((cast(g.sqq as double) * cast(g.n as double)
       |        - cast(si.sq as double) * cast(sj.sq as double))
       |      / cast(g.n as double) / cast(g.n as double) / 1e12, 6) + 0.0) AS cov
+      |  FROM g
+      |  JOIN ds si ON g.i = si.dim
+      |  JOIN ds sj ON g.j = sj.dim),
+      |covq AS (
+      |  SELECT cast(g.i as int) AS i, cast(g.j as int) AS j,
+      |    floor((cast(g.sqq as double) * cast(g.n as double)
+      |        - cast(si.sq as double) * cast(sj.sq as double))
+      |      / cast(g.n as double) / cast(g.n as double) / 1e12 * 1e6) / 1e6
+      |      AS cov
       |  FROM g
       |  JOIN ds si ON g.i = si.dim
       |  JOIN ds sj ON g.j = sj.dim)""".stripMargin
@@ -1619,8 +1650,9 @@ object AnnOps {
     * 40k flops of bounded state — and the resulting unit vector
     * broadcasts back for a narrow zip_with projection over the scan.
     * Cross-engine determinism: both engines iterate from the exact
-    * binary value 1/8·𝟙 over the SAME 6-dp-rounded covariance
-    * entries, with every accumulation a left-fold in ascending index
+    * binary value 1/8·𝟙 over the SAME floor-quantized covariance
+    * entries (covarianceQ — tie-free, unlike decimal round()), with
+    * every accumulation a left-fold in ascending index
     * order — the identical IEEE op sequence (÷, ×, +, sqrt are all
     * correctly-rounded), so v and λ match bit-for-bit without any
     * intermediate quantization; the sign is pinned by negating when
@@ -1629,7 +1661,7 @@ object AnnOps {
     * checks the eigenpair against an exact driver-side recount. */
   def pca(s: SparkSession, d: String): DataFrame = {
     val m = Array.ofDim[Double](PcaDim, PcaDim)
-    covariance(s, d).select("i", "j", "cov").collect().foreach { r =>
+    covarianceQ(s, d).select("i", "j", "cov").collect().foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       m(i)(j) = c; m(j)(i) = c
     }
@@ -1695,9 +1727,9 @@ object AnnOps {
     }.mkString(",\n")
     s"""WITH $covarianceCte,
        |full_m AS (
-       |  SELECT i, j, cov FROM covm
+       |  SELECT i, j, cov FROM covq
        |  UNION ALL
-       |  SELECT j AS i, i AS j, cov FROM covm WHERE i < j),
+       |  SELECT j AS i, i AS j, cov FROM covq WHERE i < j),
        |rows_m AS (SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i),
        |m AS (SELECT list(r ORDER BY i) AS mat FROM rows_m),
        |v0 AS (SELECT list_transform(range(1, 65),

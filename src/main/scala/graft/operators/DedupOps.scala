@@ -33,7 +33,7 @@ object DedupOps {
   private[operators] val exactSql =
     s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents
-      |GROUP BY trim(regexp_replace(${text.asciiLowerSql("text")}, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))""".stripMargin
+      |GROUP BY trim(regexp_replace(${text.asciiLowerSql("text")}, '${text.WsClassRe2}+', ' ', 'g'))""".stripMargin
 
   // ------------------------------------------------ shingle machinery
 

@@ -258,8 +258,13 @@ object MultimodalOps {
     val durMs = (octet_length(encode(col("text"), "UTF-8")) * 10L).as("duration_ms")
     Tables.documents(s, d)
       .select(col("doc_id"), durMs)
+      // guarded: sequence(0, -1) THROWS on a zero-length payload where
+      // the oracle's range(0, 0) is simply empty — emit an empty array
+      // instead so both engines drop the doc
       .select(col("doc_id"), col("duration_ms"),
-        explode(sequence(lit(0L), col("duration_ms") - 1, lit(HopMs.toLong)))
+        explode(when(col("duration_ms") > 0,
+          sequence(lit(0L), col("duration_ms") - 1, lit(HopMs.toLong)))
+          .otherwise(array().cast("array<bigint>")))
           .as("start_ms"))
       .select(col("doc_id"),
         (col("start_ms") / HopMs).cast("int").as("chunk_idx"),

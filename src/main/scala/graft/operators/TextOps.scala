@@ -654,7 +654,9 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         cnt("[A-Za-z]").as("n_alpha"), cnt("[0-9]").as("n_digit"),
-        cnt("\\s").as("n_space"))
+        // explicit class, not \s: Java \s includes \x0B, RE2 \s
+        // does not — same contract as graft.functions.text.WsClass
+        cnt(graft.functions.text.WsClass).as("n_space"))
       .withColumn("n_other",
         col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
       .withColumn("alpha_ppm",
@@ -679,7 +681,7 @@ object TextOps {
       |      - length(regexp_replace(text, '[0-9]', '', 'g')) as int)
       |      AS n_digit,
       |    cast(length(text)
-      |      - length(regexp_replace(text, '\s', '', 'g')) as int)
+      |      - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')) as int)
       |      AS n_space
       |  FROM documents)
       |SELECT doc_id, n_chars, n_alpha, n_digit, n_space,

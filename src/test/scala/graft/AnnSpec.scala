@@ -362,18 +362,16 @@ class AnnSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     val dim = 64
     val n = embs.length.toLong
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     // replicate the operator's exact-integer covariance (1e-6
-    // quantization, 6-dp round) independently of its Spark plan
+    // quantization, floor-quantized like covarianceQ — the pca input)
+    // independently of its Spark plan
     val q = embs.map { case (_, v) => v.map(x => math.round(x * 1e6)) }
     val m = Array.ofDim[Double](dim, dim)
     for (i <- 0 until dim; j <- i until dim) {
       var sqq = 0L; var si = 0L; var sj = 0L
       q.foreach { qv => sqq += qv(i) * qv(j); si += qv(i); sj += qv(j) }
-      val c = round6((sqq.toDouble * n.toDouble - si.toDouble * sj.toDouble)
-        / n.toDouble / n.toDouble / 1e12)
+      val c = math.floor((sqq.toDouble * n.toDouble - si.toDouble * sj.toDouble)
+        / n.toDouble / n.toDouble / 1e12 * 1e6) / 1e6
       m(i)(j) = c; m(j)(i) = c
     }
     val (v, lambda) = graft.operators.AnnOps.powerIterate(m)
