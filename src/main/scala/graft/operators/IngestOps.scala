@@ -26,10 +26,35 @@ object IngestOps {
       StructField("actual", LongType),
       StructField("forecast", LongType))))))
 
+  /** The parse step alone, over ANY (id, payload-string) frame:
+    * intensity = actual ?? forecast (etl_job.py:106), window start
+    * via the ISO-8601 parser, range validity per etl_job.py:63-70.
+    * This is the seam the LIVE path plugs into — one documented
+    * composition from a socket to the warehouse:
+    * {{{
+    *   HttpFeed.fetchOne(spark, feedUrl)        // retried GET
+    *     .transform(IngestOps.parsePayloads("url", "payload"))
+    *     // → validate / dedup / Upsert, as ReferencePipeline.run does
+    * }}}
+    * (exercised end-to-end in HttpFeedSpec against a loopback fake;
+    * tools/ScheduledRun strings the full hourly cycle). */
+  def parsePayloads(idCol: String, payloadCol: String)
+                   (df: DataFrame): DataFrame =
+    df.withColumn("parsed", from_json(col(payloadCol), payloadSchema))
+      .select(
+        col(idCol),
+        coalesce(col("parsed.intensity.actual"), col("parsed.intensity.forecast"))
+          .as("intensity"),
+        validation.parseIso8601(col("parsed.from")).cast("timestamp_ntz")
+          .as("window_start"),
+        validation.validIntensity(
+          coalesce(col("parsed.intensity.actual"), col("parsed.intensity.forecast"))
+            .cast("double") / 100.0).as("intensity_valid"))
+
   /** Build the carbon-API-shaped payload string (deterministic across
-    * engines), then parse it: intensity = actual ?? forecast
-    * (etl_job.py:106), window start via the ISO-8601 parser. Every
-    * 5th event has a null `actual` to exercise the fallback. */
+    * engines), then parse it with [[parsePayloads]]: the oracled
+    * batch twin of the live fetch path. Every 5th event has a null
+    * `actual` to exercise the fallback. */
   def ingestFeed(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val cents = round(col("value") * 100.0).cast("long")
@@ -41,16 +66,7 @@ object IngestOps {
       lit(""", "forecast": """), (cents + 7).cast("string"),
       lit("}}"))
     ev.select(col("event_id"), payload.as("payload"))
-      .withColumn("parsed", from_json(col("payload"), payloadSchema))
-      .select(
-        col("event_id"),
-        coalesce(col("parsed.intensity.actual"), col("parsed.intensity.forecast"))
-          .as("intensity"),
-        validation.parseIso8601(col("parsed.from")).cast("timestamp_ntz")
-          .as("window_start"),
-        validation.validIntensity(
-          coalesce(col("parsed.intensity.actual"), col("parsed.intensity.forecast"))
-            .cast("double") / 100.0).as("intensity_valid"))
+      .transform(parsePayloads("event_id", "payload"))
   }
 
   private val ingestFeedSql =

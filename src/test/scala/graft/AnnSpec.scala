@@ -362,6 +362,9 @@ class AnnSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
     val dim = 64
     val n = embs.length.toLong
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     // replicate the operator's exact-integer covariance (1e-6
     // quantization, floor-quantized like covarianceQ — the pca input)
     // independently of its Spark plan
