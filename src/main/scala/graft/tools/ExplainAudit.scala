@@ -20,9 +20,19 @@ object ExplainAudit {
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(outDir.resolve(s"$name.txt"), plan)
         def n(pat: String) = pat.r.findAllIn(plan).length
+        // bnljx: BroadcastNestedLoopJoin CROSS sites — the deliberate
+        // one-row/bounded scalar-broadcast pattern (global aggregate
+        // crossJoin(broadcast(...))-ed back over a scan). bnljBAD:
+        // any OTHER BNLJ join type — an unplanned inequality join
+        // that would explode at scale; must stay 0.
+        val bnljCross = n("BroadcastNestedLoopJoin Cross")
+        val bnljBad =
+          "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin\\n(?:.*\\n)??Join type: (?!Cross).*".r
+            .findAllIn(plan).length
         summary ++= f"$name%-24s scans=${n("Scan parquet")}%d " +
           f"pushedFilters=${n("PushedFilters: \\[[^\\]]")}%d " +
           f"bhj=${n("BroadcastHashJoin")}%d smj=${n("SortMergeJoin")}%d " +
+          f"bnljx=$bnljCross%d bnljBAD=$bnljBad%d " +
           f"exch=${n("Exchange")}%d wsc=${n("WholeStageCodegen")}%d\n"
       } catch { case e: Throwable =>
         summary ++= s"$name FAILED: ${e.getMessage}\n"
