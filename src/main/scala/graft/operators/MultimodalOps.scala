@@ -254,9 +254,15 @@ object MultimodalOps {
     * exploded as a narrow map — one row per window, no shuffle at any
     * scale. The last window clips to the duration; zero-length
     * payloads emit no chunks on both engines (empty sequence). */
-  def audioChunks(s: SparkSession, d: String): DataFrame = {
+  def audioChunks(s: SparkSession, d: String): DataFrame =
+    audioChunksImpl(Tables.documents(s, d))
+
+  /** Impl seam over any (doc_id, text) frame — MultimodalSpec drives
+    * the zero-duration guard through it directly (the corpus has no
+    * empty documents, so the guard is unreachable from the tables). */
+  private[graft] def audioChunksImpl(docs: DataFrame): DataFrame = {
     val durMs = (octet_length(encode(col("text"), "UTF-8")) * 10L).as("duration_ms")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), durMs)
       // guarded: sequence(0, -1) THROWS on a zero-length payload where
       // the oracle's range(0, 0) is simply empty — emit an empty array

@@ -42,4 +42,26 @@ class MemoSpec extends AnyFunSuite {
     assert(builds == 2, "cleared entry must rebuild on next access")
     assert(!(after eq before) && after.count() == 3)
   }
+
+  test("fill materializes every shared relation once; refill is a cheap no-op") {
+    Memo.clear(spark)
+    val first = Memo.fill(spark, TestSession.sf)
+    assert(first.nonEmpty)
+    assert(first.forall(_._2 >= 0.0),
+      s"no fill may fail: ${first.filter(_._2 < 0)}")
+    val names = first.map(_._1)
+    assert(names.distinct == names, "one fill per relation")
+    assert(names.contains("shingle_sets") && names.contains("dedup_clusters")
+      && names.contains("ann_cents") && names.contains("assoc_edges"))
+    // second fill hits the memo: every thunk returns without a rebuild
+    // (bounded as a sanity check, not a benchmark — the first fill
+    // runs whole LSH/k-means chains, the second only count()s caches)
+    val t0 = System.nanoTime()
+    val again = Memo.fill(spark, TestSession.sf)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(again.map(_._1) == names)
+    assert(dt < first.map(_._2).sum,
+      s"refill ($dt s) should undercut the cold fill")
+    Memo.clear(spark)
+  }
 }

@@ -84,6 +84,15 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio chunks: zero-length payloads emit no chunks instead of throwing") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "x" * 200)).toDF("doc_id", "text")
+    val got = graft.operators.MultimodalOps.audioChunksImpl(docs).collect()
+    assert(!got.exists(_.getLong(0) == 1L),
+      "empty doc must vanish (sequence(0,-1) used to throw here)")
+    assert(got.count(_.getLong(0) == 2L) > 0, "non-empty doc still chunks")
+  }
+
   test("audio chunks tile every payload with clipped overlap windows") {
     val durations = Tables.documents(spark, sf)
       .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) * 10L as dur")
