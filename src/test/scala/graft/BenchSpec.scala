@@ -34,6 +34,15 @@ class BenchSpec extends AnyFunSuite {
     assert(manyQueries.forall { case (k, _) => line.contains("\"" + k + "\":") })
   }
 
+  test("detail line separates memo-fill timings from query timings") {
+    val fills = Seq("shingle_sets" -> 1.25, "ann_cents" -> 0.5)
+    val line = Bench.detailLine(10.0, manyQueries, "/x/sf0.1", fills)
+    assert(line.contains(""""fills":{"shingle_sets":1.25,"ann_cents":0.5}"""))
+    // no fills -> empty map, still valid JSON (the driver json.loads it)
+    assert(Bench.detailLine(1.0, manyQueries, "/x/sf0.1")
+      .contains(""""fills":{}"""))
+  }
+
   test("strings with quotes/backslashes/control chars stay valid JSON") {
     val nasty = "a\"b\\c\nd\te"
     assert(Bench.jsonStr(nasty) == "\"a\\\"b\\\\c\\nd\\te\"")
