@@ -152,12 +152,18 @@ object GraphOps {
         .join(dist.filter(col("dist").isNotNull), edges("src") === dist("node"))
         .select(col("dst"), (col("dist") + 1L).as("cand"))
         .groupBy("dst").agg(min(col("cand")).as("nd"))
+      // materialize each round: dist feeds BOTH sides of the merge, so
+      // an unrolled lazy chain duplicates the whole prefix plan per
+      // round (2^rounds subplans for Catalyst to plan/execute when
+      // exchange reuse misses). The frontier is one row per node —
+      // checkpointing it is O(V), the same state a Pregel round holds
       dist = dist.join(next, dist("node") === next("dst"), "left")
         .select(dist("node"),
           when(col("dist").isNull, col("nd"))
             .when(col("nd").isNull, col("dist"))
             .when(col("nd") < col("dist"), col("nd"))
             .otherwise(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     dist.groupBy(coalesce(col("dist"), lit(-1L)).as("hops"))
       .agg(count(lit(1)).as("n_nodes"))
