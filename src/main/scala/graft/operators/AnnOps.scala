@@ -413,7 +413,9 @@ object AnnOps {
     "ann_cents" -> (() => { annCents(s, d).count(); () }),
     "ann_assigned" -> (() => { annAssigned(s, d).count(); () }),
     "ann_pqcents" -> (() => { annPqCents(s, d).count(); () }),
-    "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }))
+    "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }),
+    "pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
+    "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () }))
 
   // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
   // ---- mirrors must stay bit-identical, so the deterministic-fold
@@ -611,8 +613,31 @@ object AnnOps {
     * the exact math touches only shortlist·|queries| rows. Every fold
     * is fixed-order double arithmetic — the DuckDB mirror reproduces
     * codes, ADC scores and the final ranking bit-for-bit. */
-  def pq(s: SparkSession, d: String): DataFrame =
-    pqImpl(DedupOps.embParallel(s, d), queriesDf(s, d), PqShortlist)
+  def pq(s: SparkSession, d: String): DataFrame = {
+    // default path rides the memoized corpus + its own memoized PQ
+    // model (pq trains on a PqCells-based sample, DELIBERATELY
+    // different from ivfpq's annTrain codebooks — their oracles
+    // mirror the respective models bit-for-bit, so they cannot
+    // share). Before round 6 this re-ran count + k-means + encode on
+    // every call and re-cached the corpus pqImpl-side — 2.7 s of the
+    // warm bench for zero new information.
+    val e = annCorpus(s, d)
+    val pcents = pqSoloCents(s, d)
+    val codes = pqSoloCodes(s, d)
+    val approx = adcFold(codes
+      .join(broadcast(pqQueryTab(queriesDf(s, d), pcents)), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("query_id")))
+    adcShortRescore(approx, e, queriesDf(s, d), PqShortlist)
+  }
+
+  private def pqSoloCents(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "pq_cents", d)(
+      pqCentsFromTrain(trainSample(annCorpus(s, d), annN(s, d), PqCells,
+        TrainPerCell)))
+
+  private def pqSoloCodes(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "pq_codes", d)(
+      pqEncode(annCorpus(s, d), pqSoloCents(s, d)))
 
   /** `shortK` overridable so specs can force shortlist ≥ corpus —
     * then the exact re-score covers everything and the result must
