@@ -26,6 +26,23 @@ object GraphOps {
 
   private val Iterations = 3
 
+  /** DISTINCT customer↔supplier co-occurrence pairs through
+    * orders⋈lineitem (node ids: 2·custkey / 2·suppkey+1 — disjoint
+    * integer spaces) — the bipartite graph model shared by PageRank
+    * and BFS. Memoized so the one fact-fact shuffle builds once per
+    * dataset per process; both consumers previously rebuilt it
+    * independently. */
+  private[graft] def bipartitePairs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "bipartite_pairs", d) {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust_node"),
+          (col("l_suppkey") * 2 + 1).as("supp_node"))
+        .distinct()
+        .localCheckpoint()
+    }
+
   /** Customer↔supplier PageRank (3 unrolled iterations).
     *
     * Edges: DISTINCT (customer, supplier) pairs observed through
@@ -39,19 +56,14 @@ object GraphOps {
     * (integer sum — partial/final, no per-node list), never a
     * collect. Output: suppliers ranked by final nanorank. */
   def pagerankSupplier(s: SparkSession, d: String): DataFrame = {
-    // materialize the graph ONCE: pairs (the orders⋈lineitem distinct
-    // — the only fact-fact shuffle) and the degree table. The three
-    // unrolled rounds then stay LAZY against these in-memory
-    // relations, so the whole rank computation is one job — for a
-    // variable/large iteration count, re-introduce a per-round
-    // checkpoint exactly as dedup_clusters' label propagation does.
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cust_node"),
-        (col("l_suppkey") * 2 + 1).as("supp_node"))
-      .distinct()
-      .localCheckpoint()
+    // the graph model is materialized ONCE (memoized bipartitePairs —
+    // the orders⋈lineitem distinct is the only fact-fact shuffle) and
+    // the degree table once per call. The three unrolled rounds then
+    // stay LAZY against these in-memory relations, so the whole rank
+    // computation is one job — for a variable/large iteration count,
+    // re-introduce a per-round checkpoint exactly as dedup_clusters'
+    // label propagation does.
+    val pairs = bipartitePairs(s, d)
     val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -131,13 +143,7 @@ object GraphOps {
     * three-way CASE (not `least`) keeps NULL semantics identical in
     * both engines. Unreached nodes report hops = −1. */
   def bfsHops(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cust_node"),
-        (col("l_suppkey") * 2 + 1).as("supp_node"))
-      .distinct()
-      .localCheckpoint()
+    val pairs = bipartitePairs(s, d)
     val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -210,6 +216,7 @@ object GraphOps {
   /** This family's shared memoized relation — consumed by
     * [[graft.Memo.fill]]. */
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "bipartite_pairs" -> (() => { bipartitePairs(s, d).count(); () }),
     "assoc_edges" -> (() => { assocEdges(s, d).count(); () }))
 
   /** Canonical top-K association edge set (u < v, deduped,
