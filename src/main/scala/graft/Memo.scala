@@ -30,13 +30,29 @@ import scala.collection.concurrent.TrieMap
   * de-noises) and Verify calls it on full runs.
   */
 object Memo {
-  private val m = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  /** One atomically-inserted cell per key; the `lazy val` inside
+    * guarantees the build (and any eager materialization) runs
+    * EXACTLY once even when concurrent fill chains race into the
+    * same shared relation — the loser blocks on the winner's cell
+    * instead of double-`persist`ing an equivalent plan (which would
+    * leak a duplicate CacheManager entry). `computeIfAbsent` itself
+    * only allocates the closure, so the map is never locked across
+    * a Spark job. */
+  private final class Cell(build: () => DataFrame) {
+    @volatile private var materialized: DataFrame = _
+    lazy val df: DataFrame = { materialized = build(); materialized }
+    /** The DataFrame if the lazy build ever ran — `clear` must not
+      * FORCE an unbuilt cell just to unpersist it. */
+    def builtOpt: Option[DataFrame] = Option(materialized)
+  }
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Cell]
   private val hooks = TrieMap.empty[String, SparkSession => Unit]
 
   def cached(s: SparkSession, key: String, dir: String)
             (build: => DataFrame): DataFrame =
-    m.getOrElseUpdate((s, key, dir),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    m.computeIfAbsent((s, key, dir),
+      _ => new Cell(() => build.persist(StorageLevel.MEMORY_AND_DISK))).df
 
   /** Like [[cached]] but the first call materializes the cache before
     * returning. For intermediates a SINGLE query references more than
@@ -45,11 +61,11 @@ object Memo {
     * duplicate recomputes of the build plan. */
   def cachedEager(s: SparkSession, key: String, dir: String)
                  (build: => DataFrame): DataFrame =
-    m.getOrElseUpdate((s, key, dir), {
+    m.computeIfAbsent((s, key, dir), _ => new Cell(() => {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       df.foreach(_ => ())
       df
-    })
+    })).df
 
   /** Operators holding session-keyed side state beyond memoized
     * DataFrames (e.g. AnnOps' corpus-count map) register a clear
@@ -57,13 +73,24 @@ object Memo {
   def registerClearHook(name: String)(f: SparkSession => Unit): Unit =
     hooks.put(name, f)
 
-  /** Materialize every shared memoized relation for `dir`, in
-    * dependency order, one count() job each. Returns (name, seconds)
-    * per fill so Bench can publish fill cost SEPARATELY from query
-    * cost — per-query timings then measure the probe, not whichever
-    * query happened to run first (round-5 driver bench attributed a
-    * 14 s LSH-chain fill to corpus_cross_source). A failed fill is
-    * reported as a negative time and does not block the others. */
+  /** Materialize every shared memoized relation for `dir`. Returns
+    * (name, seconds) per fill so Bench can publish fill cost
+    * SEPARATELY from query cost — per-query timings then measure the
+    * probe, not whichever query happened to run first (round-5 driver
+    * bench attributed a 14 s LSH-chain fill to corpus_cross_source).
+    * A failed fill is reported as a negative time and does not block
+    * the others.
+    *
+    * Fills run SEQUENTIALLY in dependency order, deliberately: a
+    * measured experiment running the three family chains in parallel
+    * threads REGRESSED the full bench 2× (the k-means fill alone went
+    * 2.5 s → 13 s) — each fill already saturates local[32], so
+    * concurrent chains only add scheduler contention, and the
+    * simultaneous materialization of three cache families creates
+    * memory pressure that evicts blocks every later query then
+    * re-reads from disk. Concurrency safety of the underlying memo
+    * (two callers racing into one key) is still guaranteed by the
+    * atomic [[Cell]], spec-covered in MemoSpec. */
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps}
     val fills: Seq[(String, () => Unit)] =
@@ -82,8 +109,9 @@ object Memo {
     * JVM exit, a shared session cannot). Subsequent `cached` calls
     * rebuild from scratch (MemoSpec: clear-then-rebuild). */
   def clear(s: SparkSession): Unit = {
-    m.keys.filter(_._1 eq s).foreach { k =>
-      m.remove(k).foreach(df => df.unpersist())
+    import scala.jdk.CollectionConverters._
+    m.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
+      Option(m.remove(k)).foreach(_.builtOpt.foreach(_.unpersist()))
     }
     hooks.values.foreach(f => f(s))
   }

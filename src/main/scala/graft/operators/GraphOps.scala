@@ -153,9 +153,17 @@ object GraphOps {
       .select(col("node"),
         when(col("node") === col("sn"), 0L).otherwise(lit(null).cast("long"))
           .as("dist"))
+    // frontier-delta BFS: each round joins the edge list against only
+    // the nodes DISCOVERED last round, not every reached node — with
+    // unit edge weights a node's first-discovery distance is final, so
+    // the layers partition the graph and the total join work over all
+    // rounds is O(E), not O(rounds·E). That is the difference between
+    // a plan that survives 100× scale-up and one whose later rounds
+    // re-join an O(V) reached-set every time.
+    var frontier = dist.filter(col("dist").isNotNull)
     (1 to BfsRounds).foreach { _ =>
       val next = edges
-        .join(dist.filter(col("dist").isNotNull), edges("src") === dist("node"))
+        .join(frontier, edges("src") === frontier("node"))
         .select(col("dst"), (col("dist") + 1L).as("cand"))
         .groupBy("dst").agg(min(col("cand")).as("nd"))
       // materialize each round: dist feeds BOTH sides of the merge, so
@@ -168,8 +176,16 @@ object GraphOps {
           when(col("dist").isNull, col("nd"))
             .when(col("nd").isNull, col("dist"))
             .when(col("nd") < col("dist"), col("nd"))
-            .otherwise(col("dist")).as("dist"))
+            .otherwise(col("dist")).as("dist"),
+          // newly discovered ⇔ was unreached and a candidate arrived;
+          // a smaller `nd` for an already-reached node cannot happen
+          // in unit-weight BFS (min-layer discovery is final)
+          (col("dist").isNull && col("nd").isNotNull).as("fresh"))
         .localCheckpoint()
+      // frontier reads back from the checkpoint just taken — a filter
+      // over materialized rows, no second materialization needed
+      frontier = dist.filter(col("fresh")).select(col("node"), col("dist"))
+      dist = dist.select(col("node"), col("dist"))
     }
     dist.groupBy(coalesce(col("dist"), lit(-1L)).as("hops"))
       .agg(count(lit(1)).as("n_nodes"))

@@ -64,4 +64,30 @@ class MemoSpec extends AnyFunSuite {
       s"refill ($dt s) should undercut the cold fill")
     Memo.clear(spark)
   }
+
+  test("concurrent cachedEager callers build a shared key exactly once") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.AtomicInteger
+    val d = Files.createTempDirectory("graft_memo_race").toString
+    Seq(1L, 2L, 3L, 4L).toDF("x").write.parquet(d + "/t.parquet")
+    val builds = new AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def load() = Memo.cachedEager(spark, "memo_spec_race", d) {
+      builds.incrementAndGet()
+      spark.read.parquet(d + "/t.parquet")
+    }
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // 8 threads released simultaneously into the same key — the memo
+    // cell must serialize them onto ONE build (the parallel Memo.fill
+    // chains race exactly like this on documents_par/embeddings_par)
+    val fs = (1 to 8).map(_ => Future { gate.await(); load() })
+    gate.countDown()
+    val dfs = fs.map(f => Await.result(f, 2.minutes))
+    assert(builds.get() == 1, s"expected exactly one build, got ${builds.get()}")
+    assert(dfs.forall(_ eq dfs.head), "all callers must see the same instance")
+    assert(dfs.head.count() == 4)
+    Memo.clear(spark)
+  }
 }
