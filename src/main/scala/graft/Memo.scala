@@ -92,10 +92,11 @@ object Memo {
     * (two callers racing into one key) is still guaranteed by the
     * atomic [[Cell]], spec-covered in MemoSpec. */
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps}
+    import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps, VocabOps}
     val fills: Seq[(String, () => Unit)] =
-      DedupOps.memoFills(s, dir) ++ CorpusOps.memoFills(s, dir) ++
-        AnnOps.memoFills(s, dir) ++ GraphOps.memoFills(s, dir)
+      DedupOps.memoFills(s, dir) ++ VocabOps.memoFills(s, dir) ++
+        CorpusOps.memoFills(s, dir) ++ AnnOps.memoFills(s, dir) ++
+        GraphOps.memoFills(s, dir)
     fills.map { case (name, f) =>
       val t0 = System.nanoTime()
       val ok = try { f(); true } catch { case _: Throwable => false }

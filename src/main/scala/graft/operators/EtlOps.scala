@@ -992,6 +992,11 @@ object EtlOps {
       .select(to_date(col("ts")).as("day"),
         explode(expr("json_object_keys(props)")).as("key"))
       .groupBy(col("day"), col("key")).agg(count(lit(1)).as("n_events"))
+      // materialized once: four consumers (presence probe, prev-day
+      // shift, day domain, dropped anti-join) would otherwise each
+      // re-run the JSON-parse + explode scan; the aggregate is
+      // days × keys — bounded at any corpus size
+      .localCheckpoint()
     val prev = k.select(date_add(col("day"), 1).as("day"), col("key"),
       lit(1L).as("was_present"))
     val present = k.join(prev.select("day", "key", "was_present"),

@@ -338,11 +338,11 @@ object TextOps {
     * itself, and docs without bigrams come back via the left join
     * with zero counts. */
   def repetition(s: SparkSession, d: String): DataFrame = {
-    // parallelized: the bigram explode is CPU-heavy and the local
-    // single-file scan would otherwise serialize it on one core
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val grams = docs.select(col("doc_id"),
-      explode(text.ngrams(text.tokens(col("text")), 2)).as("g"))
+    val docs = DedupOps.docsParallel(s, d)
+    // bigram explode over the shared memoized tokenize pass — narrow,
+    // already parallelized, no second regex scan of the corpus
+    val grams = VocabOps.docToks(s, d).select(col("doc_id"),
+      explode(text.ngrams(col("toks"), 2)).as("g"))
     val cnt = grams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
     val stats = cnt.groupBy(col("doc_id"))
@@ -492,10 +492,16 @@ object TextOps {
     * shared by the dense embedding and the hybrid-search dot
     * products. Works for ANY (doc_id, text)-shaped relation (the
     * hybrid query embeds its query string through the same path). */
-  private[operators] def hashEmbedCounts(docs: DataFrame): DataFrame = {
+  private[operators] def hashEmbedCounts(docs: DataFrame): DataFrame =
+    hashEmbedCountsFromTokens(docs.select(col("doc_id"),
+      explode(text.tokens(col("text"))).as("token")))
+
+  /** Same counts from an already-tokenized (doc_id, token) stream —
+    * corpus callers feed the shared memoized tokenize pass
+    * (VocabOps.docTokens) here instead of re-running the regex. */
+  private[operators] def hashEmbedCountsFromTokens(tok: DataFrame): DataFrame = {
     val h = text.rollingHash(col("token"))
-    docs
-      .select(col("doc_id"), explode(text.tokens(col("text"))).as("token"))
+    tok
       .select(col("doc_id"), (h % HashDim).cast("int").as("dim"),
         when(h % lit(2L * HashDim) < lit(HashDim.toLong), 1L)
           .otherwise(-1L).as("sign"))
@@ -507,8 +513,10 @@ object TextOps {
   /** The dense signed-count vector per doc (dim order), plus its
     * exact integer squared norm. Every doc appears, even token-free
     * ones (zero vector) — the grid join guarantees it. */
-  private def hashEmbedDense(docs: DataFrame): DataFrame = {
-    val counts = hashEmbedCounts(docs)
+  private def hashEmbedDense(docs: DataFrame): DataFrame =
+    hashEmbedDenseFrom(docs, hashEmbedCounts(docs))
+
+  private def hashEmbedDenseFrom(docs: DataFrame, counts: DataFrame): DataFrame = {
     val grid = docs.select(col("doc_id"))
       .crossJoin(broadcast(
         docs.sparkSession.range(HashDim).select(col("id").cast("int").as("dim"))))
@@ -528,7 +536,8 @@ object TextOps {
     * norm, and a positional polynomial digest of the signed counts —
     * which pin the full vector bit-for-bit. */
   def hashEmbed(s: SparkSession, d: String): DataFrame =
-    hashEmbedDense(DedupOps.docsParallel(s, d))
+    hashEmbedDenseFrom(DedupOps.docsParallel(s, d),
+      hashEmbedCountsFromTokens(VocabOps.docTokens(s, d)))
       .select(col("doc_id"),
         size(filter(col("vec"), x => x =!= 0L)).as("nnz"),
         col("norm2"),
@@ -589,8 +598,8 @@ object TextOps {
     * before the exchange. */
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     val docs = DedupOps.docsParallel(s, d)
-    val grams = docs.select(col("doc_id"),
-      explode(text.ngrams(text.tokens(col("text")), BoilerK)).as("sh"))
+    val grams = VocabOps.docToks(s, d).select(col("doc_id"),
+      explode(text.ngrams(col("toks"), BoilerK)).as("sh"))
     val boiler = grams.select(col("doc_id"), col("sh")).distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerDf)

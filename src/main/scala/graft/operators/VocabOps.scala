@@ -20,6 +20,51 @@ import graft.functions.{text, topk}
   */
 object VocabOps {
 
+  /** This family's shared memoized relations — consumed by
+    * [[graft.Memo.fill]]. doc_toks is the ONE tokenize pass the
+    * whole vocab/doc family fans out from; token_freq and doc_tf are
+    * the two aggregate granularities consumers re-derive most. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "doc_toks" -> (() => { docToks(s, d).count(); () }),
+    "token_freq" -> (() => { tokenFreq(s, d).count(); () }),
+    "doc_tf" -> (() => { docTf(s, d).count(); () }))
+
+  /** The tokenized corpus — (doc_id, lang, source, toks) with the
+    * family's single pinned tokenizer (functions.text.tokens), run
+    * ONCE per dataset per process and memoized. Nine operators in
+    * this file previously each re-ran the tokenize regex over the
+    * full corpus; at 100 TB that is the difference between one
+    * CPU-heavy scan and nine. The array granularity (not exploded)
+    * is deliberate: bigram/shape consumers need token ORDER, and the
+    * flat (doc, token) stream is a narrow explode away. */
+  private[graft] def docToks(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "doc_toks", d) {
+      DedupOps.docsParallel(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          text.tokens(col("text")).as("toks"))
+    }
+
+  /** Flat (doc_id, token) occurrence stream — a NARROW explode over
+    * the memoized array relation, so not separately cached (caching
+    * it would store the same tokens twice). */
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
+    docToks(s, d).select(col("doc_id"), explode(col("toks")).as("token"))
+
+  /** Global (token, freq) corpus counts. */
+  private[graft] def tokenFreq(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "token_freq", d) {
+      docTokens(s, d).groupBy("token").agg(count(lit(1)).as("freq"))
+    }
+
+  /** Per-document term frequencies (doc_id, token, tf) — one row per
+    * DISTINCT (doc, token), so `select(doc_id, token)` doubles as the
+    * per-doc distinct-token relation document-frequency consumers
+    * need. */
+  private[graft] def docTf(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "doc_tf", d) {
+      docTokens(s, d).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    }
+
   /** Vocab pruning bounds: drop tokens seen in < MinDf docs (noise /
     * typos) or in more than half the corpus (stopwords carry no
     * signal). Both thresholds compare INTEGERS (doc_freq·2 ≤ n_docs),
@@ -30,8 +75,14 @@ object VocabOps {
   /** Per-token document frequency + keep/prune decision. The corpus
     * size joins in as a broadcast 1-row aggregate — no driver action,
     * no second scan barrier in the plan. */
-  def docFreq(s: SparkSession, d: String): DataFrame =
-    docFreqFromDocs(Tables.parallelize(Tables.documents(s, d)))
+  def docFreq(s: SparkSession, d: String): DataFrame = {
+    // doc_tf is one row per distinct (doc, token) — its token column
+    // IS the per-doc-distinct stream docFreqFromDocs derives by
+    // array_distinct, minus the redundant re-tokenize
+    val df = docTf(s, d).groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val nd = DedupOps.docsParallel(s, d).agg(count(lit(1)).as("n_docs"))
+    docFreqAssemble(df, nd)
+  }
 
   /** `docs` needs a `text` column. */
   private[graft] def docFreqFromDocs(docs: DataFrame): DataFrame = {
@@ -39,13 +90,16 @@ object VocabOps {
       explode(array_distinct(text.tokens(col("text")))).as("token"))
     val df = tok.groupBy("token").agg(count(lit(1)).as("doc_freq"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
+    docFreqAssemble(df, nd)
+  }
+
+  private def docFreqAssemble(df: DataFrame, nd: DataFrame): DataFrame =
     df.crossJoin(broadcast(nd)).select(
       col("token"),
       col("doc_freq"),
       (col("doc_freq") * lit(1.0) / col("n_docs")).as("df_ratio"),
       (col("doc_freq") >= MinDf && col("doc_freq") * 2 <= col("n_docs"))
         .as("keep"))
-  }
 
   private val docFreqSql = {
     val toks = text.tokensSql
@@ -71,14 +125,11 @@ object VocabOps {
     * (doc, token, count) triples shuffle — partial aggregation
     * collapses each partition's token multiset map-side. */
   def docTfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    // cached: reused as the score input AND the df aggregation source
-    val tf = docs
-      .select(col("doc_id"), explode(text.tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .cache()
+    // shared memoized (doc_id, token, tf) — reused as the score input
+    // AND the df aggregation source
+    val tf = docTf(s, d)
     val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
-    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val nd = DedupOps.docsParallel(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(nd))
       .withColumn("score",
         col("tf").cast("double") *
@@ -121,9 +172,8 @@ object VocabOps {
     * the custom bounded-heap top-k operator (map-side partial heaps —
     * the (lang, ngram) count relation never sorts globally). */
   def ngramTopK(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val grams = docs.select(col("lang"),
-      explode(text.ngrams(text.tokens(col("text")), 2)).as("ngram"))
+    val grams = docToks(s, d).select(col("lang"),
+      explode(text.ngrams(col("toks"), 2)).as("ngram"))
     val counts = grams.groupBy("lang", "ngram").agg(count(lit(1)).as("n"))
     graft.functions.topk.perKey(counts,
       keys = Seq("lang"),
@@ -166,17 +216,17 @@ object VocabOps {
     * contributions add in FIXED term order, so the double score is
     * bit-identical on any partitioning and engine. */
   def bm25(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val toks = text.tokens(col("text"))
-    // cached: referenced by the 1-row corpus aggregate AND the
-    // scored crossJoin — one tokenize pass, not two
-    val withTf = docs.select(
+    val toks = col("toks")
+    // narrow size/filter folds over the memoized shared tokenize
+    // pass; referenced by the 1-row corpus aggregate AND the scored
+    // crossJoin — both recompute only the cheap folds, never the
+    // tokenizer regex
+    val withTf = docToks(s, d).select(
       (col("doc_id") +:
         size(toks).as("dl") +:
         Bm25Terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === t)).as(s"tf$i")
         }): _*)
-      .cache()
     val aggs =
       count(lit(1)).as("n_docs") +:
         sum(col("dl").cast("long")).as("sum_dl") +:
@@ -249,12 +299,13 @@ object VocabOps {
     * (round(p·10¹²)) before the sum — the same exact-sum discipline
     * as the money aggregates; both engines divide once at the end. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
+    val docs = DedupOps.docsParallel(s, d)
     // cached: the exploded gram relation feeds the c2 aggregation
     // (and through it c1) AND the per-doc probe join — without the
-    // cache the full-corpus tokenize+explode runs three times
-    val g = docs.select(col("doc_id"),
-      explode(text.ngrams(text.tokens(col("text")), 2)).as("g"))
+    // cache the full-corpus bigram explode runs three times (the
+    // tokenize itself comes from the shared memoized pass)
+    val g = docToks(s, d).select(col("doc_id"),
+      explode(text.ngrams(col("toks"), 2)).as("g"))
       .withColumn("w1", element_at(split(col("g"), " "), 1))
       .cache()
     val c2 = g.groupBy(col("g")).agg(count(lit(1)).as("c2"))
@@ -321,12 +372,12 @@ object VocabOps {
     * collapses per-partition multisets map-side, so shuffle volume is
     * distinct tokens/bigrams, not corpus token count. */
   def pmi(s: SparkSession, d: String): DataFrame = {
-    // cached: the ONE tokenize pass both explodes read (same hazard
-    // note as docTfidf/bm25's shared tf relation)
-    val toksArr = DedupOps.docsParallel(s, d)
-      .select(text.tokens(col("text")).as("toks")).cache()
-    val uni = toksArr.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n_w")).cache()
+    // both explodes read the shared memoized tokenize pass; unigram
+    // marginals are the shared token_freq relation under pmi's
+    // column names
+    val toksArr = docToks(s, d)
+    val uni = tokenFreq(s, d)
+      .select(col("token").as("w"), col("freq").as("n_w"))
     // totals DERIVE from the aggregates — no extra corpus pass:
     // T = Σ n_w, P = Σ n_ab over the pre-filter bigram counts
     val tot = uni.agg(sum(col("n_w")).as("t"))
@@ -395,11 +446,7 @@ object VocabOps {
     * construction). The share is published in integer ppm
     * (cum·1e6 div total) so both engines agree bit-for-bit. */
   def coverage(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val tc = docs
-      .select(explode(text.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .cache()
+    val tc = tokenFreq(s, d).select(col("token"), col("freq").as("cnt"))
     val tot = tc.agg(sum(col("cnt")).as("total"))
     val top = topk.perKey(tc.withColumn("g", lit(1)), Seq("g"),
       Seq(topk.Order("cnt", ascending = false), topk.Order("token")),
@@ -444,10 +491,7 @@ object VocabOps {
     * so the final frame stays tiny at any scale; mass_ppm derives
     * from one integer division against the broadcast total. */
   def freqSpectrum(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val tf = docs
-      .select(explode(text.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val tf = tokenFreq(s, d)
     val spectrum = tf.groupBy("freq").agg(count(lit(1)).as("n_tokens"))
       .withColumn("mass", col("freq") * col("n_tokens"))
     val tot = spectrum.agg(sum(col("mass")).as("total_mass"))
@@ -484,10 +528,8 @@ object VocabOps {
     * exact in both engines. K=16 sits inside this corpus's ~31-token
     * synthetic vocabulary so the rate actually discriminates. */
   def oovRate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val tok = docs.select(col("doc_id"),
-      explode(text.tokens(col("text"))).as("token"))
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val tok = docTokens(s, d)
+    val vocab = tokenFreq(s, d)
       .orderBy(col("freq").desc, col("token"))
       .limit(OovVocabK)
       .select("token")
@@ -535,15 +577,17 @@ object VocabOps {
     * engine-reproducible. */
   def vocabGrowth(s: SparkSession, d: String): DataFrame = {
     val base = DedupOps.docsParallel(s, d)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"),
         graft.functions.ihash.quad(col("doc_id")).as("h"))
     val pos = PipelineOps.hashRankPositions(base, "doc_id")
     val tot = pos.agg(count(lit(1)).as("n"))
     val dd = pos.crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"),
         least(expr("pos * 10 div n"), lit(9L)).cast("int").as("decile"))
-    val toks = dd.select(col("decile"),
-      explode(text.tokens(col("text"))).as("token"))
+    // the decile map is doc-level; tokens come from the shared
+    // memoized tokenize pass via one doc_id equi-join
+    val toks = dd.join(docToks(s, d).select(col("doc_id"), col("toks")), "doc_id")
+      .select(col("decile"), explode(col("toks")).as("token"))
     val newVocab = toks.groupBy(col("token"))
       .agg(min(col("decile")).as("decile"))
       .groupBy(col("decile")).agg(count(lit(1)).as("n_new_vocab"))
@@ -616,7 +660,7 @@ object VocabOps {
     * libm beyond correctly-rounded sqrt. */
   def hybridSearch(s: SparkSession, d: String): DataFrame = {
     val docs = DedupOps.docsParallel(s, d)
-    val counts = TextOps.hashEmbedCounts(docs)
+    val counts = TextOps.hashEmbedCountsFromTokens(docTokens(s, d))
     // the query string rides the same embed path as the corpus
     val qdocs = s.createDataFrame(Seq((0L, Bm25Terms.mkString(" "))))
       .toDF("doc_id", "text")
@@ -719,9 +763,10 @@ object VocabOps {
     * over |vocab| rows; integer products stay exact to ~10⁹ docs
     * (beyond: the margins move to DOUBLE, same op sequence). */
   def keyness(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.parallelize(Tables.documents(s, d))
-    val a = docs.select(col("source"),
-        explode(array_distinct(text.tokens(col("text")))).as("token"))
+    val docs = DedupOps.docsParallel(s, d)
+    val a = docToks(s, d)
+      .select(col("source"),
+        explode(array_distinct(col("toks"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("a"))
     val dfTot = a.groupBy("token").agg(sum(col("a")).as("df_tot"))
     val srcN = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
