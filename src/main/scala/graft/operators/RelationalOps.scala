@@ -1920,63 +1920,13 @@ object RelationalOps {
       return Seq((0L, Option.empty[Double])).toDF("n", "median_price")
     val (minC, maxC) = (b0.getLong(0), b0.getLong(1))
 
-    // cent values at several 0-indexed order statistics, resolved
-    // TOGETHER: every refinement round issues ONE scan whose
-    // histogram covers all still-open targets (each target buckets
-    // within its own disjoint window via a CASE router), so the scan
-    // count is the per-target convergence depth, not its multiple —
-    // at 100 TB each round IS a full-table pass, and the median's
-    // two ranks (p, p+1) would otherwise double every pass
-    def valuesAt(ps: Seq[Long]): Map[Long, Long] = {
-      // per-target state: (window lo, exclusive hi, rows below lo)
-      val st = scala.collection.mutable.Map(
-        ps.distinct.map(p => p -> (minC, maxC + 1, 0L)): _*)
-      while (st.exists { case (_, (lo, hiEx, _)) => hiEx - lo > 1 }) {
-        val open = st.toSeq.collect {
-          case (p, (lo, hiEx, before)) if hiEx - lo > 1 => (p, lo, hiEx, before)
-        }
-        // two open windows are either IDENTICAL (targets still in the
-        // same bucket) or DISJOINT (buckets split them apart) — never
-        // partially overlapping — so routing by DISTINCT window makes
-        // the CASE exact and shares one histogram between co-located
-        // targets. ceil-divide each window into ≤10k buckets: driver
-        // state stays bounded whatever the value range is
-        val windows = open.map { case (_, lo, hiEx, _) => (lo, hiEx) }.distinct
-          .map { case (lo, hiEx) =>
-            (lo, hiEx, math.max(1L, (hiEx - lo + 9999L) / 10000L)) }
-        val router = windows.zipWithIndex.map { case ((lo, hiEx, w), i) =>
-          s"WHEN c >= $lo AND c < $hiEx THEN named_struct('t', $i, 'b', (c - $lo) div $w)"
-        }.mkString("CASE ", " ", " ELSE null END")
-        val cover = windows.map { case (lo, hiEx, _) =>
-          col("c") >= lo && col("c") < hiEx }.reduce(_ || _)
-        val hist = cents.filter(cover)
-          .select(expr(router).as("tb"))
-          .groupBy(col("tb.t").as("t"), col("tb.b").as("b")).count()
-          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        open.foreach { case (p, lo, hiEx, before) =>
-          val i = windows.indexWhere(win => win._1 == lo && win._2 == hiEx)
-          val w = windows(i)._3
-          val rows = hist.collect { case (t, b, c) if t == i => b -> c }
-            .sortBy(_._1)
-          var cum = before
-          var bucket = -1L
-          val it = rows.iterator
-          while (bucket < 0 && it.hasNext) {
-            val (b, c) = it.next()
-            if (p < cum + c) bucket = b else cum += c
-          }
-          if (bucket < 0) throw new IllegalStateException(
-            s"order statistic $p not found in [$lo,$hiEx)")
-          st(p) = (lo + bucket * w,
-            math.min(hiEx, lo + (bucket + 1) * w), cum)
-        }
-      }
-      st.map { case (p, (lo, _, _)) => p -> lo }.toMap
-    }
-
+    // cent values at the median's two ranks, resolved TOGETHER by the
+    // shared multi-order-statistic selection (one scan per refinement
+    // round covers both — see functions.orderstat)
     val p1 = (n - 1) / 2
     val p2 = n / 2
-    val vs = valuesAt(Seq(p1, p2))
+    val vs = graft.functions.orderstat.valuesAtBounded(
+      cents, Seq(p1, p2), minC, maxC)
     val (c1, c2) = (vs(p1), vs(p2))
     val (loV, hiV) = (c1.toDouble / 100.0, c2.toDouble / 100.0)
     // HALF_UP like Spark/DuckDB round(); the midpoint of two 2-dp

@@ -52,7 +52,9 @@ class MemoSpec extends AnyFunSuite {
     val names = first.map(_._1)
     assert(names.distinct == names, "one fill per relation")
     assert(names.contains("shingle_sets") && names.contains("dedup_clusters")
-      && names.contains("ann_cents") && names.contains("assoc_edges"))
+      && names.contains("ann_cents") && names.contains("assoc_edges")
+      && names.contains("doc_toks") && names.contains("token_freq")
+      && names.contains("doc_tf"))
     // second fill hits the memo: every thunk returns without a rebuild
     // (bounded as a sanity check, not a benchmark — the first fill
     // runs whole LSH/k-means chains, the second only count()s caches)
