@@ -94,9 +94,9 @@ object Memo {
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps, VocabOps}
     val fills: Seq[(String, () => Unit)] =
-      DedupOps.memoFills(s, dir) ++ VocabOps.memoFills(s, dir) ++
-        CorpusOps.memoFills(s, dir) ++ AnnOps.memoFills(s, dir) ++
-        GraphOps.memoFills(s, dir)
+      DedupOps.memoFillsBase(s, dir) ++ VocabOps.memoFills(s, dir) ++
+        DedupOps.memoFills(s, dir) ++ CorpusOps.memoFills(s, dir) ++
+        AnnOps.memoFills(s, dir) ++ GraphOps.memoFills(s, dir)
     fills.map { case (name, f) =>
       val t0 = System.nanoTime()
       val ok = try { f(); true } catch { case _: Throwable => false }

@@ -51,8 +51,11 @@ object DedupOps {
     * raw text. */
   private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "shingle_sets", d) {
-      val sh = Tables.parallelize(Tables.documents(s, d))
-        .select(col("doc_id"), explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
+      // shingles derive from the family-wide memoized tokenize pass
+      // (one regex scan per dataset, shared with the vocab family);
+      // the explode stays narrow over the cached arrays
+      val sh = VocabOps.docToks(s, d)
+        .select(col("doc_id"), explode(text.shingles(col("toks"), NGram)).as("sh"))
       // df cap as an ANTI-join against the FREQUENT set: shingles with
       // df > MaxDf are ≤ 1/MaxDf of all shingle instances by the cap
       // itself (Zipf heads in practice: far fewer), so the exploded
@@ -364,7 +367,8 @@ object DedupOps {
     * land signatures once and fan out. */
   private def simhashSigsMemo(s: SparkSession, d: String): DataFrame =
     graft.Memo.cachedEager(s, "simhash_sigs", d)(
-      simhashSignatures(docsParallel(s, d)))
+      simhashSignaturesFromTokens(VocabOps.docTokens(s, d)
+        .select(col("doc_id"), col("token").as("tok"))))
 
   /** `docs` needs (doc_id, text); `bucketCap` is the per-bucket
     * representative cap (see SimHashBucketCap). Spec entry point —
@@ -376,9 +380,14 @@ object DedupOps {
       simhashSignatures(docs).localCheckpoint(true), bucketCap)
 
   /** (doc_id, sig): the packed 64-bit SimHash signature per doc. */
-  private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
+  private[graft] def simhashSignatures(docs: DataFrame): DataFrame =
+    simhashSignaturesFromTokens(docs
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok")))
+
+  /** Same signatures from an already-tokenized (doc_id, tok) stream —
+    * the memoized path feeds the shared tokenize pass here. */
+  private[graft] def simhashSignaturesFromTokens(tok0: DataFrame): DataFrame = {
+    val tok = tok0
       .withColumn("fp", text.rollingHash(col("tok")))
       // the 64 vote bits come from FOUR universal hashes of the
       // token fingerprint (16 bits each, hash j feeding sig chunk j)
@@ -597,9 +606,14 @@ object DedupOps {
 
   /** This family's shared memoized relations, in dependency order —
     * consumed by [[graft.Memo.fill]] (each thunk forces one memo). */
-  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+  /** The cross-family base scans — filled FIRST (VocabOps' tokenize
+    * pass builds on documents_par; the dedup chain then builds on
+    * that tokenize pass). */
+  private[graft] def memoFillsBase(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "documents_par" -> (() => { docsParallel(s, d).count(); () }),
-    "embeddings_par" -> (() => { embParallel(s, d).count(); () }),
+    "embeddings_par" -> (() => { embParallel(s, d).count(); () }))
+
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
     "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () }),
     "minhash_cand" -> (() => { minhashCandidates(s, d).count(); () }),

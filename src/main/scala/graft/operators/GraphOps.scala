@@ -241,9 +241,13 @@ object GraphOps {
     * once per dataset per process. */
   private[graft] def assocEdges(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "assoc_edges", d) {
+      // materialized once: os feeds both self-join sides — without
+      // it the distinct's shuffle runs twice whenever exchange reuse
+      // misses (same pattern as basket-lift's pair base)
       val os = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_suppkey").as("sk"))
         .distinct()
+        .localCheckpoint()
       val cow = os.as("a").join(os.as("b"),
           col("a.okey") === col("b.okey") && col("a.sk") < col("b.sk"))
         .select(col("a.sk").as("cu"), col("b.sk").as("cv"))
