@@ -628,8 +628,14 @@ object DedupOps {
 
   private[graft] def embeddingNearDupImpl(e0: DataFrame, tau: Double,
                                           tables: Int, bits: Int): DataFrame = {
-    // cached: referenced by the banding pass and both pair rejoins
-    val e = Tables.parallelize(e0).cache()
+    // referenced by the banding pass and both pair rejoins — reuse an
+    // already-persisted input AS IS (the memoized embParallel path:
+    // re-parallelizing it added a repartition shuffle and a duplicate
+    // full-corpus cache copy per call); raw spec inputs still get
+    // parallelized and cached here
+    val e =
+      if (e0.storageLevel != org.apache.spark.storage.StorageLevel.NONE) e0
+      else Tables.parallelize(e0).cache()
     val banded = e
       .select(col("vec_id"),
         explode(lshBuckets(col("embedding"), tables, bits, 64)).as("b"))
