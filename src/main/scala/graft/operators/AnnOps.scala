@@ -415,7 +415,8 @@ object AnnOps {
     "ann_pqcents" -> (() => { annPqCents(s, d).count(); () }),
     "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }),
     "pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
-    "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () }))
+    "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () }),
+    "cov_base" -> (() => { covarianceBase(s, d).count(); () }))
 
   // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
   // ---- mirrors must stay bit-identical, so the deterministic-fold
@@ -1515,7 +1516,15 @@ object AnnOps {
       - col("si").cast("double") * col("sj").cast("double")) /
       col("n").cast("double") / col("n").cast("double") / 1e12
 
-  private def covarianceBase(s: SparkSession, d: String): DataFrame = {
+  /** Memoized: the 2080-row aggregated Gram base is shared by the
+    * published covariance view AND the pca power iteration — without
+    * the memo each re-ran the 64·65/2-pairs-per-vector explode over
+    * the full corpus (the FLOP-heavy pass; the two consumers differ
+    * only in post-aggregation quantization). */
+  private def covarianceBase(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "cov_base", d)(covarianceBaseBuild(s, d))
+
+  private def covarianceBaseBuild(s: SparkSession, d: String): DataFrame = {
     val e = DedupOps.embParallel(s, d)
     val q = e.select(col("vec_id"),
       expr("transform(embedding, v -> cast(round(cast(v as double) * 1e6) as bigint))")
