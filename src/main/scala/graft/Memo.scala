@@ -39,11 +39,33 @@ object Memo {
     * only allocates the closure, so the map is never locked across
     * a Spark job. */
   private final class Cell(build: () => DataFrame) {
-    @volatile private var materialized: DataFrame = _
-    lazy val df: DataFrame = { materialized = build(); materialized }
-    /** The DataFrame if the lazy build ever ran — `clear` must not
-      * FORCE an unbuilt cell just to unpersist it. */
-    def builtOpt: Option[DataFrame] = Option(materialized)
+    private var built: DataFrame = _
+    private var dead = false
+    /** Build-once with lazy-val semantics (block concurrent callers,
+      * retry after a failed build) on an explicit monitor, so
+      * [[clearTarget]] can share the lock. A build that completes
+      * AFTER the cell was cleared immediately undoes its own
+      * persist: the caller still gets a usable (just uncached)
+      * DataFrame, and nothing leaks in the CacheManager. */
+    def df: DataFrame = synchronized {
+      if (built == null) {
+        built = build()
+        if (dead) built.unpersist()
+      }
+      built
+    }
+    /** What `clear` must unpersist. Taking the SAME monitor as the
+      * build means a clear racing an in-flight build WAITS and gets
+      * the finished DataFrame — otherwise the persist() the build
+      * already registered would outlive the removed map entry as an
+      * unreachable CacheManager leak, and the next `cached` call
+      * would persist a duplicate copy of the plan. Never-touched or
+      * failed cells yield None (nothing was persisted yet) and are
+      * marked dead so a build that arrives later self-unpersists. */
+    def clearTarget: Option[DataFrame] = synchronized {
+      dead = true
+      Option(built)
+    }
   }
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Cell]
@@ -112,7 +134,7 @@ object Memo {
   def clear(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     m.keySet.asScala.filter(_._1 eq s).toList.foreach { k =>
-      Option(m.remove(k)).foreach(_.builtOpt.foreach(_.unpersist()))
+      Option(m.remove(k)).foreach(_.clearTarget.foreach(_.unpersist()))
     }
     hooks.values.foreach(f => f(s))
   }

@@ -24,21 +24,34 @@ import org.apache.spark.sql.functions._
 object orderstat {
 
   /** Value of column `c` of `rel` at each 0-indexed ascending order
-    * statistic in `ps`. Requires every p in [0, count); `rel` must
-    * have an integral column named `c`. */
+    * statistic in `ps`, over the NON-NULL values (ranks index the
+    * null-free sorted sequence; a rank must be < the non-null
+    * count). `rel` needs an integral column named `c` — any width
+    * (cast to bigint internally). */
   def valuesAt(rel: DataFrame, ps: Seq[Long]): Map[Long, Long] = {
-    val b0 = rel.agg(min("c"), max("c"), count(lit(1))).head()
+    val rl = rel.filter(col("c").isNotNull)
+      .select(col("c").cast("long").as("c"))
+    val b0 = rl.agg(min("c"), max("c"), count(lit(1))).head()
     val n = b0.getLong(2)
-    require(n > 0, "valuesAt on an empty relation")
+    require(n > 0, "valuesAt on an empty (or all-NULL) relation")
     require(ps.forall(p => p >= 0 && p < n),
       s"ranks ${ps.filterNot(p => p >= 0 && p < n)} outside [0, $n)")
-    valuesAtBounded(rel, ps, b0.getLong(0), b0.getLong(1))
+    valuesAtBounded(rl, ps, b0.getLong(0), b0.getLong(1))
   }
 
   /** As [[valuesAt]] with the (min, max) pre-computed — callers that
-    * already ran the bounds aggregate skip the extra scan. */
+    * already ran the bounds aggregate skip the extra scan. `rel`
+    * must be null-free with a BIGINT `c` here (valuesAt normalizes
+    * both); the value span must also fit signed 64-bit arithmetic —
+    * guarded below, because `maxC + 1` or `hiEx − lo` overflowing
+    * would silently end refinement at the first window and return
+    * minC for every rank. */
   def valuesAtBounded(rel: DataFrame, ps: Seq[Long],
                       minC: Long, maxC: Long): Map[Long, Long] = {
+    require(maxC < Long.MaxValue,
+      "value domain touches Long.MaxValue — maxC + 1 would overflow")
+    require(maxC - minC >= 0 && maxC - minC < Long.MaxValue - 1,
+      s"value span [$minC, $maxC] exceeds signed-64 window arithmetic")
     // per-target state: (window lo, exclusive hi, rows below lo)
     val st = scala.collection.mutable.Map(
       ps.distinct.map(p => p -> (minC, maxC + 1, 0L)): _*)

@@ -604,15 +604,16 @@ object DedupOps {
        |WHERE $cos >= $CosTau""".stripMargin
   }
 
-  /** This family's shared memoized relations, in dependency order —
-    * consumed by [[graft.Memo.fill]] (each thunk forces one memo). */
   /** The cross-family base scans — filled FIRST (VocabOps' tokenize
     * pass builds on documents_par; the dedup chain then builds on
-    * that tokenize pass). */
+    * that tokenize pass). Consumed by [[graft.Memo.fill]]. */
   private[graft] def memoFillsBase(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "documents_par" -> (() => { docsParallel(s, d).count(); () }),
     "embeddings_par" -> (() => { embParallel(s, d).count(); () }))
 
+  /** The dedup candidate chain, in dependency order — filled after
+    * [[memoFillsBase]] and the VocabOps tokenize pass (each thunk
+    * forces one memo). */
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
     "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () }),

@@ -1912,19 +1912,27 @@ object RelationalOps {
   def exactMedian(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val cents = Tables.lineitem(s, d)
+    val cents0 = Tables.lineitem(s, d)
       .select(graft.functions.exact.scaled(col("l_extendedprice"), 2).as("c"))
-    val b0 = cents.agg(min("c"), max("c"), count(lit(1))).head()
-    val n = b0.getLong(2)
-    if (n == 0L)
-      return Seq((0L, Option.empty[Double])).toDF("n", "median_price")
+    val cents = cents0.filter(col("c").isNotNull)
+    // published n = ALL rows (oracle count(*)); the median's ranks
+    // index the NON-NULL sequence (oracle median() ignores NULLs) —
+    // they differ only on a corpus with null prices, but the rank
+    // base must be the null-free count to stay oracle-exact there.
+    // One bounds pass carries both counts (min/max/count(c) skip
+    // NULLs, count(*) does not).
+    val b0 = cents0.agg(min("c"), max("c"), count(col("c")), count(lit(1))).head()
+    val nn = b0.getLong(2)
+    val n = b0.getLong(3)
+    if (nn == 0L)
+      return Seq((n, Option.empty[Double])).toDF("n", "median_price")
     val (minC, maxC) = (b0.getLong(0), b0.getLong(1))
 
     // cent values at the median's two ranks, resolved TOGETHER by the
     // shared multi-order-statistic selection (one scan per refinement
     // round covers both — see functions.orderstat)
-    val p1 = (n - 1) / 2
-    val p2 = n / 2
+    val p1 = (nn - 1) / 2
+    val p2 = nn / 2
     val vs = graft.functions.orderstat.valuesAtBounded(
       cents, Seq(p1, p2), minC, maxC)
     val (c1, c2) = (vs(p1), vs(p2))

@@ -659,7 +659,6 @@ object VocabOps {
     * integers, cosine/rrf are fixed-order IEEE expressions — no
     * libm beyond correctly-rounded sqrt. */
   def hybridSearch(s: SparkSession, d: String): DataFrame = {
-    val docs = DedupOps.docsParallel(s, d)
     val counts = TextOps.hashEmbedCountsFromTokens(docTokens(s, d))
     // the query string rides the same embed path as the corpus
     val qdocs = s.createDataFrame(Seq((0L, Bm25Terms.mkString(" "))))

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions.col
 import graft.functions.orderstat
 
 /** Property tests for the multi-order-statistic selection
@@ -57,6 +58,33 @@ class OrderStatSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] {
       orderstat.valuesAt(rel, Seq(-1L))
+    }
+  }
+
+  test("NULLs are excluded from the rank base; ranks index the non-null sort") {
+    val rel = Seq(Some(5L), None, Some(1L), Some(9L), None).toDF("c")
+    val got = orderstat.valuesAt(rel, Seq(0L, 1L, 2L))
+    assert(got == Map(0L -> 1L, 1L -> 5L, 2L -> 9L))
+    // rank 3 is out of the NON-NULL domain even though 5 rows exist
+    intercept[IllegalArgumentException] {
+      orderstat.valuesAt(rel, Seq(3L))
+    }
+  }
+
+  test("narrow integer columns are widened, not ClassCastExceptions") {
+    val rel = Seq(30, 10, 20).toDF("c")
+      .select(col("c").cast("int").as("c"))
+    assert(orderstat.valuesAt(rel, Seq(0L, 2L)) == Map(0L -> 10L, 2L -> 30L))
+  }
+
+  test("value spans that would overflow window arithmetic are rejected") {
+    val rel = Seq(Long.MinValue, Long.MaxValue).toDF("c")
+    intercept[IllegalArgumentException] {
+      orderstat.valuesAt(rel, Seq(0L))
+    }
+    val relMax = Seq(Long.MaxValue, Long.MaxValue - 1).toDF("c")
+    intercept[IllegalArgumentException] {
+      orderstat.valuesAt(relMax, Seq(0L))
     }
   }
 }
