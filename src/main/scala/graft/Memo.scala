@@ -85,7 +85,13 @@ object Memo {
                  (build: => DataFrame): DataFrame =
     m.computeIfAbsent((s, key, dir), _ => new Cell(() => {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.foreach(_ => ())
+      // a failed materialization must undo the persist() it already
+      // registered: the cell stays unbuilt, so clear() would never
+      // find this entry to unpersist — the CacheManager leak the
+      // Cell design otherwise closes (Memo.fill deliberately
+      // tolerates failed fills, so this path is reachable)
+      try df.foreach(_ => ())
+      catch { case t: Throwable => df.unpersist(); throw t }
       df
     })).df
 

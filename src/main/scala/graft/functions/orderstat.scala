@@ -48,9 +48,17 @@ object orderstat {
     * minC for every rank. */
   def valuesAtBounded(rel: DataFrame, ps: Seq[Long],
                       minC: Long, maxC: Long): Map[Long, Long] = {
-    require(maxC < Long.MaxValue,
-      "value domain touches Long.MaxValue — maxC + 1 would overflow")
-    require(maxC - minC >= 0 && maxC - minC < Long.MaxValue - 1,
+    // headroom analysis for every intermediate: w ≤ ceil(span/10⁴),
+    // the ceil-divide computes hiEx−lo+9999 ≤ span+10⁴, and a
+    // window's refined end lo+(bucket+1)·w ≤ maxC+1+10⁴ — so keeping
+    // maxC AND the span 10⁴+2 away from Long.MaxValue makes all of
+    // them wrap-free. (The BigInt span avoids the guard itself
+    // overflowing for minC ≪ 0 < maxC.)
+    val Headroom = 10002L
+    require(maxC <= Long.MaxValue - Headroom,
+      s"value domain reaches $maxC — window arithmetic needs " +
+        s"$Headroom below Long.MaxValue")
+    require((BigInt(maxC) - BigInt(minC)) < BigInt(Long.MaxValue - Headroom),
       s"value span [$minC, $maxC] exceeds signed-64 window arithmetic")
     // per-target state: (window lo, exclusive hi, rows below lo)
     val st = scala.collection.mutable.Map(

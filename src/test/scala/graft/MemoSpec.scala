@@ -67,6 +67,27 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("a failed eager materialization unpersists its cache entry") {
+    import org.apache.spark.sql.functions.expr
+    var captured: org.apache.spark.sql.DataFrame = null
+    intercept[Throwable] {
+      Memo.cachedEager(spark, "memo_spec_fail", "nodir") {
+        captured = spark.range(2).toDF("x")
+          .select(expr("raise_error('boom')").as("y"))
+        captured
+      }
+    }
+    assert(captured != null)
+    // persist() registered the plan before the materializing job
+    // failed; the failure path must undo it, or the entry leaks in
+    // the CacheManager forever (the unbuilt cell reports nothing to
+    // clear())
+    assert(captured.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "failed eager build must unpersist what it registered")
+    Memo.clear(spark)
+  }
+
   test("concurrent cachedEager callers build a shared key exactly once") {
     import spark.implicits._
     import java.util.concurrent.atomic.AtomicInteger

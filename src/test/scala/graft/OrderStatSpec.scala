@@ -78,13 +78,25 @@ class OrderStatSpec extends AnyFunSuite {
   }
 
   test("value spans that would overflow window arithmetic are rejected") {
-    val rel = Seq(Long.MinValue, Long.MaxValue).toDF("c")
-    intercept[IllegalArgumentException] {
-      orderstat.valuesAt(rel, Seq(0L))
-    }
+    // trips the domain-headroom guard (maxC too close to MaxValue)
     val relMax = Seq(Long.MaxValue, Long.MaxValue - 1).toDF("c")
     intercept[IllegalArgumentException] {
       orderstat.valuesAt(relMax, Seq(0L))
     }
+    // trips the SPAN guard specifically: maxC itself has headroom
+    val relSpan = Seq(Long.MinValue, 0L).toDF("c")
+    intercept[IllegalArgumentException] {
+      orderstat.valuesAt(relSpan, Seq(0L))
+    }
+  }
+
+  test("domains just inside the headroom guard resolve exactly") {
+    // maxC within ~2·headroom of Long.MaxValue: every refined window
+    // end stays below MaxValue — the wrap regression a top-bucket
+    // refinement would hit without the headroom analysis
+    val base = Long.MaxValue - 30000L
+    val vals = Seq(base, base + 7, base + 9999)
+    val got = orderstat.valuesAt(vals.toDF("c"), Seq(0L, 1L, 2L))
+    assert(got == Map(0L -> base, 1L -> (base + 7), 2L -> (base + 9999)))
   }
 }
