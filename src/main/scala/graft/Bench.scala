@@ -30,32 +30,119 @@ object Bench {
     case c => c.toString
   } + "\""
 
-  /** The driver-facing stdout line: total only, no per-query map.
-    * Kept a pure function so BenchSpec can bound its size. */
-  def compactLine(total: Double, sfDir: String): String = {
+  /** Host calibration published with every bench line so a consumer
+    * can tell a slow RUN from a slow/contended HOST without a re-run
+    * (round 6: a host migration made an unchanged tree read as a 2×
+    * regression). `st`/`mt` are seconds for a FIXED deterministic CPU
+    * probe (same instruction stream every run) on 1 thread and on
+    * `cores` threads; `load` is the 1-minute load average sampled
+    * BEFORE the probe (so the probe's own load doesn't pollute it);
+    * `cpu` is the /proc/cpuinfo model string. Normalizing any two
+    * bench totals by their `st` ratio (or spotting `load` ≫ `cores`)
+    * makes cross-boot comparisons meaningful. */
+  final case class Calib(st: Double, mt: Double, load: Double,
+                         cores: Int, cpu: String) {
+    /** Compact JSON fragment; cpu model truncated so the stdout line
+      * stays inside the driver's tail window. */
+    def json: String =
+      s"""{"st":${f(st)},"mt":${f(mt)},"load":${f(load)},"cores":$cores,"cpu":${jsonStr(cpu.take(48))}}"""
+    private def f(d: Double) = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble.toString
+  }
+
+  /** One pass of a xxhash-style 64-bit mix over a constant buffer —
+    * fixed work, no allocation, no memory-bandwidth sensitivity
+    * beyond L1; wall time depends only on clock speed and how much
+    * CPU the scheduler actually gives the thread. */
+  private def mixPasses(passes: Int): Long = {
+    var h = 0x9E3779B185EBCA87L
+    var p = 0
+    while (p < passes) {
+      var i = 0
+      while (i < 65536) {
+        h = java.lang.Long.rotateLeft(h ^ (i * 0xC2B2AE3D27D4EB4FL), 31) *
+          0x165667B19E3779F9L
+        i += 1
+      }
+      p += 1
+    }
+    h
+  }
+  @volatile private var sink = 0L // defeat dead-code elimination
+
+  /** Measure the fixed probe single-threaded and on `cores` threads
+    * (each thread runs the FULL single-thread workload, so on an idle
+    * host mt ≈ st and on a contended/oversubscribed host mt ≫ st). */
+  def calibrate(): Calib = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val load =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val cpu =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get("/proc/cpuinfo")).asScala
+          .collectFirst { case l if l.startsWith("model name") =>
+            l.split(":", 2)(1).trim }
+          .getOrElse("unknown")
+      } catch { case _: Throwable => "unknown" }
+    val passes = 2000 // ~130M mixes, ~0.1–0.3 s on one modern core
+    sink ^= mixPasses(passes / 10) // JIT warmup, excluded from timing
+    val t0 = System.nanoTime()
+    sink ^= mixPasses(passes)
+    val st = (System.nanoTime() - t0) / 1e9
+    val threads = (1 to cores).map { _ =>
+      new Thread(() => { sink ^= mixPasses(passes) })
+    }
+    val t1 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    Calib(st, mt, load, cores, cpu)
+  }
+
+  /** The driver-facing stdout line: total plus the host calibration —
+    * no per-query map. Kept a pure function so BenchSpec can bound
+    * its size. */
+  def compactLine(total: Double, sfDir: String,
+                  calib: Option[Calib] = None): String = {
     // "sf0.1" → 0.1; anything unparseable becomes an ESCAPED string
     val base = sfDir.split('/').last
     val sf = base.stripPrefix("sf")
     val sfJson = sf.toDoubleOption.map(_.toString).getOrElse(jsonStr(base))
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":$sfJson}"""
+    val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal"sf":$sfJson}"""
   }
 
   /** The full line (per-query map included) written to the file copy.
     * `fills` carries the shared-relation materialization cost (one
     * entry per memo) SEPARATELY from the query timings: per-query
-    * numbers then measure the probe, not whichever query ran first. */
+    * numbers then measure the probe, not whichever query ran first.
+    * `fillErrors` carries the root cause of any failed fill (negative
+    * time in `fills`) so a broken shared relation is diagnosable from
+    * the artifact alone. */
   def detailLine(total: Double, results: Seq[(String, Double)], sfDir: String,
-                 fills: Seq[(String, Double)] = Nil): String = {
+                 fills: Seq[(String, Double)] = Nil,
+                 calib: Option[Calib] = None,
+                 fillErrors: Map[String, String] = Map.empty): String = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fl = fills.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"fills":$fl,"sf":${jsonStr(sfDir)}}"""
+    val fe = fillErrors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal"queries":$qs,"fills":$fl,"fill_errors":$fe,"sf":${jsonStr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // calibrate BEFORE Spark starts: the probe then measures the
+    // host, not contention with our own executor threads
+    val calib = Some(calibrate())
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
     // warmup: force real column reads on every fact table (count()
     // alone can satisfy from parquet footers) plus one higher-order
@@ -84,14 +171,14 @@ object Bench {
     val total = results.map(_._2).sum + fills.map(f => math.max(f._2, 0.0)).sum
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      detailLine(total, results, sfDir, fills) + "\n")
+      detailLine(total, results, sfDir, fills, calib, Memo.fillErrors) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     Memo.clear(spark)
     // the compact line is the LAST thing on stdout (after Spark's
     // shutdown chatter goes to stderr via log4j) so even a short tail
     // window catches an intact parseable line
-    println(compactLine(total, sfDir))
+    println(compactLine(total, sfDir, calib))
     spark.stop()
   }
 }

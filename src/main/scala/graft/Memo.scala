@@ -107,7 +107,18 @@ object Memo {
     * probe, not whichever query happened to run first (round-5 driver
     * bench attributed a 14 s LSH-chain fill to corpus_cross_source).
     * A failed fill is reported as a negative time and does not block
-    * the others.
+    * the others; its throwable is logged to stderr and recorded in
+    * [[fillErrors]] so Bench can publish the root cause next to the
+    * timing (a silently-broken shared relation would otherwise
+    * surface only as confusing downstream query errors).
+    *
+    * INVARIANT (acyclic builds): a fill's build closure may read
+    * OTHER memo keys only if those keys appear EARLIER in this list —
+    * the per-cell monitor is held for the whole build, so a cyclic
+    * key dependency between two cells would hard-deadlock two racing
+    * callers. The sequential family order below (dedup base → vocab →
+    * dedup → corpus → ann → graph) is that topological order; any new
+    * memo key must be appended respecting it.
     *
     * Fills run SEQUENTIALLY in dependency order, deliberately: a
     * measured experiment running the three family chains in parallel
@@ -125,13 +136,36 @@ object Memo {
       DedupOps.memoFillsBase(s, dir) ++ VocabOps.memoFills(s, dir) ++
         DedupOps.memoFills(s, dir) ++ CorpusOps.memoFills(s, dir) ++
         AnnOps.memoFills(s, dir) ++ GraphOps.memoFills(s, dir)
+    runFills(fills)
+  }
+
+  /** Timing/error harness behind [[fill]], factored out so MemoSpec
+    * can drive it with a deliberately-failing thunk. Each failure is
+    * logged (class + message + top frame) and recorded under the
+    * fill's name in [[fillErrors]]; successes clear any stale entry
+    * from a previous run of the same name. */
+  private[graft] def runFills(
+      fills: Seq[(String, () => Unit)]): Seq[(String, Double)] =
     fills.map { case (name, f) =>
       val t0 = System.nanoTime()
-      val ok = try { f(); true } catch { case _: Throwable => false }
+      val ok = try { f(); fillErr.remove(name); true } catch {
+        case t: Throwable =>
+          val top = t.getStackTrace.headOption.map(" at " + _).getOrElse("")
+          val msg = s"${t.getClass.getName}: ${t.getMessage}$top"
+          System.err.println(s"[memo] fill '$name' FAILED — $msg")
+          fillErr.put(name, msg)
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
-  }
+
+  private val fillErr = TrieMap.empty[String, String]
+
+  /** Root cause of every fill that failed in the most recent
+    * [[fill]]/[[runFills]] pass touching that name (empty when all
+    * fills succeeded). Bench publishes this as `fill_errors`. */
+  def fillErrors: Map[String, String] = fillErr.toMap
 
   /** Drop and unpersist every entry belonging to `s` — for long-lived
     * library sessions (a one-shot Bench/Verify process could rely on

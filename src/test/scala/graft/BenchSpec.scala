@@ -23,6 +23,21 @@ class BenchSpec extends AnyFunSuite {
     assert(line.endsWith(""""sf":0.1}"""))
   }
 
+  test("calibrated stdout line carries calib fields and stays bounded") {
+    val cal = Bench.Calib(0.12345678, 3.87654321, 31.72, 32,
+      "Some Vendor(R) Model CPU @ 9.99GHz with an absurdly long suffix")
+    val line = Bench.compactLine(71.8766, "/root/testdata/sf0.1", Some(cal))
+    assert(line.getBytes("UTF-8").length < 500, s"line too long: $line")
+    assert(line.contains(""""calib":{"st":0.1235,"mt":3.8765,"load":31.72,"cores":32,"cpu":"""))
+    assert(line.endsWith(""""sf":0.1}"""), "sf must stay the final field")
+    assert(!line.contains("absurdly"), "cpu model must be truncated")
+    // a real probe on this machine: sane, positive, mt >= roughly st
+    val real = Bench.calibrate()
+    assert(real.st > 0 && real.mt > 0 && real.cores > 0)
+    assert(real.mt >= real.st * 0.5,
+      s"full-load probe should not beat single-thread: $real")
+  }
+
   test("sf parses to a number for sfN dirs and degrades to a string") {
     assert(Bench.compactLine(1.0, "/x/sf0.001").endsWith(""""sf":0.001}"""))
     assert(Bench.compactLine(1.0, "weird-dir").endsWith(""""sf":"weird-dir"}"""))
@@ -41,6 +56,18 @@ class BenchSpec extends AnyFunSuite {
     // no fills -> empty map, still valid JSON (the driver json.loads it)
     assert(Bench.detailLine(1.0, manyQueries, "/x/sf0.1")
       .contains(""""fills":{}"""))
+  }
+
+  test("detail line publishes fill root causes and calib") {
+    val errs = Map("ann_cents" -> "java.lang.RuntimeException: boom\"x")
+    val cal = Bench.Calib(0.1, 3.2, 1.5, 32, "cpu")
+    val line = Bench.detailLine(10.0, manyQueries, "/x/sf0.1",
+      Seq("ann_cents" -> -0.7), Some(cal), errs)
+    assert(line.contains(""""fill_errors":{"ann_cents":"java.lang.RuntimeException: boom\"x"}"""))
+    assert(line.contains(""""calib":{"st":0.1,"""))
+    // default: empty error map, no calib — still the same parseable shape
+    val bare = Bench.detailLine(1.0, manyQueries, "/x/sf0.1")
+    assert(bare.contains(""""fill_errors":{}""") && !bare.contains("calib"))
   }
 
   test("strings with quotes/backslashes/control chars stay valid JSON") {

@@ -67,6 +67,24 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("a failed fill reports negative time and a visible root cause") {
+    val boom = new RuntimeException("planted fill failure")
+    val out = Memo.runFills(Seq(
+      "spec_fill_ok" -> (() => ()),
+      "spec_fill_bad" -> (() => throw boom)))
+    assert(out.collect { case ("spec_fill_ok", t) => t }.head >= 0.0)
+    assert(out.collect { case ("spec_fill_bad", t) => t }.head < 0.0,
+      "failure must be encoded as negative seconds")
+    val err = Memo.fillErrors.get("spec_fill_bad")
+    assert(err.exists(m => m.contains("RuntimeException")
+      && m.contains("planted fill failure")),
+      s"root cause must be recorded, got $err")
+    assert(!Memo.fillErrors.contains("spec_fill_ok"))
+    // a later successful pass of the same name clears the stale error
+    Memo.runFills(Seq("spec_fill_bad" -> (() => ())))
+    assert(!Memo.fillErrors.contains("spec_fill_bad"))
+  }
+
   test("a failed eager materialization unpersists its cache entry") {
     import org.apache.spark.sql.functions.expr
     var captured: org.apache.spark.sql.DataFrame = null
