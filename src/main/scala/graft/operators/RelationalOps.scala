@@ -1144,6 +1144,58 @@ object RelationalOps {
        |FROM events
        |GROUP BY user_id""".stripMargin
 
+  // ---------------------------------------------------- q_skew_join
+
+  /** Runtime-skew join — the AQE complement to [[saltedAgg]]'s manual
+    * salting, in the canonical default-key shape: 95% of lineitem
+    * rows attribute to anchor key 0 (the Zipf head / default-FK mass
+    * every web-scale event stream has), the rest keep their own key,
+    * and the anchor dimension is a 1-row-per-key filtered projection
+    * of orders. The query stays fully declarative — no salt columns,
+    * no hints — and BOTH join inputs are pure projections, the shape
+    * `OptimizeSkewedJoin` pattern-matches (an aggregate between the
+    * shuffle and the join would defeat it, which is itself a
+    * scale-design lesson: keep the skewed join adjacent to its
+    * exchange). At 100 TB the hot shuffle partition crosses the
+    * default AQE thresholds and is split at runtime; the post-join
+    * re-aggregation on a different key means the split costs no
+    * extra shuffle. RelationalSpec proves the mechanism at test
+    * scale: with broadcast disabled and thresholds scaled down, the
+    * executed plan shows `skew=true` on the sort-merge join and the
+    * answer is invariant (exact scaled-integer sums — identical
+    * under ANY join strategy). */
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val left = Tables.lineitem(s, d)
+      .select(
+        when(col("l_orderkey") % 20 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_returnflag"), col("l_extendedprice"))
+    // anchors: one row per key (o_orderkey 0, 20, 40, … — 0 exists in
+    // the data, so the planted head matches the default anchor 1:1)
+    val right = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    left.join(right, "k")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        xsum(col("l_extendedprice"), 2).as("revenue"),
+        xsum(col("o_totalprice"), 2).as("anchor_price"))
+  }
+
+  private val skewJoinSql =
+    s"""WITH l AS (
+       |  SELECT CASE WHEN l_orderkey % 20 <> 0 THEN 0 ELSE l_orderkey END AS k,
+       |    l_returnflag, l_extendedprice
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT o_orderkey AS k, o_totalprice
+       |  FROM orders WHERE o_orderkey % 20 = 0)
+       |SELECT l_returnflag, $oCount AS n_rows,
+       |  ${oSum("l_extendedprice", 2)} AS revenue,
+       |  ${oSum("o_totalprice", 2)} AS anchor_price
+       |FROM l JOIN r USING (k)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- q6 forecast rev
 
   /** TPC-H Q6-style: pure filter + single exact sum — the minimal
@@ -3203,6 +3255,7 @@ object RelationalOps {
     "q_json_extract" -> (jsonExtract _),
     "q_corr_subquery" -> (corrSubquery _),
     "q_salted_agg" -> (saltedAgg _),
+    "q_skew_join" -> (skewJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _),
     "q_skyline" -> (skyline _),
@@ -3288,6 +3341,7 @@ object RelationalOps {
     "q_json_extract" -> jsonExtractSql,
     "q_corr_subquery" -> corrSubquerySql,
     "q_salted_agg" -> saltedAggSql,
+    "q_skew_join" -> skewJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
     "q_skyline" -> skylineSql,

@@ -77,6 +77,43 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_join: AQE splits the planted skewed partition at runtime") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    val before = rows(RelationalOps.skewJoin(spark, sf))
+    assert(before.nonEmpty)
+    // AQE splits a skewed reduce partition at MAPPER-range granularity
+    // — a single-row-group test file means one mapper and nothing to
+    // split, so rewrite the two tables as multi-file copies first (at
+    // 100 TB there are thousands of mappers; this is the test-scale
+    // stand-in, not a query change)
+    val multi = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    Tables.lineitem(spark, sf).repartition(8)
+      .write.parquet(multi + "/lineitem.parquet")
+    Tables.orders(spark, sf).repartition(4)
+      .write.parquet(multi + "/orders.parquet")
+    // force the shuffle path and scale the skew thresholds down to
+    // test data size — the production analog: a 100 TB Zipf head
+    // crosses the DEFAULT thresholds the same way
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k")
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = RelationalOps.skewJoin(spark, multi)
+      val after = rows(df)
+      assert(after == before,
+        "answer must be invariant to join strategy and file layout")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split must have fired on the planted Zipf head:\n$plan")
+    } finally confs.keys.foreach(spark.conf.unset)
+  }
+
   test("concurrent queries on the shared session are safe and correct") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
