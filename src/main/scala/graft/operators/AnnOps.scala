@@ -412,6 +412,7 @@ object AnnOps {
     "ann_train" -> (() => { annTrain(s, d).count(); () }),
     "ann_cents" -> (() => { annCents(s, d).count(); () }),
     "ann_assigned" -> (() => { annAssigned(s, d).count(); () }),
+    "ann_trainres" -> (() => { annTrainRes(s, d).count(); () }),
     "ann_pqcents" -> (() => { annPqCents(s, d).count(); () }),
     "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }),
     "pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
@@ -784,16 +785,21 @@ object AnnOps {
     * 4-byte PQ codes instead of 256-byte float arrays, so the
     * per-query work is (probed fraction of N) × (bytes of a code).
     * Both quantizers train on the SAME bounded qhash sample (the IVF
-    * sample — ≥ the PQ-only sample since cells ≥ PqCells); codes
-    * encode raw vectors, not residuals — a documented simplification
-    * (residual encoding needs a per-cell re-center that doubles the
-    * mirror's CTE chain for ~no recall delta at this dimensionality).
-    * ADC shortlist re-scored exactly, like `ann_pq`. Every stage is
-    * the same deterministic integer/sorted-fold construction as the
-    * parent operators, so the DuckDB mirror reproduces the full
-    * pipeline bit-for-bit. */
+    * sample — ≥ the PQ-only sample since cells ≥ PqCells). Codes
+    * encode RESIDUALS (v − coarse centroid of v's cell) — the FAISS
+    * production layout: residuals concentrate around 0 with far less
+    * variance than raw vectors, so the same 4 bytes of code carry
+    * more precision (AnnSpec pins recall@10 residual ≥ raw at equal
+    * code bytes). ADC then scores against COMPOSITE centroids
+    * (coarse-cell sub-vector + residual sub-centroid), computed per
+    * (query, probed cell) — nProbe·PqM·PqCells entries per query,
+    * broadcast like FAISS's per-cell lookup tables. Shortlist
+    * re-scored exactly, like `ann_pq`. Every stage is the same
+    * deterministic integer/sorted-fold construction as the parent
+    * operators, so the DuckDB mirror reproduces the full pipeline
+    * bit-for-bit. */
   def ivfpq(s: SparkSession, d: String): DataFrame =
-    ivfpqScore(annAssigned(s, d).select("vec_id", "cell_id"),
+    ivfpqResScore(annAssigned(s, d).select("vec_id", "cell_id"),
       annPqCodes(s, d), annPqCents(s, d), annCorpus(s, d),
       annCents(s, d), queriesDf(s, d),
       nProbe = DefaultNProbe, shortK = PqShortlist)
@@ -860,20 +866,54 @@ object AnnOps {
       .agg(min(struct(col("dist"), col("cell_id"))).as("best"))
       .select(col("vec_id"), col("j"), col("best.cell_id").as("code"))
 
-  /** PQ codebooks trained on the IVF (larger) sample + the corpus
-    * codes, memoized for the default ivfpq path. */
+  /** Residual v − c: elementwise float subtraction — the same IEEE
+    * float op in both engines, so residuals are bit-identical. */
+  private def resid(v: Column, c: Column): Column =
+    zip_with(v, c, (x, y) => x - y)
+
+  /** Training-sample residuals w.r.t. the final coarse quantizer:
+    * assign the bounded sample to the trained centroids, subtract
+    * each row's cell centroid. `h` re-joined so residual PQ seeds
+    * keep the hash order. This is what the sub-quantizers train on —
+    * the FAISS residual-IVFPQ training set. */
+  private def trainResiduals(train: DataFrame, cents: DataFrame): DataFrame =
+    coarseAssign(train, cents)
+      .join(broadcast(cents), "cell_id")
+      .select(col("vec_id"),
+        resid(col("embedding"), col("c_emb")).as("embedding"))
+      .join(train.select(col("vec_id"), col("h")), "vec_id")
+
+  /** Corpus residuals from the memoized assignment — one broadcast
+    * join + float subtraction, no extra corpus pass. */
+  private def corpusResiduals(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), "cell_id")
+      .select(col("vec_id"),
+        resid(col("embedding"), col("c_emb")).as("embedding"))
+
+  private def annTrainRes(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "ann_trainres", d)(
+      trainResiduals(annTrain(s, d), annCents(s, d)))
+
+  /** PQ codebooks trained on the IVF (larger) sample's RESIDUALS +
+    * the corpus residual codes, memoized for the default ivfpq
+    * path. */
   private def annPqCents(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, "ann_pqcents", d)(pqCentsFromTrain(annTrain(s, d)))
+    graft.Memo.cached(s, "ann_pqcents", d)(
+      pqCentsFromTrain(annTrainRes(s, d)))
 
   private def annPqCodes(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "ann_pqcodes", d)(
-      pqEncode(annCorpus(s, d), annPqCents(s, d)))
+      pqEncode(corpusResiduals(annAssigned(s, d), annCents(s, d)),
+        annPqCents(s, d)))
 
   /** Spec hooks: nProbe = all cells AND shortK ≥ corpus degenerates
-    * to exact brute force. */
+    * to exact brute force; `residual = false` keeps the raw-vector
+    * encoding reachable so AnnSpec can pin recall(residual) ≥
+    * recall(raw) at equal code bytes. */
   private[graft] def ivfpqImpl(e0: DataFrame, queries: DataFrame,
                                nCells: Int, nProbe: Int, shortK: Int,
-                               trainPerCell: Int = TrainPerCell): DataFrame = {
+                               trainPerCell: Int = TrainPerCell,
+                               residual: Boolean = true): DataFrame = {
     val e = Tables.parallelize(e0).cache()
     val n = e.count()
     val cells =
@@ -882,12 +922,70 @@ object AnnOps {
     val train = trainSample(e, n, cells, trainPerCell)
     // coarse quantizer: identical construction to ann_ivf; sub-
     // quantizers: identical construction to ann_pq but trained on
-    // the (larger) IVF sample
+    // the (larger) IVF sample — on residuals for the default path
     val cents = coarseCentsFromTrain(train, cells).cache()
-    val assigned = coarseAssign(e, cents).select("vec_id", "cell_id")
-    val pcents = pqCentsFromTrain(train).cache()
-    val codes = pqEncode(e, pcents)
-    ivfpqScore(assigned, codes, pcents, e, cents, queries, nProbe, shortK)
+    val assignedFull = coarseAssign(e, cents)
+    if (residual) {
+      val pcents = pqCentsFromTrain(trainResiduals(train, cents)).cache()
+      val codes = pqEncode(corpusResiduals(assignedFull, cents), pcents)
+      ivfpqResScore(assignedFull.select("vec_id", "cell_id"), codes, pcents,
+        e, cents, queries, nProbe, shortK)
+    } else {
+      val pcents = pqCentsFromTrain(train).cache()
+      val codes = pqEncode(e, pcents)
+      ivfpqScore(assignedFull.select("vec_id", "cell_id"), codes, pcents,
+        e, cents, queries, nProbe, shortK)
+    }
+  }
+
+  /** Composite ADC lookup table for residual codes: per (query,
+    * probed cell, subspace, code), the table entry scores against
+    * the COMPOSITE centroid c_cell⊂j + r̂ (coarse sub-vector plus
+    * residual sub-centroid), so Σⱼ dotp = q·(c + r̂) and Σⱼ cn2 =
+    * ‖c + r̂‖² exactly — [[adcFold]] then needs no change. Size is
+    * |queries|·nProbe·PqM·PqCells (FAISS's per-probed-cell table),
+    * always broadcastable. Float addition for the composite, double
+    * folds for the products — both mirrored bit-for-bit. */
+  private def resQueryTab(queries: DataFrame, probes: DataFrame,
+                          cents: DataFrame, pcents: DataFrame): DataFrame =
+    queries.withColumn("qnorm", vector.norm(col("q_emb")))
+      .join(probes, "query_id")
+      .join(broadcast(cents), "cell_id")
+      .select(col("query_id"), col("qnorm"), col("cell_id"),
+        col("q_emb"), col("c_emb"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("j"))
+      .join(broadcast(pcents.select(col("j"), col("cell_id").as("code"),
+        col("c_emb").as("r_emb"))), "j")
+      .withColumn("comp",
+        zip_with(subVec(col("c_emb"), col("j")), col("r_emb"), (a, b) => a + b))
+      .select(col("query_id"), col("qnorm"), col("cell_id"), col("j"),
+        col("code"),
+        vector.dot(subVec(col("q_emb"), col("j")), col("comp")).as("dotp"),
+        vector.dot(col("comp"), col("comp")).as("cn2"))
+
+  /** Residual-code scoring: candidates keep their cell_id so each
+    * code row looks up the (query, cell)-specific composite table
+    * entry; shortlist re-score identical to the raw path. */
+  private def ivfpqResScore(assigned: DataFrame, codes: DataFrame,
+                            pcents: DataFrame, e: DataFrame, cents: DataFrame,
+                            queries: DataFrame, nProbe: Int,
+                            shortK: Int): DataFrame = {
+    import graft.functions.topk
+    val probes = topk.perKey(
+      queries.crossJoin(broadcast(cents))
+        .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
+        .select("query_id", "cell_id", "dist"),
+      keys = Seq("query_id"),
+      order = Seq(topk.Order("dist"), topk.Order("cell_id")),
+      k = nProbe)
+      .select("query_id", "cell_id")
+    val cand = assigned.join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "cell_id")
+    val approx = adcFold(cand.join(codes, "vec_id")
+      .join(broadcast(resQueryTab(queries, probes, cents, pcents)),
+        Seq("query_id", "cell_id", "j", "code")))
+    adcShortRescore(approx, e, queries, shortK)
   }
 
   private def ivfpqScore(assigned: DataFrame, codes: DataFrame,
@@ -964,25 +1062,37 @@ object AnnOps {
        |  FROM (SELECT * FROM corpus WHERE vec_id < $NQueries) t, cent2 s
        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
        |    ORDER BY -($dotTS / (t.nrm * s.cnorm)), s.cell_id) <= $DefaultNProbe),
+       |${cAssign("train", "cent2", "tasg0")},
+       |tres AS (
+       |  SELECT t.vec_id, tr.h,
+       |    list_transform(range(1, 65),
+       |      i -> t.embedding[i] - s.c_emb[i]) AS embedding
+       |  FROM tasg0 t JOIN cent2 s USING (cell_id)
+       |  JOIN train tr ON tr.vec_id = t.vec_id),
        |js AS (SELECT unnest(range(0, $PqM)) AS j),
        |pseedrows AS (
        |  SELECT cast(row_number() OVER (ORDER BY h, vec_id) - 1 as int) AS cell_id,
        |         embedding
-       |  FROM train
+       |  FROM tres
        |  QUALIFY row_number() OVER (ORDER BY h, vec_id) <= $PqCells),
        |pseed AS (
        |  SELECT j, cell_id, ${sub("embedding", "j")} AS c_emb
        |  FROM pseedrows, js),
        |tsub AS (
        |  SELECT vec_id, j, ${sub("embedding", "j")} AS semb
-       |  FROM train, js),
+       |  FROM tres, js),
        |${pAssign("tsub", "pseed", "pa1")},
        |${pMeans("pa1", "pcent1")},
        |${pAssign("tsub", "pcent1", "pa2")},
        |${pMeans("pa2", "pcent2")},
+       |eres AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |    list_transform(range(1, 65),
+       |      i -> a.embedding[i] - s.c_emb[i]) AS embedding
+       |  FROM asg a JOIN cent2 s USING (cell_id)),
        |esub AS (
        |  SELECT vec_id, j, ${sub("embedding", "j")} AS semb
-       |  FROM embeddings, js),
+       |  FROM eres, js),
        |codes AS (
        |  SELECT t.vec_id, t.j, s.cell_id
        |  FROM esub t JOIN pcent2 s ON t.j = s.j
@@ -992,16 +1102,21 @@ object AnnOps {
        |  SELECT vec_id AS query_id, embedding AS q_emb,
        |         ${vector.sql.norm("embedding")} AS qnorm
        |  FROM embeddings WHERE vec_id < $NQueries),
+       |qtab0 AS (
+       |  SELECT q.query_id, q.qnorm, p.cell_id, s.j, s.cell_id AS code,
+       |    ${sub("q.q_emb", "s.j")} AS qs,
+       |    list_transform(range(1, ${PqDims + 1}),
+       |      i -> c2.c_emb[s.j*$PqDims + i] + s.c_emb[i]) AS comp
+       |  FROM qn q
+       |  JOIN probes p ON q.query_id = p.query_id
+       |  JOIN cent2 c2 ON p.cell_id = c2.cell_id, pcent2 s),
        |qtab AS (
-       |  SELECT q.query_id, q.qnorm, s.j, s.cell_id,
-       |    list_reduce(list_prepend(cast(0.0 as double),
-       |      list_transform(range(1, ${PqDims + 1}),
-       |        i -> cast(q.q_emb[s.j*$PqDims + i] * s.c_emb[i] as double))),
-       |      (acc, x) -> acc + x) AS dotp,
-       |    ${vector.sql.dot("s.c_emb", "s.c_emb")} AS cn2
-       |  FROM qn q, pcent2 s),
+       |  SELECT query_id, qnorm, cell_id, j, code,
+       |    ${vector.sql.dot("qs", "comp")} AS dotp,
+       |    ${vector.sql.dot("comp", "comp")} AS cn2
+       |  FROM qtab0),
        |cand AS (
-       |  SELECT p.query_id, a.vec_id
+       |  SELECT p.query_id, a.vec_id, a.cell_id
        |  FROM asg a JOIN probes p USING (cell_id)
        |  WHERE a.vec_id <> p.query_id),
        |approx0 AS (
@@ -1009,8 +1124,8 @@ object AnnOps {
        |    ${adcSumsSql("q")}
        |  FROM cand x
        |  JOIN codes c ON x.vec_id = c.vec_id
-       |  JOIN qtab q ON c.j = q.j AND c.cell_id = q.cell_id
-       |    AND q.query_id = x.query_id
+       |  JOIN qtab q ON c.j = q.j AND c.cell_id = q.code
+       |    AND q.query_id = x.query_id AND q.cell_id = x.cell_id
        |  GROUP BY q.query_id, c.vec_id, q.qnorm),
        |approx AS (
        |  SELECT query_id, vec_id, qnorm, $adcTotalsSql

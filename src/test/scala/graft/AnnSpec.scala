@@ -118,6 +118,28 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.15, s"mean ivfpq recall@10 = $mean")
   }
 
+  test("ivfpq residual codes beat raw-vector codes at equal code bytes") {
+    val e = Tables.embeddings(spark, sf)
+    // probe ALL cells so the candidate set is identical for both
+    // encodings — any recall difference is purely ADC code quality
+    def recall(residual: Boolean, shortK: Int): Double = {
+      val got = asMap(AnnOps.ivfpqImpl(e, queriesDf, nCells = 16,
+        nProbe = 16, shortK = shortK, residual = residual))
+      val rs = exact.map { case (q, nbrs) =>
+        got.getOrElse(q, Nil).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+      }
+      rs.sum / rs.size
+    }
+    // tight shortlist (= K): the ADC ranking IS the answer; and the
+    // production shortlist: re-score can only recover what ADC kept
+    Seq(10, 50).foreach { shortK =>
+      val (raw, res) = (recall(residual = false, shortK),
+        recall(residual = true, shortK))
+      assert(res >= raw,
+        s"residual recall@10 ($res) must be >= raw ($raw) at shortK=$shortK")
+    }
+  }
+
   test("knn join: every vector gets k ranked neighbors; recall vs exact top-5") {
     val knn = AnnOps.knnJoin(spark, sf).collect()
     val byVec = knn.groupBy(_.getLong(0))
