@@ -288,7 +288,7 @@ object AnnOps {
       .select(col("vec_id"), col("embedding"), qhash(col("vec_id")).as("h"))
     (if (frac >= 1.0) sampled
      else sampled.filter(col("h") < lit((frac * M).toLong)))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
   }
 
   /** Coarse quantizer from a training sample: hash-ordered seeds +

@@ -97,7 +97,7 @@ object CorpusOps {
           .unionAll(pc.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .cache()
         var labels = edges.select(col("src").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+          .select(col("doc_id"), col("doc_id").as("lbl")).transform(graft.Checkpoints.eager)
         var converged = false
         var round = 0
         val maxRounds = 60 // doubling: covers components of diameter ~2^60
@@ -119,7 +119,7 @@ object CorpusOps {
               least(col("lbl"),
                 coalesce(col("nbr_lbl"), col("lbl")),
                 coalesce(col("jump_lbl"), col("lbl"))).as("lbl"))
-            .localCheckpoint()
+            .transform(graft.Checkpoints.eager)
           val changed = next.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
             .filter(col("lbl") =!= col("old_lbl")).count()
           labels.unpersist()

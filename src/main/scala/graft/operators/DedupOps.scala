@@ -377,7 +377,7 @@ object DedupOps {
     * concurrent-stage reason as the memoized path). */
   private[graft] def simhashFromDocs(docs: DataFrame, bucketCap: Int): DataFrame =
     simhashPairsFromSignatures(
-      simhashSignatures(docs).localCheckpoint(true), bucketCap)
+      graft.Checkpoints.eager(simhashSignatures(docs)), bucketCap)
 
   /** (doc_id, sig): the packed 64-bit SimHash signature per doc. */
   private[graft] def simhashSignatures(docs: DataFrame): DataFrame =
@@ -553,7 +553,8 @@ object DedupOps {
     * sparser buckets — DedupSpec verifies that regime on planted
     * duplicates with explicit parameters. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
-    embeddingNearDupImpl(embParallel(s, d), CosTau, EmbTables, EmbBitsPerTable)
+    embeddingNearDupImpl(embParallel(s, d), CosTau, EmbTables, EmbBitsPerTable,
+      inputPrepared = true)
       // 6-dp rounding on the OUTPUT only (the τ filter ran on the raw
       // fold, same as the oracle's WHERE) — the cross-engine parity
       // convention every cosine-emitting oracle query uses
@@ -628,15 +629,17 @@ object DedupOps {
     graft.Memo.cached(s, "embeddings_par", d)(Tables.parallelize(Tables.embeddings(s, d)))
 
   private[graft] def embeddingNearDupImpl(e0: DataFrame, tau: Double,
-                                          tables: Int, bits: Int): DataFrame = {
-    // referenced by the banding pass and both pair rejoins — reuse an
-    // already-persisted input AS IS (the memoized embParallel path:
-    // re-parallelizing it added a repartition shuffle and a duplicate
-    // full-corpus cache copy per call); raw spec inputs still get
-    // parallelized and cached here
-    val e =
-      if (e0.storageLevel != org.apache.spark.storage.StorageLevel.NONE) e0
-      else Tables.parallelize(e0).cache()
+                                          tables: Int, bits: Int,
+                                          inputPrepared: Boolean = false): DataFrame = {
+    // referenced by the banding pass and both pair rejoins — the
+    // memoized embParallel caller passes inputPrepared = true (its
+    // input is already parallelized AND cached; re-parallelizing
+    // added a repartition shuffle and a duplicate full-corpus cache
+    // copy per call). The gate is an EXPLICIT caller contract, not
+    // inferred from storageLevel: a cached-but-single-partition
+    // input would otherwise silently run the whole LSH chain on one
+    // partition. Raw inputs get parallelized and cached here.
+    val e = if (inputPrepared) e0 else Tables.parallelize(e0).cache()
     val banded = e
       .select(col("vec_id"),
         explode(lshBuckets(col("embedding"), tables, bits, 64)).as("b"))

@@ -996,7 +996,7 @@ object EtlOps {
       // shift, day domain, dropped anti-join) would otherwise each
       // re-run the JSON-parse + explode scan; the aggregate is
       // days × keys — bounded at any corpus size
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
     val prev = k.select(date_add(col("day"), 1).as("day"), col("key"),
       lit(1L).as("was_present"))
     val present = k.join(prev.select("day", "key", "was_present"),

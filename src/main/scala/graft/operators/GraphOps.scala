@@ -40,7 +40,7 @@ object GraphOps {
         .select((col("o_custkey") * 2).as("cust_node"),
           (col("l_suppkey") * 2 + 1).as("supp_node"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.eager)
     }
 
   /** Customer↔supplier PageRank (3 unrolled iterations).
@@ -67,7 +67,7 @@ object GraphOps {
     val edges = pairs.select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .union(pairs.select(col("supp_node").as("src"), col("cust_node").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
     val edgesD = edges.join(deg, "src")
     val nodes = deg.select(col("src").as("node"), col("deg"))
     val n = deg.count()
@@ -181,7 +181,7 @@ object GraphOps {
           // a smaller `nd` for an already-reached node cannot happen
           // in unit-weight BFS (min-layer discovery is final)
           (col("dist").isNull && col("nd").isNotNull).as("fresh"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.eager)
       // frontier reads back from the checkpoint just taken — a filter
       // over materialized rows, no second materialization needed
       frontier = dist.filter(col("fresh")).select(col("node"), col("dist"))
@@ -247,7 +247,7 @@ object GraphOps {
       val os = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_suppkey").as("sk"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.eager)
       val cow = os.as("a").join(os.as("b"),
           col("a.okey") === col("b.okey") && col("a.sk") < col("b.sk"))
         .select(col("a.sk").as("cu"), col("b.sk").as("cv"))
@@ -263,7 +263,7 @@ object GraphOps {
           least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.eager)
     }
 
   private def assocDegrees(e0: DataFrame): DataFrame =

@@ -54,7 +54,7 @@ object Jdbc {
       if (tableExists(url, table, driver))
         read(spark, url, table, driver).select(keyCols.map(col): _*).distinct()
       else batch.select(keyCols.map(col): _*).limit(0)
-    val fresh = batch.join(existing, keyCols, "left_anti").localCheckpoint()
+    val fresh = batch.join(existing, keyCols, "left_anti").transform(graft.Checkpoints.eager)
     val n = fresh.count()
     if (n > 0) write(fresh, url, table, SaveMode.Append, driver)
     n

@@ -2424,13 +2424,13 @@ object RelationalOps {
         datediff(col("_maxd"), col("last_day")).cast("long").as("recency"),
         col("freq"), col("spend_c"),
         (-col("freq")).as("neg_freq"), (-col("spend_c")).as("neg_spend"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
     def quintile(df: DataFrame, v: String, out: String): DataFrame =
       rangedRank(df, v, "o_custkey")
         .withColumn(out,
           expr(s"($RfmQuantiles * pos) div _n + 1").cast("int"))
         .drop("pos", "_n")
-        .localCheckpoint()
+        .transform(graft.Checkpoints.eager)
     val scored = quintile(quintile(quintile(
       cust, "recency", "r_q"), "neg_freq", "f_q"), "neg_spend", "m_q")
     scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
@@ -2668,7 +2668,7 @@ object RelationalOps {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
     val nOrders = op.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
     val marg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
     val pairs = op.as("a").join(op.as("b"),
@@ -2721,7 +2721,7 @@ object RelationalOps {
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
       .withColumn("neg_rev", -col("rev_c"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
     val tot = rev.agg(sum(col("rev_c")).as("_t"), count(lit(1)).as("_n"))
     val bounds = rev.agg(min(col("neg_rev")).as("_lo"), max(col("neg_rev")).as("_hi"))
     val blocked = rev.crossJoin(broadcast(bounds))
@@ -2792,7 +2792,7 @@ object RelationalOps {
     val rev = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.eager)
     rangedRank(rev, "x", "l_partkey")
       .select(col("x"), ((col("pos") + 1) * col("x")).as("ix"), col("_n"))
       .groupBy(col("_n").as("n_parts"))

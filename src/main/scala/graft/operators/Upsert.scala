@@ -36,7 +36,7 @@ object Upsert {
       if (fs.exists(path))
         spark.read.parquet(dir).select(keyCols.map(col): _*).distinct()
       else batch.select(keyCols.map(col): _*).limit(0)
-    val fresh = batch.join(existing, keyCols, "left_anti").localCheckpoint()
+    val fresh = batch.join(existing, keyCols, "left_anti").transform(graft.Checkpoints.eager)
     val n = fresh.count()
     if (n > 0) fresh.write.mode(SaveMode.Append).parquet(dir)
     n

@@ -18,4 +18,17 @@ object GraftColumnBridge {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     classic.Dataset.ofRows(ds.sparkSession, f(ds.logicalPlan))
   }
+
+  /** The materialized RDD behind a `localCheckpoint()`ed Dataset —
+    * its cached blocks are what an explicit release must unpersist,
+    * and Dataset exposes no public handle to it (`df.rdd` builds a
+    * NEW child RDD whose unpersist would be a no-op). None when the
+    * plan is not a checkpoint. */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+  }
 }

@@ -67,6 +67,27 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("clear releases registered localCheckpoint blocks, not just memo caches") {
+    import spark.implicits._
+    Memo.clear(spark)
+    val base = Checkpoints.liveCount(spark)
+    val ck = Checkpoints.eager(Seq(1L, 2L, 3L).toDF("x"))
+    assert(ck.count() == 3)
+    assert(Checkpoints.liveCount(spark) == base + 1,
+      "eager() must register the checkpoint's RDD handle")
+    val rdd = org.apache.spark.sql.GraftColumnBridge.checkpointRdd(ck)
+    assert(rdd.nonEmpty, "a checkpointed plan must expose its RDD")
+    assert(rdd.get.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "checkpoint blocks should be cached while live")
+    Memo.clear(spark)
+    assert(Checkpoints.liveCount(spark) == 0,
+      "clear must drop every registered checkpoint handle")
+    assert(rdd.get.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "clear must unpersist the checkpoint RDD itself")
+  }
+
   test("a failed fill reports negative time and a visible root cause") {
     val boom = new RuntimeException("planted fill failure")
     val out = Memo.runFills(Seq(

@@ -349,6 +349,115 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- RocksDB state-store durability: stop the query mid-state,
+  // ---- restart from the checkpoint, and prove the recovered state
+  // ---- (not a lucky re-read) produced the answer.
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def stateFiles(ckpt: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Paths.get(ckpt, "state")
+    if (!java.nio.file.Files.exists(st)) Nil
+    else java.nio.file.Files.walk(st).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSeq
+  }
+
+  test("stream_sessionize: RocksDB state survives stop + restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamSessionize.{EvIn, SessionOut}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
+    val mem = MemoryStream[EvIn]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def start() = StreamSessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionOut], _: Long) =>
+        val rows = b.collect().map(r =>
+          (r.user_id, r.session_id, r.n_events, r.sum_value))
+        out.synchronized { out ++= rows }; ()
+      }.start()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    try {
+      val q1 = start()
+      // phase 1: u1 opens a session (2 events), u2 opens one (1 event)
+      mem.addData(Seq(EvIn(1, 1, t("2024-03-01 10:00:00"), 1.0),
+        EvIn(1, 2, t("2024-03-01 10:10:00"), 2.0),
+        EvIn(2, 3, t("2024-03-01 10:00:00"), 5.0)))
+      q1.processAllAvailable()
+      assert(out.isEmpty, "no session is closed yet — all state is open")
+      q1.stop()
+      // the state that must survive lives in RocksDB artifacts (zip
+      // snapshots / changelogs), not the HDFS provider's .delta files
+      val files = stateFiles(ckpt)
+      assert(files.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"expected RocksDB snapshot files in the checkpoint, got $files")
+      assert(!files.exists(_.endsWith(".delta")),
+        s"HDFS-provider files present — RocksDB was not in effect: $files")
+      // phase 2 (fresh query, same checkpoint): u1 CONTINUES the same
+      // session (10:20 is within the gap), then 14:00 closes it; u2's
+      // 14:00 closes theirs. If the open-session state had been lost,
+      // u1's session would re-open at 10:20 and emit n_events=2.
+      val q2 = start()
+      mem.addData(Seq(EvIn(1, 4, t("2024-03-01 10:20:00"), 3.0),
+        EvIn(1, 5, t("2024-03-01 14:00:00"), 1.0),
+        EvIn(2, 6, t("2024-03-01 14:00:00"), 1.0)))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = out.synchronized(out.toSet)
+      assert(got == Set((1L, 1L, 3L, 6.0), (2L, 1L, 1L, 5.0)),
+        s"restarted query must resume from recovered open sessions: $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stream_cdc: RocksDB state survives stop + restart (stale changes stay dead)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamCdc.{ChangeIn, CurrentOut}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, Option[Double])]
+    val mem = MemoryStream[ChangeIn]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def start() = StreamCdc(mem.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CurrentOut], _: Long) =>
+        val rows = b.collect().map(r => (r.user_id, r.last_op, r.current_value))
+        out.synchronized { out ++= rows }; ()
+      }.start()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    try {
+      val q1 = start()
+      // phase 1: u1 upserted at 10:00, u2 tombstoned at 10:00
+      mem.addData(Seq(ChangeIn(1, 1, t("2024-03-01 10:00:00"), "purchase", Some(7.0)),
+        ChangeIn(2, 2, t("2024-03-01 10:00:00"), StreamCdc.DeleteOp, None)))
+      q1.processAllAvailable()
+      assert(out.synchronized(out.toSet) == Set((1L, "purchase", Some(7.0))))
+      q1.stop()
+      out.synchronized(out.clear())
+      // phase 2 after restart: STALE changes (older ts) for both keys.
+      // Last-writer-wins needs the recovered per-key (ts, id) state to
+      // reject them: u1 must re-emit 10:00/purchase/7.0 (not the stale
+      // view), u2 must stay tombstoned (emit nothing).
+      val q2 = start()
+      mem.addData(Seq(ChangeIn(1, 3, t("2024-03-01 09:00:00"), "view", Some(99.0)),
+        ChangeIn(2, 4, t("2024-03-01 09:30:00"), "purchase", Some(55.0))))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = out.synchronized(out.toSet)
+      assert(got == Set((1L, "purchase", Some(7.0))),
+        s"stale pre-restart changes must lose against recovered state: $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch window-function form") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Tables.events(spark, sf)
