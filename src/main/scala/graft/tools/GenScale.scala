@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-escalation generator: writes a `factor`×
+  * copy of a testdata directory by replicating every fact table with
+  * per-copy key offsets (copy i shifts each entity key by i·stride,
+  * stride = max(key)+1 of the source domain), keeping foreign keys
+  * consistent within each copy and the fixed dimensions (region /
+  * nation) as-is.
+  *
+  * Replication-with-offsets rather than fresh synthesis, on purpose:
+  * value distributions, group cardinalities per key, date ranges and
+  * text content match the driver's generator EXACTLY at every scale,
+  * and the all-copies-identical documents/embeddings are a deliberate
+  * worst case for the dedup/ANN bucket caps (every doc arrives with
+  * 9 exact siblings — the boilerplate/duplication regime a 100 TB
+  * crawl actually has). No randomness anywhere: same input → same
+  * bytes.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <outDir> <factor>
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, fStr) = args.take(3)
+    val factor = fStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = graft.GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    generate(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, src: String, out: String,
+               factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def stride(t: String, c: String): Long =
+      read(t).agg(max(col(c))).collect()(0).getLong(0) + 1L
+
+    // one stride per entity domain, from the SOURCE data
+    val st = Map(
+      "C" -> stride("customer", "c_custkey"),
+      "S" -> stride("supplier", "s_suppkey"),
+      "P" -> stride("part", "p_partkey"),
+      "O" -> stride("orders", "o_orderkey"),
+      "E" -> stride("events", "event_id"),
+      "U" -> stride("events", "user_id"),
+      "D" -> stride("documents", "doc_id"),
+      "V" -> stride("embeddings", "vec_id"))
+
+    // fixed dimensions: copied through unchanged
+    for (t <- Seq("region", "nation"))
+      read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    /** Replicate `t` `factor`× with `keys` (column → domain) offset
+      * per copy. Output repartitioned so every downstream shuffle has
+      * real map-side parallelism (multi-file layout — also what lets
+      * AQE split skewed partitions, see RelationalSpec). */
+    def rep(t: String, keys: (String, String)*): Unit = {
+      val df = read(t)
+      val copies = df.withColumn("gen_i",
+        explode(sequence(lit(0L), lit(factor - 1L))))
+      val shifted = keys.foldLeft(copies) { case (acc, (c, dom)) =>
+        acc.withColumn(c, col(c) + col("gen_i") * lit(st(dom)))
+      }
+      shifted.drop("gen_i")
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+    rep("customer", "c_custkey" -> "C")
+    rep("supplier", "s_suppkey" -> "S")
+    rep("part", "p_partkey" -> "P")
+    rep("orders", "o_orderkey" -> "O", "o_custkey" -> "C")
+    rep("lineitem", "l_orderkey" -> "O", "l_partkey" -> "P",
+      "l_suppkey" -> "S")
+    rep("events", "event_id" -> "E", "user_id" -> "U")
+    rep("documents", "doc_id" -> "D")
+    rep("embeddings", "vec_id" -> "V")
+  }
+}

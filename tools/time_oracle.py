@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle suite over a data dir — the engine-vs-oracle
+ratio denominator for BENCH comparisons (the judge's stable metric:
+wall totals shift with host contention, the ratio does not).
+
+Usage: python3 tools/time_oracle.py <sfDir> <verifyOutDir> [threads]
+  (<verifyOutDir>/oracle_sql.json from graft.Verify supplies the SQL)
+
+Prints per-query seconds (slowest 15) and ONE summary line:
+  ORACLE_TOTAL=<sec> N=<queries> sf=<dir>
+"""
+import duckdb, json, os, sys, time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    threads = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    con = duckdb.connect()
+    con.sql(f"SET threads={threads}")
+    for t in TABLES:
+        path = f"{sfdir}/{t}.parquet"
+        glob = path + ("/*.parquet" if os.path.isdir(path) else "")
+        con.sql(f"create view {t} as select * from '{glob}'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    times = {}
+    for name in sorted(oracle):
+        t0 = time.time()
+        con.sql(oracle[name]).fetchall()
+        times[name] = time.time() - t0
+    for name, sec in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{sec:9.2f}  {name}")
+    print(f"ORACLE_TOTAL={sum(times.values()):.1f} N={len(times)} sf={sfdir}")
+
+
+if __name__ == "__main__":
+    main()
