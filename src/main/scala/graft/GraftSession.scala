@@ -56,6 +56,16 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // Checkpoints.release unpersists localCheckpoint RDDs explicitly
+    // at Memo.clear time (deliberate — deterministic block release,
+    // see graft.Checkpoints); every such RDD then logs "was locally
+    // checkpointed … cannot be recomputed after unpersisting". The
+    // release only ever runs after the checkpoint's consumers are
+    // done, so the warning is noise — silence the one logger that
+    // emits it (MapPartitionsRDD logs nothing else at WARN).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -95,26 +95,31 @@ object GraphOps {
   }
 
   private val pagerankSql = {
+    // MATERIALIZED for the same reason as bfsSql below: the edge
+    // build is referenced once per unrolled iteration, and an
+    // inlining planner would re-run the 2x|lineitem| distinct per
+    // level (linear here, not exponential, but still a multi-minute
+    // tax at sf1 for zero benefit)
     def iter(prev: String, out: String): String =
-      s"""${out}_s AS (
+      s"""${out}_s AS MATERIALIZED (
          |  SELECT e.dst AS node, cast(sum(p.r // e.deg) as bigint) AS m
          |  FROM edges e JOIN $prev p ON e.src = p.node
          |  GROUP BY e.dst),
-         |$out AS (
+         |$out AS MATERIALIZED (
          |  SELECT n.node,
          |    (SELECT base FROM params) + (85 * coalesce(s.m, 0)) // 100 AS r
          |  FROM nodes n LEFT JOIN ${out}_s s ON n.node = s.node)""".stripMargin
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
        |         l.l_suppkey * 2 + 1 AS supp_node
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |edges0 AS (
+       |edges0 AS MATERIALIZED (
        |  SELECT cust_node AS src, supp_node AS dst FROM pairs
        |  UNION ALL
        |  SELECT supp_node AS src, cust_node AS dst FROM pairs),
-       |deg AS (SELECT src, cast(count(*) as bigint) AS deg FROM edges0 GROUP BY src),
-       |edges AS (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d ON e.src = d.src),
-       |nodes AS (SELECT src AS node FROM deg),
+       |deg AS MATERIALIZED (SELECT src, cast(count(*) as bigint) AS deg FROM edges0 GROUP BY src),
+       |edges AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges0 e JOIN deg d ON e.src = d.src),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM deg),
        |params AS (
        |  SELECT 1000000000 // count(*) AS r0,
        |         15000000000 // (100 * count(*)) AS base
@@ -192,29 +197,35 @@ object GraphOps {
   }
 
   private val bfsSql = {
+    // every chained CTE is MATERIALIZED: each level references the
+    // previous one twice and edges0 once, so an inlining planner
+    // re-evaluates the 2×|lineitem| edge build O(2^levels) times —
+    // invisible at sf0.1, a 20+-minute blowup at sf1 (the EXACT
+    // plan-duplication pathology the Spark side fixed in round 6
+    // with per-round checkpoints; the oracle needs the same cut)
     def iter(prev: String, out: String): String =
-      s"""${out}_f AS (
+      s"""${out}_f AS MATERIALIZED (
          |  SELECT e.dst AS node, min(p.dist) + 1 AS nd
          |  FROM edges0 e JOIN $prev p ON e.src = p.node
          |  WHERE p.dist IS NOT NULL
          |  GROUP BY e.dst),
-         |$out AS (
+         |$out AS MATERIALIZED (
          |  SELECT n.node,
          |    CASE WHEN n.dist IS NULL THEN f.nd
          |         WHEN f.nd IS NULL THEN n.dist
          |         WHEN f.nd < n.dist THEN f.nd
          |         ELSE n.dist END AS dist
          |  FROM $prev n LEFT JOIN ${out}_f f ON n.node = f.node)""".stripMargin
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT o.o_custkey * 2 AS cust_node,
        |         l.l_suppkey * 2 + 1 AS supp_node
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |edges0 AS (
+       |edges0 AS MATERIALIZED (
        |  SELECT cust_node AS src, supp_node AS dst FROM pairs
        |  UNION ALL
        |  SELECT supp_node AS src, cust_node AS dst FROM pairs),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges0),
-       |d0 AS (
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges0),
+       |d0 AS MATERIALIZED (
        |  SELECT node,
        |    CASE WHEN node = (SELECT min(node) FROM nodes)
        |         THEN cast(0 as bigint) ELSE NULL END AS dist

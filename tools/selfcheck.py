@@ -55,8 +55,16 @@ def cells_equal(a, b):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # spill OUTSIDE the repo cwd (a big-sf oracle spilling tens of GB
+    # of duckdb_temp_storage into the work tree stalls git) and keep
+    # RSS bounded so the box stays usable next to a Spark JVM
+    con.sql(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+    con.sql("SET memory_limit='24GB'")
     for t in TABLES:
-        con.sql(f"create view {t} as select * from '{sfdir}/{t}.parquet'")
+        path = f"{sfdir}/{t}.parquet"
+        # multi-file table dirs (GenScale output) need the glob form
+        glob_path = path + ("/*.parquet" if os.path.isdir(path) else "")
+        con.sql(f"create view {t} as select * from '{glob_path}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_fail = 0
     for name in sorted(oracle):

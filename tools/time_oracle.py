@@ -20,6 +20,8 @@ def main():
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     con = duckdb.connect()
     con.sql(f"SET threads={threads}")
+    con.sql(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+    con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         glob = path + ("/*.parquet" if os.path.isdir(path) else "")
