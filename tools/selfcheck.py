@@ -18,7 +18,7 @@ pandas-sort+hash does:
 - floats must be bit-identical incl. the sign of zero (-0.0 vs 0.0
   compare == but hash differently); NaN==NaN is accepted.
 """
-import duckdb, json, sys, glob, os, math
+import duckdb, json, re, sys, glob, os, math
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -66,6 +66,11 @@ def main():
         glob_path = path + ("/*.parquet" if os.path.isdir(path) else "")
         con.sql(f"create view {t} as select * from '{glob_path}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # optional 3rd arg: regex over query names (builder-side chunked /
+    # resumable runs at big scale factors; the driver passes two args)
+    if len(sys.argv) > 3:
+        pat = re.compile(sys.argv[3])
+        oracle = {k: v for k, v in oracle.items() if pat.search(k)}
     n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
@@ -104,8 +109,9 @@ def main():
             n_fail += 1
         else:
             print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols")
-    rows_only = [f for f in sorted(os.listdir(outdir))
-                 if os.path.isdir(os.path.join(outdir, f)) and f not in oracle]
+    rows_only = [] if len(sys.argv) > 3 else [
+        f for f in sorted(os.listdir(outdir))
+        if os.path.isdir(os.path.join(outdir, f)) and f not in oracle]
     for name in rows_only:
         files = glob.glob(os.path.join(outdir, name, "*.parquet"))
         n = con.sql(f"select count(*) from read_parquet({files!r})").fetchone()[0] if files else 0

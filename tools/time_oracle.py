@@ -27,14 +27,19 @@ def main():
         glob = path + ("/*.parquet" if os.path.isdir(path) else "")
         con.sql(f"create view {t} as select * from '{glob}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    if len(sys.argv) > 4:  # optional regex filter, like selfcheck.py
+        import re
+        pat = re.compile(sys.argv[4])
+        oracle = {k: v for k, v in oracle.items() if pat.search(k)}
     times = {}
     for name in sorted(oracle):
         t0 = time.time()
         con.sql(oracle[name]).fetchall()
         times[name] = time.time() - t0
-    for name, sec in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"{sec:9.2f}  {name}")
-    print(f"ORACLE_TOTAL={sum(times.values()):.1f} N={len(times)} sf={sfdir}")
+        # stream per-query lines so a long big-sf run shows progress
+        print(f"{times[name]:9.2f}  {name}", flush=True)
+    print(f"ORACLE_TOTAL={sum(times.values()):.1f} N={len(times)} sf={sfdir}",
+          flush=True)
 
 
 if __name__ == "__main__":
