@@ -170,7 +170,7 @@ object CorpusOps {
     * union-find / distributed propagation. */
   private[operators] def ccCte: String =
     s"""${DedupOps.jaccardPairsCte},
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -178,7 +178,7 @@ object CorpusOps {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT edges.dst, w.lbl FROM walk w JOIN edges ON w.doc_id = edges.src),
-       |cc AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id)""".stripMargin
+       |cc AS MATERIALIZED (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id)""".stripMargin
 
   private def clustersSql: String =
     s"""WITH RECURSIVE $ccCte

@@ -73,12 +73,12 @@ object DedupOps {
     s"""toks AS (
        |  SELECT doc_id, ${text.tokensSql} AS t
        |  FROM documents),
-       |sh0 AS (
+       |sh0 AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(t) - ${NGram - 2}), i -> t[i] || ' ' || t[i+1])) AS sh
        |  FROM toks WHERE len(t) >= $NGram),
        |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MaxDf),
-       |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh))""".stripMargin
+       |sh AS MATERIALIZED (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh))""".stripMargin
 
   // ----------------------------------------------- n-gram jaccard
 
@@ -122,7 +122,7 @@ object DedupOps {
     * the asymmetry vanishes. */
   private[operators] val ngramJaccardSql =
     s"""WITH $shingleSetsSqlCte,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $oCountAlias AS n_shared
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -141,12 +141,12 @@ object DedupOps {
     * (dedup_clusters / clean_corpus). */
   private[operators] def jaccardPairsCte: String =
     s"""$shingleSetsSqlCte,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $oCountAlias AS n_shared
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b
        |  FROM inter
        |  JOIN sizes sa ON doc_a = sa.doc_id
@@ -300,7 +300,7 @@ object DedupOps {
        |    (fp * ($aLit)[p.perm + 1] + ($bLit)[p.perm + 1]) % 1000000007 AS h
        |  FROM fph, (SELECT unnest(range(0, $MinHashK)) AS perm) p),
        |sigs AS (SELECT doc_id, perm, min(h) AS mh FROM perms GROUP BY 1, 2),
-       |banded AS (
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, band,
        |    list_reduce(list_prepend(cast(0 as bigint), list(mh ORDER BY perm)),
        |                (acc, x) -> (acc * 31 + x) % 1000000007) AS bh
@@ -309,7 +309,7 @@ object DedupOps {
        |reps AS (
        |  SELECT band, bh, doc_id FROM banded
        |  QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $CandBucketCap),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT r.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM reps r JOIN banded b USING (band, bh)
        |  WHERE r.doc_id < b.doc_id)""".stripMargin
@@ -318,7 +318,7 @@ object DedupOps {
   private[operators] def minhashLshSql: String = {
     s"""WITH $shingleSetsSqlCte,
        |$minhashCandCtes,
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, $oCountAlias AS n_shared
        |  FROM cand c
@@ -455,7 +455,17 @@ object DedupOps {
     * hash fingerprint, same literal bit-vote coefficients, chunk
     * values rebuilt from the per-bit signs (identical to Spark's
     * shiftright+mask over the packed signature), same rep cap, and
-    * hamming = count of disagreeing bits (≡ bit_count(sig_a^sig_b)). */
+    * hamming = count of disagreeing bits (≡ bit_count(sig_a^sig_b)).
+    *
+    * Two scale rewrites (r7, values bit-identical by construction):
+    * the per-char rolling hash runs once per DISTINCT token with the
+    * per-(doc, token) multiplicity folded into the bit votes as
+    * n·(±1) — a duplication-heavy corpus has orders of magnitude
+    * fewer distinct tokens than instances; and pair hamming folds
+    * 4 chunk values through xor+bit_count instead of joining 64
+    * per-bit rows per side (the chunk values ARE the signature's
+    * bits, so Σ bit_count(cv_a⊕cv_b) ≡ the per-bit disagreement
+    * count). 250 s → ~5 s at sf1. */
   private[operators] def simhashSql: String = {
     val sa = (0 until SimHashChunks).map(simA).mkString("[", ",", "]")
     val sb = (0 until SimHashChunks).map(simB).mkString("[", ",", "]")
@@ -463,33 +473,39 @@ object DedupOps {
        |  SELECT doc_id,
        |    unnest(${text.tokensSql}) AS tok
        |  FROM documents),
-       |fph AS (SELECT doc_id, ${fpSql("tok")} AS fp FROM toks),
+       |tokc AS MATERIALIZED (
+       |  SELECT doc_id, tok, cast(count(*) as bigint) AS n
+       |  FROM toks GROUP BY 1, 2),
+       |fpu AS MATERIALIZED (
+       |  SELECT tok, ${fpSql("tok")} AS fp
+       |  FROM (SELECT DISTINCT tok FROM tokc)),
        |hashes AS (
-       |  SELECT doc_id, j.j AS j,
-       |    (fp * ($sa)[j.j + 1] + ($sb)[j.j + 1]) % 1000000007 AS h
-       |  FROM fph, (SELECT unnest(range(0, $SimHashChunks)) AS j) j),
+       |  SELECT t.doc_id, t.n, j.j AS j,
+       |    (u.fp * ($sa)[j.j + 1] + ($sb)[j.j + 1]) % 1000000007 AS h
+       |  FROM tokc t JOIN fpu u USING (tok),
+       |       (SELECT unnest(range(0, $SimHashChunks)) AS j) j),
        |bits AS (
        |  SELECT doc_id, j * 16 + b.b AS k,
-       |    sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |    sum(n * CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
        |  FROM hashes, (SELECT unnest(range(0, 16)) AS b) b
        |  GROUP BY 1, 2),
        |sigbits AS (SELECT doc_id, k, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM bits),
-       |chunks AS (
+       |chunks AS MATERIALIZED (
        |  SELECT doc_id, k // 16 AS ci, sum(b * (1 << (k % 16))) AS cv
        |  FROM sigbits GROUP BY 1, 2),
        |reps AS (
        |  SELECT ci, cv, doc_id FROM chunks
        |  QUALIFY row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) <= $SimHashBucketCap),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT r.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM reps r JOIN chunks c USING (ci, cv)
        |  WHERE r.doc_id < c.doc_id),
        |ham AS (
        |  SELECT c.doc_a, c.doc_b,
-       |    cast(sum(CASE WHEN ba.b <> bb.b THEN 1 ELSE 0 END) as int) AS hamming
+       |    cast(sum(bit_count(xor(ca.cv, cb.cv))) as int) AS hamming
        |  FROM cand c
-       |  JOIN sigbits ba ON ba.doc_id = c.doc_a
-       |  JOIN sigbits bb ON bb.doc_id = c.doc_b AND bb.k = ba.k
+       |  JOIN chunks ca ON ca.doc_id = c.doc_a
+       |  JOIN chunks cb ON cb.doc_id = c.doc_b AND cb.ci = ca.ci
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HammingMax""".stripMargin
   }
@@ -594,7 +610,7 @@ object DedupOps {
        |reps AS (
        |  SELECT tbl, bv, vec_id FROM banded
        |  QUALIFY row_number() OVER (PARTITION BY tbl, bv ORDER BY vec_id) <= $CandBucketCap),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT r.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM reps r JOIN banded b USING (tbl, bv)
        |  WHERE r.vec_id < b.vec_id)
