@@ -56,16 +56,12 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    // Checkpoints.release unpersists localCheckpoint RDDs explicitly
-    // at Memo.clear time (deliberate — deterministic block release,
-    // see graft.Checkpoints); every such RDD then logs "was locally
-    // checkpointed … cannot be recomputed after unpersisting". The
-    // release only ever runs after the checkpoint's consumers are
-    // done, so the warning is noise — silence the one logger that
-    // emits it (MapPartitionsRDD logs nothing else at WARN).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // NOTE: the localCheckpoint-unpersist WARN from MapPartitionsRDD
+    // is silenced ONLY inside Checkpoints.release (scoped
+    // lower/restore around the loop) — NOT globally here, so a
+    // Memo.clear racing an in-flight query over a checkpointed plan
+    // still logs its diagnosable "cannot be recomputed after
+    // unpersisting" warning (round-7 ADVICE).
     s
   }
 }

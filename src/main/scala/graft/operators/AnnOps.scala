@@ -924,7 +924,12 @@ object AnnOps {
     // quantizers: identical construction to ann_pq but trained on
     // the (larger) IVF sample — on residuals for the default path
     val cents = coarseCentsFromTrain(train, cells).cache()
-    val assignedFull = coarseAssign(e, cents)
+    // cached: both branches consume the full-corpus assignment twice
+    // (cell lookup + residual/code build) — uncached, the
+    // O(N·cells·d) assignment pass would run once per consumer on
+    // this spec-driven path (the memoized ivfpq entry point already
+    // reuses ann_assigned; round-7 ADVICE)
+    val assignedFull = coarseAssign(e, cents).cache()
     if (residual) {
       val pcents = pqCentsFromTrain(trainResiduals(train, cents)).cache()
       val codes = pqEncode(corpusResiduals(assignedFull, cents), pcents)

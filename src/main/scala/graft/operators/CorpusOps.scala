@@ -41,8 +41,17 @@ object CorpusOps {
     * (near-dup graphs after blocking are a vanishing fraction of the
     * corpus). Above it, the distributed min-label loop runs — and
     * only over the pair-connected vertices, never the whole corpus;
-    * untouched documents are their own cluster by construction. */
-  private val DriverUnionFindMaxEdges = 1000000L
+    * untouched documents are their own cluster by construction.
+    *
+    * `SPARK_GRAFT_CC_MAX_DRIVER_EDGES` overrides the threshold so a
+    * measurement run can force the distributed pointer-doubling path
+    * under a real-scale pair graph (set it to 0) without changing
+    * the production default — both paths produce identical labels
+    * (GraphSpec pins this; the §8g sf1 forced run hash-matches the
+    * oracle either way). */
+  private val DriverUnionFindMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_MAX_DRIVER_EDGES").map(_.toLong)
+      .getOrElse(1000000L)
 
   private[graft] def clustersFromPairs(docs: DataFrame, pairs: DataFrame,
       driverMaxEdges: Long = DriverUnionFindMaxEdges): DataFrame = {

@@ -575,6 +575,112 @@ object EtlOps {
       |  cast(count(*) as bigint) AS n_hours
       |FROM g GROUP BY event_type, grp""".stripMargin
 
+  // ------------------------------------------------ green windows
+
+  /** Clean-share threshold for a "green" hour, in ppm (50% — the
+    * renewables-share cut a scheduler would use). Integer ppm so the
+    * threshold compare and the per-window averages are exact in both
+    * engines. */
+  private val GreenTauPpm = 500000L
+
+  /** Green-window detection (README.md:245,411: "plan
+    * energy-intensive tasks during green windows", "custom dimensions
+    * for green window detection"): the maximal runs of CONSECUTIVE
+    * hours whose clean share (view/click events as the renewable
+    * stand-in, the same mapping as `etl_daily_cleanliness`) meets the
+    * threshold — start/end/duration plus the pooled and peak shares
+    * per window, i.e. the schedule a load-shifting consumer (EV
+    * charging, batch compute) reads directly. Same islands
+    * construction as `etl_islands` on the FILTERED hourly series:
+    * one partial/final agg to the hourly grain, the threshold filter,
+    * then epoch-hour minus rank is constant exactly within a
+    * consecutive green run. The post-agg series is bounded by
+    * CALENDAR hours (8.8k/year) regardless of event volume, so the
+    * global rank window is a §6 bounded carve-out, not a scale
+    * hazard, and everything after the first aggregation is
+    * constant-sized at 100 TB. All integer (ppm) arithmetic. */
+  def greenWindows(s: SparkSession, d: String): DataFrame = {
+    val clean = when(col("event_type").isin("view", "click"), 1L).otherwise(0L)
+    val hours = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_ts"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("n_events"), sum(clean).as("n_clean"))
+      .withColumn("clean_ppm", expr("n_clean * 1000000 div n_events"))
+      .filter(col("clean_ppm") >= GreenTauPpm)
+    val w = Window.orderBy(col("h"))
+    hours
+      .withColumn("grp", col("h") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("hour_ts")).as("window_start"),
+        max(col("hour_ts")).as("window_end"),
+        count(lit(1)).as("n_hours"),
+        expr("sum(n_clean) * 1000000 div sum(n_events)").as("avg_clean_ppm"),
+        max(col("clean_ppm")).as("peak_clean_ppm"))
+      .select(col("window_start"), col("window_end"), col("n_hours"),
+        col("avg_clean_ppm"), col("peak_clean_ppm"))
+  }
+
+  private val greenWindowsSql =
+    s"""WITH hrs AS (
+       |  SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_ts,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+       |    cast(count(*) as bigint) AS n_events,
+       |    cast(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) as bigint) AS n_clean
+       |  FROM events WHERE ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       |g AS (
+       |  SELECT *, n_clean * 1000000 // n_events AS clean_ppm FROM hrs),
+       |f AS (
+       |  SELECT *, h - row_number() OVER (ORDER BY h) AS grp
+       |  FROM g WHERE clean_ppm >= $GreenTauPpm)
+       |SELECT min(hour_ts) AS window_start,
+       |  max(hour_ts) AS window_end,
+       |  cast(count(*) as bigint) AS n_hours,
+       |  cast(sum(n_clean) as bigint) * 1000000
+       |    // cast(sum(n_events) as bigint) AS avg_clean_ppm,
+       |  max(clean_ppm) AS peak_clean_ppm
+       |FROM f GROUP BY grp""".stripMargin
+
+  /** Weekly-grain cleanliness trend (README.md:414: "carbon intensity
+    * trends — hourly, daily, weekly"): `etl_daily_cleanliness` rolled
+    * to ISO weeks plus the week-over-week share delta — the trend
+    * series the dashboard's weekly panel plots. Exact throughout: the
+    * quantized xsum average for the value series, integer-ppm clean
+    * share, and the delta as a difference of two already-exact ppm
+    * integers (one partial/final agg + a calendar-bounded lag — ≤52
+    * rows/year, the §6 carve-out). */
+  def weeklyTrend(s: SparkSession, d: String): DataFrame = {
+    val clean = when(col("event_type").isin("view", "click"), 1L).otherwise(0L)
+    val wk = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(xavg(col("value"), 2).as("avg_value"),
+        sum(clean).as("n_clean"),
+        count(lit(1)).as("samples"))
+      .withColumn("clean_ppm", expr("n_clean * 1000000 div samples"))
+    val w = Window.orderBy(col("week"))
+    wk.withColumn("delta_clean_ppm",
+        col("clean_ppm") - lag(col("clean_ppm"), 1).over(w))
+      .select(col("week"), col("avg_value"), col("clean_ppm"),
+        col("delta_clean_ppm"), col("samples"))
+  }
+
+  private val weeklyTrendSql =
+    s"""WITH w AS (
+       |  SELECT cast(date_trunc('week', ts) as date) AS week,
+       |    ${oAvg("value", 2)} AS avg_value,
+       |    cast(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) as bigint) AS n_clean,
+       |    $oCount AS samples
+       |  FROM events WHERE ts IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT week, avg_value,
+       |  n_clean * 1000000 // samples AS clean_ppm,
+       |  n_clean * 1000000 // samples
+       |    - lag(n_clean * 1000000 // samples) OVER (ORDER BY week) AS delta_clean_ppm,
+       |  samples
+       |FROM w""".stripMargin
+
   // ------------------------------------------------ lateness accounting
 
   private val LateAllowSec = 900L
@@ -1085,6 +1191,8 @@ object EtlOps {
     "etl_interpolate" -> (interpolate _),
     "etl_profile" -> (profile _),
     "etl_islands" -> (islands _),
+    "etl_green_windows" -> (greenWindows _),
+    "etl_weekly_trend" -> (weeklyTrend _),
     "etl_late_arrivals" -> (lateArrivals _),
     "etl_seasonal" -> (seasonal _),
     "etl_dq_rules" -> (dqRules _))
@@ -1112,5 +1220,7 @@ object EtlOps {
     "etl_interpolate" -> interpolateSql,
     "etl_profile" -> profileSql,
     "etl_islands" -> islandsSql,
+    "etl_green_windows" -> greenWindowsSql,
+    "etl_weekly_trend" -> weeklyTrendSql,
     "etl_late_arrivals" -> lateArrivalsSql)
 }

@@ -35,8 +35,16 @@ object GenScale {
   def generate(spark: SparkSession, src: String, out: String,
                factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def stride(t: String, c: String): Long =
-      read(t).agg(max(col(c))).collect()(0).getLong(0) + 1L
+    // cast the aggregate to long IN the query (an INT-typed source
+    // column would otherwise ClassCastException in getLong) and fail
+    // with the offending table/column named when max() is null (empty
+    // table → stride undefined)
+    def stride(t: String, c: String): Long = {
+      val row = read(t).agg(max(col(c)).cast("long")).collect()(0)
+      if (row.isNullAt(0)) sys.error(
+        s"GenScale: cannot derive key stride for $t.$c — table is empty")
+      row.getLong(0) + 1L
+    }
 
     // one stride per entity domain, from the SOURCE data
     val st = Map(

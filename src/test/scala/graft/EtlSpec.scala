@@ -163,6 +163,59 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("green windows are maximal runs of green hours and nothing else") {
+    val tau = 500000L
+    // naive recompute: hourly clean share over the whole series
+    val hourly = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type").isin("view", "click"), 1L).otherwise(0L)).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val green = hourly.filter { case (_, (n, c)) => c * 1000000L / n >= tau }.keySet
+    def epochH(v: Any): Long = v match {
+      case t: java.time.LocalDateTime => t.toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+    }
+    val out = EtlOps.greenWindows(spark, sf).collect()
+    // every window hour is green, extents are exact, windows are maximal
+    assert(out.map(_.getLong(2)).sum == green.size,
+      "windows must cover exactly the green hours")
+    val spans = out.map(r => (epochH(r.get(0)), epochH(r.get(1)), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sortBy(_._1)
+    spans.foreach { case (h0, h1, n, avg, peak) =>
+      assert(h1 - h0 + 1 == n, "window extent equals its hour count")
+      assert((h0 to h1).forall(green.contains), "all hours in a window are green")
+      assert(!green.contains(h0 - 1) && !green.contains(h1 + 1),
+        "window is maximal (bordered by non-green/missing hours)")
+      val (tn, tc) = (h0 to h1).map(hourly).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(avg == tc * 1000000L / tn, "pooled window share is exact")
+      assert(peak == (h0 to h1).map { h =>
+        val (n2, c2) = hourly(h); c2 * 1000000L / n2 }.max, "peak share is exact")
+      assert(peak >= avg && avg >= tau)
+    }
+  }
+
+  test("weekly trend rolls the daily series up exactly with correct deltas") {
+    val rows = EtlOps.weeklyTrend(spark, sf).collect()
+      .sortBy(_.getAs[java.sql.Date]("week").toLocalDate.toEpochDay)
+    assert(rows.nonEmpty)
+    // samples sum to the event count; first delta is null; deltas are
+    // consistent with consecutive shares
+    assert(rows.map(_.getAs[Long]("samples")).sum ==
+      Tables.events(spark, sf).filter(col("ts").isNotNull).count())
+    assert(rows.head.isNullAt(rows.head.fieldIndex("delta_clean_ppm")))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("delta_clean_ppm") ==
+          b.getAs[Long]("clean_ppm") - a.getAs[Long]("clean_ppm"))
+      case _ =>
+    }
+    // weeks start on Monday (ISO truncation, same convention as the oracle)
+    rows.foreach(r => assert(
+      r.getAs[java.sql.Date]("week").toLocalDate.getDayOfWeek ==
+        java.time.DayOfWeek.MONDAY))
+  }
+
   test("late arrivals match a naive global running-max recompute") {
     val out = EtlOps.lateArrivals(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),

@@ -105,7 +105,18 @@ def main():
             if bad: break
         if bad:
             c, i, a, b, d = bad
-            print(f"FAIL {name}: col={c} row={i} got={a!r} exp={b!r} absdiff={d}")
+            if c.endswith("_in_bound"):
+                # the sketch-certification flag columns mirror literal
+                # 1s on the oracle side — a mismatch here means the
+                # Spark-side sketch estimate drifted outside its
+                # documented bound on THIS dataset, not a hash bug;
+                # name it so the failure mode is self-explaining
+                print(f"FAIL {name}: SKETCH CERTIFICATION failure — "
+                      f"flag col={c} row={i} got={a!r} (oracle pins 1: the "
+                      f"approx estimate left its bound; inspect the raw "
+                      f"estimate column next to {c} in {outdir}/{name})")
+            else:
+                print(f"FAIL {name}: col={c} row={i} got={a!r} exp={b!r} absdiff={d}")
             n_fail += 1
         else:
             print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols")
