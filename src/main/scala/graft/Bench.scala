@@ -115,17 +115,50 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec",$cal"sf":$sfJson}"""
   }
 
+  /** Per-query timings parsed from a PRIOR detail artifact — the
+    * round-over-round baseline for [[deltaMap]]. Any parse problem
+    * (missing file, truncated line, no `queries` object) yields an
+    * empty map: deltas are a diagnostic, never a reason to fail a
+    * bench run. */
+  def prevQueries(path: String): Map[String, Double] = try {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path))) \ "queries" match {
+      case JObject(fs) => fs.collect {
+        case (k, JDouble(v))  => k -> v
+        case (k, JDecimal(v)) => k -> v.toDouble
+        case (k, JInt(v))     => k -> v.toDouble
+        case (k, JLong(v))    => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+  } catch { case _: Throwable => Map.empty }
+
+  /** current − previous per query, for queries present in BOTH runs
+    * (a new query has no baseline; a removed one no current): a
+    * regressed query is then visible in the artifact itself, no
+    * cross-file arithmetic needed. */
+  def deltaMap(results: Seq[(String, Double)],
+               prev: Map[String, Double]): Seq[(String, Double)] =
+    results.collect { case (k, v) if prev.contains(k) => k -> (v - prev(k)) }
+
   /** The full line (per-query map included) written to the file copy.
     * `fills` carries the shared-relation materialization cost (one
     * entry per memo) SEPARATELY from the query timings: per-query
     * numbers then measure the probe, not whichever query ran first.
     * `fillErrors` carries the root cause of any failed fill (negative
     * time in `fills`) so a broken shared relation is diagnosable from
-    * the artifact alone. */
+    * the artifact alone. `deltas` is current−previous seconds per
+    * query vs the prior artifact (empty when none was found), and
+    * `spill` is the suite-wide (memoryBytesSpilled, diskBytesSpilled)
+    * from stage metrics — zero on a healthy in-memory run, nonzero
+    * under deliberate memory-pressure probes (§8g). */
   def detailLine(total: Double, results: Seq[(String, Double)], sfDir: String,
                  fills: Seq[(String, Double)] = Nil,
                  calib: Option[Calib] = None,
-                 fillErrors: Map[String, String] = Map.empty): String = {
+                 fillErrors: Map[String, String] = Map.empty,
+                 deltas: Seq[(String, Double)] = Nil,
+                 spill: Option[(Long, Long)] = None): String = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fl = fills.map { case (k, v) => jsonStr(k) + ":" + v }
@@ -133,8 +166,28 @@ object Bench {
     val fe = fillErrors.toSeq.sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    val dl = deltas.map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val sp = spill.map { case (m2, d2) =>
+      s""""spill":{"mem":$m2,"disk":$d2},""" }.getOrElse("")
     val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec",$cal"queries":$qs,"fills":$fl,"fill_errors":$fe,"sf":${jsonStr(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"sf":${jsonStr(sfDir)}}"""
+  }
+
+  /** Suite-wide spill accounting from completed-stage task metrics —
+    * the signal a memory-pressure probe reads (MEMORY_AND_DISK memo
+    * eviction and shuffle spill both land here). */
+  final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    private val mem = new java.util.concurrent.atomic.AtomicLong
+    private val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      Option(sc.stageInfo.taskMetrics).foreach { tm =>
+        mem.addAndGet(tm.memoryBytesSpilled)
+        disk.addAndGet(tm.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long) = (mem.get, disk.get)
   }
 
   def main(args: Array[String]): Unit = {
@@ -143,7 +196,15 @@ object Bench {
     // calibrate BEFORE Spark starts: the probe then measures the
     // host, not contention with our own executor threads
     val calib = Some(calibrate())
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    // the round-over-round baseline: an explicitly-pointed prior
+    // artifact, else whatever detail file this run is about to
+    // overwrite (i.e. the previous round's) — read BEFORE the write
+    val prev = prevQueries(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outFile))
     val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
     // warmup: force real column reads on every fact table (count()
     // alone can satisfy from parquet footers) plus one higher-order
     // expression, so JVM/codegen/scan warmup isn't billed to the
@@ -169,9 +230,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum + fills.map(f => math.max(f._2, 0.0)).sum
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    // listener events are posted asynchronously; drain the bus so the
+    // last stage's metrics are in the snapshot
+    org.apache.spark.GraftSparkBridge.drainListenerBus(
+      spark.sparkContext, 10000L)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      detailLine(total, results, sfDir, fills, calib, Memo.fillErrors) + "\n")
+      detailLine(total, results, sfDir, fills, calib, Memo.fillErrors,
+        deltaMap(results, prev), Some(spill.snapshot)) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     Memo.clear(spark)

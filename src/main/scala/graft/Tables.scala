@@ -14,8 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // generated day-partition columns (`gpart_<src>_day` directories,
+    // see plans.PartitionDatePruning) are pure LAYOUT: the source
+    // column stays in the data files, so dropping the generated
+    // column here restores the exact logical schema of the flat
+    // layout — every operator and oracle is layout-oblivious, while
+    // date predicates still prune the day directories through the
+    // injected partition filters.
+    val gparts = df.columns.filter(_.startsWith("gpart_"))
+    if (gparts.isEmpty) df else df.drop(gparts.toSeq: _*)
+  }
 
   /** Spread a scan across the session's parallelism before CPU-heavy
     * per-row work (hashing, shingling, vector math). The local test

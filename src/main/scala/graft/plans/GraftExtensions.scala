@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RollingHashExpr(args(0))))
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => RewriteWindowTopK)
+    e.injectOptimizerRule(_ => PartitionDatePruning)
   }
 }

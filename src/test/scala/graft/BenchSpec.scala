@@ -70,6 +70,37 @@ class BenchSpec extends AnyFunSuite {
     assert(bare.contains(""""fill_errors":{}""") && !bare.contains("calib"))
   }
 
+  test("delta map against a synthetic prior artifact flags regressions") {
+    // a synthetic prior BENCH_OUT: one faster query, one slower, one
+    // removed; current adds one brand-new query
+    val prior = java.nio.file.Files.createTempFile("bench_prev", ".json")
+    java.nio.file.Files.writeString(prior,
+      """{"metric":"total","value":9.9,"unit":"sec",""" +
+        """"queries":{"q_a":1.0,"q_b":2.5,"q_gone":3.0},"sf":"/x/sf0.1"}""" + "\n")
+    val prev = Bench.prevQueries(prior.toString)
+    assert(prev == Map("q_a" -> 1.0, "q_b" -> 2.5, "q_gone" -> 3.0))
+    val current = Seq("q_a" -> 1.75, "q_b" -> 2.0, "q_new" -> 0.4)
+    val deltas = Bench.deltaMap(current, prev)
+    // regression visible (+0.75), improvement visible (−0.5), queries
+    // without a baseline (new) or a current run (removed) are absent
+    assert(deltas == Seq("q_a" -> 0.75, "q_b" -> -0.5))
+    val line = Bench.detailLine(4.15, current, "/x/sf0.1", deltas = deltas)
+    assert(line.contains(""""delta":{"q_a":0.75,"q_b":-0.5}"""))
+    // missing/corrupt prior file degrades to no deltas, never an error
+    assert(Bench.prevQueries("/nonexistent/path.json").isEmpty)
+    java.nio.file.Files.writeString(prior, "{not json")
+    assert(Bench.prevQueries(prior.toString).isEmpty)
+    assert(Bench.detailLine(1.0, current, "/x/sf0.1")
+      .contains(""""delta":{}"""))
+  }
+
+  test("detail line publishes suite-wide spill bytes when provided") {
+    val line = Bench.detailLine(1.0, manyQueries, "/x/sf0.1",
+      spill = Some((123456789L, 42L)))
+    assert(line.contains(""""spill":{"mem":123456789,"disk":42}"""))
+    assert(!Bench.detailLine(1.0, manyQueries, "/x/sf0.1").contains("spill"))
+  }
+
   test("strings with quotes/backslashes/control chars stay valid JSON") {
     val nasty = "a\"b\\c\nd\te"
     assert(Bench.jsonStr(nasty) == "\"a\\\"b\\\\c\\nd\\te\"")

@@ -34,6 +34,55 @@ class LayoutSpec extends AnyFunSuite {
       Tables.lineitem(spark, sf).count())
   }
 
+  test("generated day-partition layout preserves results and prunes date scans") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = Files.createTempDirectory("graft_partlayout").toString
+    graft.tools.GenScale.generate(spark, sf, dir, 1, partitioned = true)
+    // the generated layout column is invisible: readers see the flat
+    // layout's exact logical schema
+    assert(Tables.lineitem(spark, dir).schema == Tables.lineitem(spark, sf).schema)
+    assert(Tables.events(spark, dir).schema == Tables.events(spark, sf).schema)
+    assert(Tables.lineitem(spark, dir).count() == Tables.lineitem(spark, sf).count())
+    // a date-filtered query returns identical (exact-sum) results on
+    // both layouts
+    val flat = SparkEntry.queries("q6_forecast_revenue")(spark, sf).collect()
+    val part = SparkEntry.queries("q6_forecast_revenue")(spark, dir)
+    assert(flat.head.getLong(1) > 0, "q6 must be non-vacuous at this sf")
+    // the injected generated-column predicate must land in the scan's
+    // PartitionFilters (plans.PartitionDatePruning)
+    val planStr = part.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(planStr.contains("gpart_l_shipdate_day"),
+      s"no generated-column partition filter in plan:\n${planStr.take(1500)}")
+    assert("PartitionFilters: \\[[^\\]]*gpart_l_shipdate_day".r
+      .findFirstIn(planStr).isDefined, "filter must be a PARTITION filter")
+    // quantitative: the scan must read a strict subset of the day
+    // directories (q6 covers ~1 of ~7 ship years)
+    part.queryExecution.toRdd.count()
+    assert(part.collect().toSeq == flat.toSeq)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case q: QueryStageExec        => q +: allNodes(q.plan)
+      case o                        => o +: o.children.flatMap(allNodes)
+    }
+    val scan = allNodes(part.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.get("Location").exists(_.contains("lineitem")) => s
+    }
+    assert(scan.isDefined, "lineitem file scan not found in executed plan")
+    val partsRead = scan.get.metrics("numPartitions").value
+    val totalDays = new java.io.File(dir + "/lineitem.parquet")
+      .listFiles.count(_.getName.startsWith("gpart_"))
+    assert(totalDays > 1000, s"expected ~2.5k day dirs, got $totalDays")
+    assert(partsRead > 0 && partsRead < totalDays / 2,
+      s"pruning ineffective: read $partsRead of $totalDays day dirs")
+    // the events layout path (ts-derived days) holds up end-to-end too
+    val wFlat = SparkEntry.queries("etl_weekly_trend")(spark, sf).collect()
+    val wPart = SparkEntry.queries("etl_weekly_trend")(spark, dir).collect()
+    assert(wFlat.toSeq == wPart.toSeq)
+  }
+
   test("zValue matches a reference bit interleave") {
     import spark.implicits._
     def refZ(xs: Seq[Long], bits: Int): Long = {

@@ -127,6 +127,63 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("clear during a slow in-flight build returns promptly and nothing leaks") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val d = Files.createTempDirectory("graft_memo_slow").toString
+    Seq(1L, 2L).toDF("x").write.parquet(d + "/t.parquet")
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val hold = new java.util.concurrent.CountDownLatch(1)
+    @volatile var built: org.apache.spark.sql.DataFrame = null
+    val builder = Future {
+      Memo.cached(spark, "memo_spec_slow", d) {
+        started.countDown()
+        hold.await() // a "slow build": blocks until the test releases it
+        built = spark.read.parquet(d + "/t.parquet")
+        built
+      }
+    }
+    started.await()
+    // clear while the build is mid-flight: must NOT block until the
+    // build finishes (pre-round-8, clearTarget took the build monitor
+    // and waited) — bound the call at far less than the hold time
+    val t0 = System.nanoTime()
+    Memo.clear(spark)
+    val clearSec = (System.nanoTime() - t0) / 1e9
+    assert(clearSec < 5.0, s"clear blocked ${clearSec}s on an in-flight build")
+    hold.countDown()
+    val out = Await.result(builder, 2.minutes)
+    assert(out.count() == 2, "caller still gets a usable DataFrame")
+    // the build completed AFTER its cell was cleared: it must have
+    // undone its own persist (give the self-unpersist a beat — it
+    // runs on the builder thread right after complete)
+    assert(built.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "post-clear build must self-unpersist")
+    Memo.clear(spark)
+  }
+
+  test("a cyclic fill fails loudly instead of deadlocking") {
+    import spark.implicits._
+    def recurse(): org.apache.spark.sql.DataFrame =
+      Memo.cached(spark, "memo_spec_cycle", "nodir") {
+        // a (buggy) build that reads its OWN key — pre-round-8 this
+        // hard-deadlocked on the cell monitor; now it must throw
+        recurse()
+      }
+    val e = intercept[IllegalStateException] { recurse() }
+    assert(e.getMessage.contains("cyclic memo fill"))
+    // the in-flight cell was not evicted by the waiter-side throw,
+    // and the failed outer build evicted it — a later non-cyclic
+    // build of the same key succeeds
+    val ok = Memo.cached(spark, "memo_spec_cycle", "nodir")(
+      Seq(7L).toDF("x"))
+    assert(ok.count() == 1)
+    Memo.clear(spark)
+  }
+
   test("concurrent cachedEager callers build a shared key exactly once") {
     import spark.implicits._
     import java.util.concurrent.atomic.AtomicInteger

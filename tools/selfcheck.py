@@ -62,8 +62,12 @@ def main():
     con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
-        # multi-file table dirs (GenScale output) need the glob form
-        glob_path = path + ("/*.parquet" if os.path.isdir(path) else "")
+        # multi-file table dirs (GenScale output) need the glob form;
+        # ** also descends day-partition directories (gpart_* layouts)
+        # WITHOUT hive_partitioning: the generated partition column is
+        # pure layout and the source column stays in the data files,
+        # so the view sees exactly the flat-layout schema
+        glob_path = path + ("/**/*.parquet" if os.path.isdir(path) else "")
         con.sql(f"create view {t} as select * from '{glob_path}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     # optional 3rd arg: regex over query names (builder-side chunked /

@@ -24,7 +24,8 @@ def main():
     con.sql("SET memory_limit='24GB'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
-        glob = path + ("/*.parquet" if os.path.isdir(path) else "")
+        # ** also descends gpart_* day-partition dirs (see selfcheck.py)
+        glob = path + ("/**/*.parquet" if os.path.isdir(path) else "")
         con.sql(f"create view {t} as select * from '{glob}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     if len(sys.argv) > 4:  # optional regex filter, like selfcheck.py
