@@ -140,6 +140,14 @@ object CorpusOps {
         // regression can never return silently-wrong labels
         if (!converged) throw new IllegalStateException(
           s"label propagation did not converge within $maxRounds doubling rounds")
+        // one diagnostic line per distributed resolution — the §8g
+        // scale measurement reads rounds/edges/vertices from here
+        // (both counts hit CACHED relations: edges is the loop's
+        // cached symmetric edge set, labels the final checkpoint)
+        System.err.println(
+          s"[cc] distributed components: converged in $round rounds " +
+            s"(${edges.count() / 2} pair edges, ${labels.count()} " +
+            s"connected vertices, driver threshold $maxEdges)")
         // labels is localCheckpointed (materialized independently),
         // so the loop's inputs can release their storage now — a
         // long-lived session shouldn't accumulate per-call caches

@@ -178,10 +178,20 @@ object DedupOps {
         order = Seq(graft.functions.topk.Order(idCol)),
         k = cap)
       .select(bucketCols.map(col) :+ col(idCol).as("cand_a"): _*)
-    reps
-      .join(banded.select(bucketCols.map(col) :+ col(idCol).as("cand_b"): _*),
-        bucketCols)
-      .filter(col("cand_a") < col("cand_b"))
+    // reps-side keys renamed so the (self-join-lineage) condition
+    // resolves unambiguously; the a<b dedup rides IN the join
+    // condition (evaluated during the hash probe), so the ~half of
+    // per-bucket combinations that fail it are never materialized as
+    // join output; shuffle_hash on the capped reps side keeps the
+    // bucket join sort-free — under a heavy-duplication corpus (sf3
+    // probe: ~3e8 candidate rows) the SMJ alternative sorts the full
+    // candidate stream and spills
+    val repsR = reps.select(
+      bucketCols.map(c => col(c).as(s"k_$c")) :+ col("cand_a"): _*)
+    val full = banded.select(bucketCols.map(col) :+ col(idCol).as("cand_b"): _*)
+    full.join(repsR.hint("shuffle_hash"),
+        bucketCols.map(c => col(s"k_$c") === col(c)).reduce(_ && _) &&
+          col("cand_a") < col("cand_b"))
       .select("cand_a", "cand_b").distinct()
   }
 
@@ -664,9 +674,30 @@ object DedupOps {
     val cand = bucketCandidates(banded, Seq("tbl", "bv"), "vec_id", CandBucketCap)
       .select(col("cand_a").as("vec_a"), col("cand_b").as("vec_b"))
 
+    // Attach strategy is chosen by the VECTOR side's size, not left
+    // to the 10 MB autoBroadcast default — the candidate stream is
+    // 100-2000× larger than the vector table (sf3 probe: 97M pairs
+    // from 60k vectors), so what must never happen is the pair
+    // stream being sorted (SMJ) or re-shuffled while carrying a
+    // 64-float array payload (the first attach widens each row
+    // ~20×; the probe measured ~54 GB through the second exchange).
+    //   - vectors fit the broadcast budget (≤ ~900k vecs): broadcast
+    //     BOTH attaches — the pair stream never moves again after
+    //     its distinct; cosine runs map-side.
+    //   - bigger corpora: shuffle_hash — ids-only pair rows shuffle,
+    //     the per-partition vector slice hash-builds sort-free (the
+    //     1000-executor shape).
+    val BcastBudgetBytes = 256L * 1024 * 1024
+    val bytesPerVec = 320L // 64 float32s + ids/offsets overhead
+    val nVec = e.count() // cached by caller contract — one cheap job
+    def side(df: DataFrame) =
+      if (nVec * bytesPerVec <= BcastBudgetBytes) broadcast(df)
+      else df.hint("shuffle_hash")
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .join(side(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))),
+        "vec_a")
+      .join(side(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))),
+        "vec_b")
       .withColumn("cosine", vector.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
