@@ -1185,9 +1185,14 @@ object AnnOps {
     val cand = mr.select(col("vec_id").as("a"), col("rep_id").as("b"))
       .unionAll(mr.select(col("rep_id").as("a"), col("vec_id").as("b")))
       .distinct()
+    // size-adaptive attach (broadcast within budget, else sort-free
+    // shuffle_hash) — the candidate stream must never be sorted or
+    // re-shuffled carrying the embedding payload (see
+    // DedupOps.embAttacher; sf3 probe)
+    val attach = DedupOps.embAttacher(e)
     val scored = cand
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .join(attach("a", "ea"), "a")
+      .join(attach("b", "eb"), "b")
       .withColumn("cos", vector.cosine(col("ea"), col("eb")))
       .select(col("a").as("query_id"), col("b"), col("cos"))
     graft.functions.topk.perKey(scored,

@@ -674,33 +674,39 @@ object DedupOps {
     val cand = bucketCandidates(banded, Seq("tbl", "bv"), "vec_id", CandBucketCap)
       .select(col("cand_a").as("vec_a"), col("cand_b").as("vec_b"))
 
-    // Attach strategy is chosen by the VECTOR side's size, not left
-    // to the 10 MB autoBroadcast default — the candidate stream is
-    // 100-2000× larger than the vector table (sf3 probe: 97M pairs
-    // from 60k vectors), so what must never happen is the pair
-    // stream being sorted (SMJ) or re-shuffled while carrying a
-    // 64-float array payload (the first attach widens each row
-    // ~20×; the probe measured ~54 GB through the second exchange).
-    //   - vectors fit the broadcast budget (≤ ~900k vecs): broadcast
-    //     BOTH attaches — the pair stream never moves again after
-    //     its distinct; cosine runs map-side.
-    //   - bigger corpora: shuffle_hash — ids-only pair rows shuffle,
-    //     the per-partition vector slice hash-builds sort-free (the
-    //     1000-executor shape).
-    val BcastBudgetBytes = 256L * 1024 * 1024
-    val bytesPerVec = 320L // 64 float32s + ids/offsets overhead
-    val nVec = e.count() // cached by caller contract — one cheap job
-    def side(df: DataFrame) =
-      if (nVec * bytesPerVec <= BcastBudgetBytes) broadcast(df)
-      else df.hint("shuffle_hash")
+    val attach = embAttacher(e)
     cand
-      .join(side(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))),
-        "vec_a")
-      .join(side(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))),
-        "vec_b")
+      .join(attach("vec_a", "ea"), "vec_a")
+      .join(attach("vec_b", "eb"), "vec_b")
       .withColumn("cosine", vector.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** Embedding re-attachment for candidate-pair streams, strategy
+    * chosen by the VECTOR side's size instead of the 10 MB
+    * autoBroadcast default — the pair stream is 100-2000× larger
+    * than the vector table (sf3 probe: 97M pairs from 60k vectors),
+    * so what must never happen is the pair stream being sorted
+    * (SMJ) or re-shuffled while carrying a 64-float array payload
+    * (the first attach widens each row ~20×; the probe measured
+    * ~54 GB through the second exchange — most of the suite's spill).
+    *   - vectors fit the broadcast budget (≤ ~800k vecs): broadcast
+    *     every attach — the pair stream never moves again after its
+    *     distinct; cosine runs map-side.
+    *   - bigger corpora: shuffle_hash — ids-only pair rows shuffle,
+    *     the per-partition vector slice hash-builds sort-free (the
+    *     1000-executor shape).
+    * Counts once per call (the input is memo-cached by contract). */
+  private[operators] def embAttacher(e: DataFrame): (String, String) => DataFrame = {
+    val BcastBudgetBytes = 256L * 1024 * 1024
+    val bytesPerVec = 320L // 64 float32s + ids/offsets overhead
+    val nVec = e.count()
+    (idAs, embAs) => {
+      val side = e.select(col("vec_id").as(idAs), col("embedding").as(embAs))
+      if (nVec * bytesPerVec <= BcastBudgetBytes) broadcast(side)
+      else side.hint("shuffle_hash")
+    }
   }
 
   // ------------------------------------------------- passage dedup
