@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   *  - `src >= L` and `src > L`  imply `day >= floor_day(L)`
   *  - `src <= L` and `src < L`  imply `day <= floor_day(L)`
   *  - `src = L`                 implies `day = floor_day(L)`
+  *  - `src IN (L…)`             implies `day IN (floor_day(L)…)`
   *
   * The injected conjunct is REDUNDANT for row semantics (the exact
   * source predicate still runs) but FileSourceStrategy recognizes it
@@ -80,33 +81,53 @@ object PartitionDatePruning extends Rule[LogicalPlan] with PredicateHelper {
   private def day(e: Expression): Expression =
     Cast(e, DateType, Some(conf.sessionLocalTimeZone))
 
+  /** The source attribute behind a comparison operand: bare, or
+    * wrapped in the timestamp⇄timestamp_ntz cast the analyzer's type
+    * coercion inserts (In widens NTZ columns to LTZ, casting the
+    * ATTRIBUTE side). The cast form is matched only under a UTC
+    * session: with no DST the NTZ⇄LTZ mapping is a fixed monotone
+    * bijection, so day-flooring the (cast-typed) bound yields the
+    * same day the uncast column would — in a DST zone a repeated
+    * local hour could straddle midnight, so soundness wins over
+    * coverage and the wrapped form is skipped. Richer wrappings
+    * (`to_date(src) = …`) are deliberately not matched. */
+  private object SrcAttr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(a: Attribute, TimestampType | TimestampNTZType, _, _)
+          if conf.sessionLocalTimeZone == "UTC" => Some(a)
+      case _ => None
+    }
+  }
+
   /** The implied day-column predicate for one conjunct, if it is a
     * plain comparison between the mapped source attribute and a
-    * foldable bound (either operand order). Wrapped sources
-    * (`to_date(src) = …`) are deliberately not matched — soundness
-    * over coverage. */
+    * foldable bound (either operand order). */
   private def imply(c: Expression, s: Attribute,
                     g: Attribute): Option[Expression] = c match {
-    case GreaterThanOrEqual(a: Attribute, l)
+    case GreaterThanOrEqual(SrcAttr(a), l)
         if a.semanticEquals(s) && l.foldable => Some(GreaterThanOrEqual(g, day(l)))
-    case GreaterThan(a: Attribute, l)
+    case GreaterThan(SrcAttr(a), l)
         if a.semanticEquals(s) && l.foldable => Some(GreaterThanOrEqual(g, day(l)))
-    case LessThan(a: Attribute, l)
+    case LessThan(SrcAttr(a), l)
         if a.semanticEquals(s) && l.foldable => Some(LessThanOrEqual(g, day(l)))
-    case LessThanOrEqual(a: Attribute, l)
+    case LessThanOrEqual(SrcAttr(a), l)
         if a.semanticEquals(s) && l.foldable => Some(LessThanOrEqual(g, day(l)))
-    case EqualTo(a: Attribute, l)
+    case EqualTo(SrcAttr(a), l)
         if a.semanticEquals(s) && l.foldable => Some(EqualTo(g, day(l)))
-    case GreaterThanOrEqual(l, a: Attribute)
+    case GreaterThanOrEqual(l, SrcAttr(a))
         if a.semanticEquals(s) && l.foldable => Some(LessThanOrEqual(g, day(l)))
-    case GreaterThan(l, a: Attribute)
+    case GreaterThan(l, SrcAttr(a))
         if a.semanticEquals(s) && l.foldable => Some(LessThanOrEqual(g, day(l)))
-    case LessThan(l, a: Attribute)
+    case LessThan(l, SrcAttr(a))
         if a.semanticEquals(s) && l.foldable => Some(GreaterThanOrEqual(g, day(l)))
-    case LessThanOrEqual(l, a: Attribute)
+    case LessThanOrEqual(l, SrcAttr(a))
         if a.semanticEquals(s) && l.foldable => Some(GreaterThanOrEqual(g, day(l)))
-    case EqualTo(l, a: Attribute)
+    case EqualTo(l, SrcAttr(a))
         if a.semanticEquals(s) && l.foldable => Some(EqualTo(g, day(l)))
+    case In(SrcAttr(a), vs)
+        if a.semanticEquals(s) && vs.nonEmpty && vs.forall(_.foldable) =>
+      Some(In(g, vs.map(day).distinct))
     case _ => None
   }
 }

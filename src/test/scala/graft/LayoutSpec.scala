@@ -81,6 +81,21 @@ class LayoutSpec extends AnyFunSuite {
     val wFlat = SparkEntry.queries("etl_weekly_trend")(spark, sf).collect()
     val wPart = SparkEntry.queries("etl_weekly_trend")(spark, dir).collect()
     assert(wFlat.toSeq == wPart.toSeq)
+    // IN-list date predicates derive an IN partition filter too
+    val inQ = Tables.orders(spark, dir).filter(
+      col("o_orderdate").isin(
+        java.sql.Timestamp.valueOf("1996-03-13 00:00:00"),
+        java.sql.Timestamp.valueOf("1997-06-01 00:00:00")))
+    val inPlan = inQ.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*gpart_o_orderdate_day#\\d+ IN".r
+      .findFirstIn(inPlan).isDefined,
+      s"IN-list did not derive a partition filter:\n${inPlan.take(1200)}")
+    assert(inQ.count() ==
+      Tables.orders(spark, sf).filter(
+        col("o_orderdate").isin(
+          java.sql.Timestamp.valueOf("1996-03-13 00:00:00"),
+          java.sql.Timestamp.valueOf("1997-06-01 00:00:00"))).count())
   }
 
   test("zValue matches a reference bit interleave") {
