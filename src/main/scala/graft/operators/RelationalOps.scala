@@ -2793,14 +2793,26 @@ object RelationalOps {
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
       .transform(graft.Checkpoints.eager)
+    // the rank-weighted sum Σ i·x is O(n²·x̄) — ~2.2e19 at sf3, past
+    // long range (the sf3 escalation caught the overflow live), and
+    // the (n+1)·total products overflow right behind it. All
+    // intermediates therefore accumulate EXACTLY in decimal(38,0)
+    // (hugeint on the oracle side) and convert to double only at the
+    // final expression — each conversion is of an exact integer both
+    // engines hold bit-identically, so small-sf results are unchanged
+    // to the last ulp.
+    val dec = "decimal(38,0)"
     rangedRank(rev, "x", "l_partkey")
       .select(col("x"), ((col("pos") + 1) * col("x")).as("ix"), col("_n"))
       .groupBy(col("_n").as("n_parts"))
-      .agg(sum(col("x")).as("total_rev_c"), sum(col("ix")).as("_s1"))
+      .agg(sum(col("x")).as("total_rev_c"),
+        sum(col("ix").cast(dec)).as("_s1"))
       .select(col("n_parts"), col("total_rev_c"),
-        round((lit(2.0) * col("_s1") - (col("n_parts") + 1)
-            * col("total_rev_c"))
-          / (col("n_parts") * col("total_rev_c")).cast("double"), 6)
+        round((lit(2.0) * col("_s1").cast("double")
+            - ((col("n_parts") + 1).cast(dec)
+              * col("total_rev_c").cast(dec)).cast("double"))
+          / (col("n_parts").cast(dec)
+              * col("total_rev_c").cast(dec)).cast("double"), 6)
           .as("gini"))
   }
 
@@ -2817,11 +2829,12 @@ object RelationalOps {
       |a AS (
       |  SELECT cast(count(*) as bigint) AS n_parts,
       |    cast(sum(x) as bigint) AS total_rev_c,
-      |    cast(sum(i * x) as bigint) AS s1
+      |    sum(cast(i as hugeint) * x) AS s1
       |  FROM r)
       |SELECT n_parts, total_rev_c,
-      |  round((2.0 * s1 - (n_parts + 1) * total_rev_c)
-      |    / cast(n_parts * total_rev_c as double), 6) AS gini
+      |  round((2.0 * cast(s1 as double)
+      |      - cast(cast(n_parts + 1 as hugeint) * total_rev_c as double))
+      |    / cast(cast(n_parts as hugeint) * total_rev_c as double), 6) AS gini
       |FROM a""".stripMargin
 
   // ------------------------------------------------------- skew metrics
