@@ -59,7 +59,10 @@ def main():
     # of duckdb_temp_storage into the work tree stalls git) and keep
     # RSS bounded so the box stays usable next to a Spark JVM
     con.sql(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
-    con.sql("SET memory_limit='24GB'")
+    # 24GB default keeps the box usable next to a Spark JVM; big-sf
+    # oracle reruns may need more (the single-process engine's working
+    # set grows with the data — SELFCHECK_MEM='64GB' to raise it)
+    con.sql(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '24GB')}'")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         # multi-file table dirs (GenScale output) need the glob form;
