@@ -759,6 +759,109 @@ object DedupOps {
        |HAVING count(DISTINCT doc_id) > 1""".stripMargin
   }
 
+  // --------------------------------------------- substring coverage
+
+  /** Sliding-gram span length for substring-duplication coverage —
+    * the stride-1 counterpart of [[PassageTokens]]' non-overlapping
+    * chunks. */
+  private val SubstrK = 8
+
+  /** Substring-duplication coverage per document — the exact-substring
+    * dedup SIGNAL (the sliding-window counterpart of `dedup_passage`'s
+    * chunk grid): for every doc, the fraction of its token positions
+    * covered by some K-token gram that also occurs in ANOTHER doc,
+    * plus the longest contiguous duplicated run. This is the per-doc
+    * number a curation run thresholds to drop boilerplate-heavy or
+    * wholesale-copied documents when cluster-level dedup is too
+    * coarse (a doc 40% copied from elsewhere is not a near-dup of
+    * anything, but its spans are).
+    *
+    * Scale shape: positional grams are one row per token (the same
+    * order as the memoized tokenize pass they derive from); the
+    * duplicated-gram set is a distinct-gram-bounded aggregate; the
+    * coverage join is a LEFT SEMI on an 8-byte hash; the run/island
+    * analysis is windowed PER DOC (bounded by document length — never
+    * a global window). No pair join exists anywhere, so a gram shared
+    * by B docs costs O(B) rows, never O(B²).
+    *
+    * Interval union without interval logic: duplicated gram starts
+    * p₁<p₂<… merge into one run while pₙ₊₁−pₙ ≤ K (overlap or
+    * adjacency); a run's covered length is last−first+K, and coverage
+    * is the sum over runs — exact integer arithmetic end to end
+    * (coverage as ppm by integral division).
+    *
+    * Spark groups grams by xxhash64; the oracle groups the raw gram
+    * strings — the same deliberate asymmetry (and the same ~2⁻⁶⁴
+    * caveat) documented on [[ngramJaccardSql]]. */
+  def substringDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = VocabOps.docToks(s, d)
+      .select(col("doc_id"),
+        posexplode(text.ngrams(col("toks"), SubstrK)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("fp"))
+    val dup = grams.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select("fp")
+    val hits = grams.join(dup, Seq("fp"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = hits
+      .withColumn("gap_prev", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("new_run",
+        when(col("gap_prev").isNull || col("gap_prev") > SubstrK, 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("new_run"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perRun = runs.groupBy(col("doc_id"), col("run_id"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(SubstrK)).as("run_len"),
+        count(lit(1)).as("n_grams"))
+    val perDoc = perRun.groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("covered_tokens"),
+        max(col("run_len")).cast("long").as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        sum(col("n_grams")).as("dup_gram_starts"))
+    val sizes = VocabOps.docToks(s, d)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    perDoc.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_gram_starts"),
+        col("covered_tokens"),
+        expr("covered_tokens * 1000000 div n_tokens").as("coverage_ppm"),
+        col("max_run_tokens"), col("n_runs"))
+  }
+
+  private val substringDedupSql = {
+    val k = SubstrK
+    s"""WITH t AS (SELECT doc_id, ${text.tokensSql} AS t FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(t) - ${k - 2})) AS pos,
+       |    unnest(list_transform(range(1, len(t) - ${k - 2}),
+       |      i -> array_to_string(t[i:i+${k - 1}], ' '))) AS gram
+       |  FROM t WHERE len(t) >= $k),
+       |dup AS (SELECT gram FROM g GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) > 1),
+       |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+       |r AS (SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER dw IS NULL
+       |         OR pos - lag(pos) OVER dw > $k THEN 1 ELSE 0 END AS new_run
+       |  FROM h WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |rr AS (SELECT doc_id, pos, sum(new_run) OVER
+       |    (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |    AS run_id FROM r),
+       |pr AS (SELECT doc_id, run_id, max(pos) - min(pos) + $k AS run_len,
+       |         count(*) AS n_grams FROM rr GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, sum(run_len) AS covered_tokens,
+       |         max(run_len) AS max_run_tokens, count(*) AS n_runs,
+       |         sum(n_grams) AS dup_gram_starts FROM pr GROUP BY 1),
+       |sz AS (SELECT doc_id, len(t) AS n_tokens FROM t)
+       |SELECT pd.doc_id, cast(n_tokens as bigint) AS n_tokens,
+       |  cast(dup_gram_starts as bigint) AS dup_gram_starts,
+       |  cast(covered_tokens as bigint) AS covered_tokens,
+       |  cast(covered_tokens * 1000000 // n_tokens as bigint) AS coverage_ppm,
+       |  cast(max_run_tokens as bigint) AS max_run_tokens,
+       |  cast(n_runs as bigint) AS n_runs
+       |FROM pd JOIN sz USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------- maps
 
   /** Dedup observability — the cluster-size histogram + duplication
@@ -890,6 +993,7 @@ object DedupOps {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingNearDup _),
     "dedup_passage" -> (passageDedup _),
+    "dedup_substring" -> (substringDedup _),
     "dedup_stats" -> (dedupStats _),
     "dedup_eval" -> (dedupEval _))
 
@@ -901,6 +1005,7 @@ object DedupOps {
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingNearDupSql,
     "dedup_passage" -> passageDedupSql,
+    "dedup_substring" -> substringDedupSql,
     "dedup_stats" -> dedupStatsSql,
     "dedup_eval" -> dedupEvalSql)
 }

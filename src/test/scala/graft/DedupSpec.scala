@@ -218,4 +218,49 @@ class DedupSpec extends AnyFunSuite {
       assert(above.isEmpty || above.min > 0.2, s"b=$b cliff location")
     }
   }
+
+  test("substring coverage matches a driver-side exact recompute") {
+    val k = 8
+    // the spec-side tokenizer mirror: ASCII-range lowercase +
+    // whitespace split, empties dropped (the text.tokens contract)
+    def tok(s: String): Array[String] =
+      s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .mkString.split("[ \t\n\\x0B\f\r]+").filter(_.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), tok(r.getString(1))))
+    val gramDocs = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, t) <- docs; i <- 0 to t.length - k)
+      gramDocs.getOrElseUpdate(t.slice(i, i + k).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val expected = docs.flatMap { case (id, t) =>
+      val pos = (0 to t.length - k).filter { i =>
+        gramDocs(t.slice(i, i + k).mkString(" ")).size > 1
+      }
+      if (pos.isEmpty) None
+      else {
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        for (p <- pos) {
+          if (runs.nonEmpty && p - runs.last._2 <= k)
+            runs(runs.length - 1) = (runs.last._1, p)
+          else runs += ((p, p))
+        }
+        val lens = runs.map { case (f, l) => l - f + k }
+        val covered = lens.map(_.toLong).sum
+        Some((id, t.length.toLong, pos.size.toLong, covered,
+          covered * 1000000L / t.length, lens.max.toLong, runs.size.toLong))
+      }
+    }.toSet
+    assert(expected.nonEmpty, "corpus lost its planted duplicated spans")
+    val got = DedupOps.substringDedup(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // coverage invariants hold row-by-row
+    got.foreach { case (_, ntok, starts, covered, ppm, maxRun, nRuns) =>
+      assert(covered <= ntok && maxRun <= covered && ppm <= 1000000L &&
+        starts >= nRuns && nRuns >= 1)
+    }
+  }
 }
