@@ -226,13 +226,61 @@ object AnnOps {
 
   private def rangeSearchSql: String = {
     def dot(a: String, b: String) = sqlDot(a, b)
-    s"""WITH $ivfChainSql
+    s"""WITH ${ivfChainSql()}
        |SELECT p.query_id, a.vec_id AS neighbor_id,
        |  round(${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm), 6) AS cosine
        |FROM asg a JOIN probes p USING (cell_id)
        |WHERE a.vec_id <> p.query_id
        |  AND ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm)
        |      >= cast($RangeTau as double)""".stripMargin
+  }
+
+  /** Filtered search doubles the probe budget: the predicate thins
+    * every probed cell, so an unfiltered-tuned nProbe under-recalls —
+    * the standard filtered-search compensation (FAISS/vector-DB
+    * selector searches do the same). */
+  private val FilteredNProbe = 2 * DefaultNProbe
+
+  /** Metadata-FILTERED ANN search — the vector-database API where a
+    * query retrieves nearest neighbors satisfying a predicate (here:
+    * same label as the query — "search within my category/shard").
+    * PRE-filtering, not post-: the label rides IN the memoized
+    * assignment (coarseAssign carries it), so the predicate prunes
+    * candidates where the vectors live, before any score or heap —
+    * a post-filter of an unfiltered top-k would silently under-fill
+    * for selective predicates. Per query only the probed cells are
+    * scanned; the query's own label joins in with the 5-row
+    * broadcast probe table. */
+  def filteredSearch(s: SparkSession, d: String): DataFrame = {
+    val qLabels = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val probes = ivfProbes(annCents(s, d), queriesDf(s, d), FilteredNProbe)
+      .join(broadcast(qLabels), "query_id")
+    val scored = annAssigned(s, d).join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    rankTopK(scored, "vec_id")
+  }
+
+  private def filteredSearchSql: String = {
+    def dot(a: String, b: String) = sqlDot(a, b)
+    s"""WITH ${ivfChainSql(FilteredNProbe)},
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |ql AS (SELECT vec_id AS query_id, label AS q_label
+       |       FROM embeddings WHERE vec_id < $NQueries)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm) DESC,
+       |             a.vec_id) as int) AS rank,
+       |  round(${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm), 6) AS cosine
+       |FROM asg a
+       |JOIN probes p USING (cell_id)
+       |JOIN lbl l ON a.vec_id = l.vec_id
+       |JOIN ql ON p.query_id = ql.query_id
+       |WHERE a.vec_id <> p.query_id AND l.label = ql.q_label
+       |QUALIFY rank <= $K""".stripMargin
   }
 
   /** ANN quality report: per-query recall of IVF top-K against the
@@ -255,7 +303,7 @@ object AnnOps {
 
   private def recallEvalSql: String = {
     def dot(a: String, b: String) = sqlDot(a, b)
-    s"""WITH $ivfChainSql,
+    s"""WITH ${ivfChainSql()},
        |ivf_res AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM asg a JOIN probes p USING (cell_id)
@@ -269,6 +317,74 @@ object AnnOps {
        |FROM bf b LEFT JOIN ivf_res i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
        |GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------- matryoshka (MRL) eval
+
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka (MRL) truncation evaluation: recall@K of the top-K
+    * ranked by cosine over only the FIRST d dimensions, for d ∈
+    * {8,16,32,64}, against the full-dim exact top-K — the design
+    * table that decides whether a corpus can store/serve truncated
+    * prefixes (4× smaller at d=16) before committing 10⁹ vectors to
+    * a layout. ONE corpus pass computes all four prefix cosines (a
+    * narrow 4× explode BEFORE any shuffle; the bounded-heap top-k
+    * prunes map-side, so the exchange carries ≤ K rows per
+    * (dim, query) per partition, never the fan-out). Prefix cosine
+    * is the same fixed-order fold over a slice, so ranks hash-match
+    * the mirror; the d=64 row is the built-in sanity anchor (recall
+    * ≡ 100%, AnnSpec-pinned). */
+  def matryoshkaEval(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val full = bruteForce(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val pref = e.crossJoin(broadcast(queriesDf(s, d)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"),
+        explode(array(MrlDims.map(m => lit(m)): _*)).as("prefix_dim"))
+      .select(col("query_id"), col("vec_id"), col("prefix_dim"),
+        vector.cosineFold(
+          slice(col("embedding"), lit(1), col("prefix_dim")),
+          slice(col("q_emb"), lit(1), col("prefix_dim"))).as("cos"))
+    val prefTop = graft.functions.topk.perKey(pref,
+      keys = Seq("prefix_dim", "query_id"),
+      order = Seq(graft.functions.topk.Order("cos", ascending = false),
+        graft.functions.topk.Order("vec_id")),
+      k = K)
+      .select(col("prefix_dim"), col("query_id"),
+        col("vec_id").as("neighbor_id"))
+    prefTop.join(broadcast(full), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("prefix_dim"), col("query_id"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("prefix_dim"), col("query_id"), col("n_hit"),
+        expr(s"n_hit * 1000000 div $K").as("recall_ppm"))
+  }
+
+  private def matryoshkaEvalSql: String = {
+    // same fold as vector.sql.dot, range bound by the prefix width
+    def dotN(a: String, b: String) =
+      "list_reduce(list_prepend(cast(0.0 as double), " +
+        s"list_transform(range(1, d.prefix_dim + 1), i -> cast($a[i]*$b[i] as double))), " +
+        "(acc, x) -> acc + x)"
+    val cosN = s"(${dotN("e.embedding", "q.embedding")} / " +
+      s"(sqrt(${dotN("e.embedding", "e.embedding")}) * " +
+      s"sqrt(${dotN("q.embedding", "q.embedding")})))"
+    s"""WITH dims AS (
+       |  SELECT unnest([${MrlDims.mkString(", ")}]) AS prefix_dim),
+       |bf AS ($bruteForceSql),
+       |pref AS (
+       |  SELECT d.prefix_dim, q.vec_id AS query_id, e.vec_id AS neighbor_id
+       |  FROM embeddings e, embeddings q, dims d
+       |  WHERE q.vec_id < $NQueries AND e.vec_id <> q.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY d.prefix_dim, q.vec_id
+       |    ORDER BY $cosN DESC, e.vec_id) <= $K)
+       |SELECT p.prefix_dim, p.query_id,
+       |  cast(count(b.neighbor_id) as bigint) AS n_hit,
+       |  cast(count(b.neighbor_id) * 1000000 // $K as bigint) AS recall_ppm
+       |FROM pref p LEFT JOIN bf b
+       |  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+       |GROUP BY 1, 2""".stripMargin
   }
 
   /** Bounded deterministic training sample: keep a vector iff its
@@ -309,14 +425,25 @@ object AnnOps {
   }
 
   /** Full-corpus cell assignment: argmin over broadcast centroids —
-    * the one unavoidable O(N·√N·d) pass. */
-  private def coarseAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    * the one unavoidable O(N·√N·d) pass. When the input carries a
+    * `label`, it rides along (a production filtered-search index
+    * stores its filterable attributes WITH the entry — ann_filtered
+    * reads it at zero extra cost); train/residual inputs without one
+    * are unchanged. */
+  private def coarseAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val lblAgg =
+      if (e.columns.contains("label")) Seq(first(col("label")).as("label"))
+      else Nil
+    val lblOut =
+      if (e.columns.contains("label")) Seq(col("label")) else Nil
     e.crossJoin(broadcast(cents))
       .withColumn("dist", -vector.cosine(col("embedding"), col("c_emb")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("best.cell_id").as("cell_id"))
+        (first(col("embedding")).as("embedding") +: lblAgg): _*)
+      .select((Seq(col("vec_id"), col("embedding"),
+        col("best.cell_id").as("cell_id")) ++ lblOut): _*)
+  }
 
   /** nProbe nearest cells per query (bounded-heap top-k over the
     * broadcast centroid table) — shared by top-k IVF search, radius
@@ -417,6 +544,7 @@ object AnnOps {
     "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }),
     "pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
     "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () }),
+    "sq8_codes" -> (() => { sq8Codes(s, d).count(); () }),
     "cov_base" -> (() => { covarianceBase(s, d).count(); () }))
 
   // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
@@ -506,7 +634,7 @@ object AnnOps {
     * (assigned corpus) and `probes` — the shared prefix of the ivf /
     * range-search / recall-eval mirrors, mirroring the memoized
     * model pieces the Spark side shares. */
-  private def ivfChainSql: String = {
+  private def ivfChainSql(nProbe: Int = DefaultNProbe): String = {
     val dotTS = sqlDotTS
     def kmeansAssign(src: String, cents: String, out: String): String =
       cAssignSql(src, cents, out)
@@ -541,12 +669,12 @@ object AnnOps {
        |  SELECT t.vec_id AS query_id, t.embedding AS q_emb, t.nrm AS qnrm, s.cell_id
        |  FROM (SELECT * FROM corpus WHERE vec_id < $NQueries) t, cent2 s
        |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
-       |    ORDER BY -(${sqlDotTS} / (t.nrm * s.cnorm)), s.cell_id) <= $DefaultNProbe)""".stripMargin
+       |    ORDER BY -(${sqlDotTS} / (t.nrm * s.cnorm)), s.cell_id) <= $nProbe)""".stripMargin
   }
 
   private def ivfSql: String = {
     def dot(a: String, b: String) = sqlDot(a, b)
-    s"""WITH $ivfChainSql
+    s"""WITH ${ivfChainSql()}
        |SELECT p.query_id, a.vec_id AS neighbor_id,
        |  cast(row_number() OVER (PARTITION BY p.query_id
        |    ORDER BY ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm) DESC,
@@ -1329,47 +1457,148 @@ object AnnOps {
     * code sum, and the fixed-order reconstruction-error sum. */
   def int8Quantize(s: SparkSession, d: String): DataFrame = {
     val e = DedupOps.embParallel(s, d)
+    def err(i: Int): Column =
+      abs(sqV(i) - (sqMn(i) + sqCode(i).cast("double") * (sqMx(i) - sqMn(i)) / 255.0))
+
+    e.crossJoin(broadcast(sqMinMax(e)))
+      .select(col("vec_id"),
+        sqCode(0).as("code_head"),
+        (0 until QDims).map(sqCode).reduce(_ + _).as("code_sum"),
+        round((0 until QDims).map(err).reduce(_ + _), 6).as("recon_err"))
+  }
+
+  // ---- shared scalar-quantizer builders (ONE copy: the quantizer
+  // ---- operator above and the SQ8 search path below must encode
+  // ---- bit-identically, and both mirrors reuse the same SQL text)
+
+  /** Per-dim [min,max] as ONE 1-row aggregation (broadcast back —
+    * never a (vec,dim) shuffle). */
+  private def sqMinMax(e: DataFrame): DataFrame = {
     val mmAgg = (0 until QDims).flatMap { i =>
       Seq(min(element_at(col("embedding"), i + 1)).as(s"mn$i"),
         max(element_at(col("embedding"), i + 1)).as(s"mx$i"))
     }
-    val mm = e.agg(mmAgg.head, mmAgg.tail: _*)
-
-    def v(i: Int) = element_at(col("embedding"), i + 1).cast("double")
-    def mn(i: Int) = col(s"mn$i").cast("double")
-    def mx(i: Int) = col(s"mx$i").cast("double")
-    def code(i: Int): Column =
-      when(col(s"mx$i") === col(s"mn$i"), lit(0L)).otherwise(
-        least(lit(255L), greatest(lit(0L),
-          floor((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i)) + 0.5).cast("long"))))
-    def err(i: Int): Column =
-      abs(v(i) - (mn(i) + code(i).cast("double") * (mx(i) - mn(i)) / 255.0))
-
-    e.crossJoin(broadcast(mm))
-      .select(col("vec_id"),
-        code(0).as("code_head"),
-        (0 until QDims).map(code).reduce(_ + _).as("code_sum"),
-        round((0 until QDims).map(err).reduce(_ + _), 6).as("recon_err"))
+    e.agg(mmAgg.head, mmAgg.tail: _*)
   }
+  private def sqV(i: Int) = element_at(col("embedding"), i + 1).cast("double")
+  private def sqMn(i: Int) = col(s"mn$i").cast("double")
+  private def sqMx(i: Int) = col(s"mx$i").cast("double")
+
+  /** v ↦ ⌊(v−min)·255/(max−min)+0.5⌋ clamped to [0,255]; constant
+    * dims map to 0. Fixed-order IEEE double → bit-identical codes. */
+  private def sqCode(i: Int): Column =
+    when(col(s"mx$i") === col(s"mn$i"), lit(0L)).otherwise(
+      least(lit(255L), greatest(lit(0L),
+        floor((sqV(i) - sqMn(i)) * 255.0 / (sqMx(i) - sqMn(i)) + 0.5).cast("long"))))
+
+  /** Mirror-side twins of sqMinMax/sqCode (shared by the quantizer
+    * and SQ8-search mirrors). */
+  private val sqMmSqlCols = (0 until QDims).flatMap { i =>
+    Seq(s"min(embedding[${i + 1}]) AS mn$i", s"max(embedding[${i + 1}]) AS mx$i")
+  }.mkString(", ")
+  private def sqVSql(i: Int) = s"cast(embedding[${i + 1}] as double)"
+  private def sqMnSql(i: Int) = s"cast(mn$i as double)"
+  private def sqMxSql(i: Int) = s"cast(mx$i as double)"
+  private def sqCodeSql(i: Int) =
+    s"(CASE WHEN mx$i = mn$i THEN 0 ELSE least(255, greatest(0, " +
+      s"cast(floor((${sqVSql(i)} - ${sqMnSql(i)}) * 255.0 / (${sqMxSql(i)} - ${sqMnSql(i)}) + 0.5) as bigint))) END)"
 
   private def int8QuantizeSql: String = {
-    val mmCols = (0 until QDims).flatMap { i =>
-      Seq(s"min(embedding[${i + 1}]) AS mn$i", s"max(embedding[${i + 1}]) AS mx$i")
-    }.mkString(", ")
-    def v(i: Int) = s"cast(embedding[${i + 1}] as double)"
-    def mn(i: Int) = s"cast(mn$i as double)"
-    def mx(i: Int) = s"cast(mx$i as double)"
-    def code(i: Int) =
-      s"(CASE WHEN mx$i = mn$i THEN 0 ELSE least(255, greatest(0, " +
-        s"cast(floor((${v(i)} - ${mn(i)}) * 255.0 / (${mx(i)} - ${mn(i)}) + 0.5) as bigint))) END)"
     def err(i: Int) =
-      s"abs(${v(i)} - (${mn(i)} + cast(${code(i)} as double) * (${mx(i)} - ${mn(i)}) / 255.0))"
-    s"""WITH mm AS (SELECT $mmCols FROM embeddings)
+      s"abs(${sqVSql(i)} - (${sqMnSql(i)} + cast(${sqCodeSql(i)} as double) * (${sqMxSql(i)} - ${sqMnSql(i)}) / 255.0))"
+    s"""WITH mm AS (SELECT $sqMmSqlCols FROM embeddings)
        |SELECT vec_id,
-       |  cast(${code(0)} as bigint) AS code_head,
-       |  cast(${(0 until QDims).map(code).mkString("(", " + ", ")")} as bigint) AS code_sum,
+       |  cast(${sqCodeSql(0)} as bigint) AS code_head,
+       |  cast(${(0 until QDims).map(sqCodeSql).mkString("(", " + ", ")")} as bigint) AS code_sum,
        |  round(${(0 until QDims).map(err).mkString("(", " + ", ")")}, 6) AS recon_err
        |FROM embeddings, mm""".stripMargin
+  }
+
+  // ------------------------------------------ scalar-quantized search
+
+  private val SqShortK = 50
+
+  /** The int8-code corpus — what a production SQ8 index stores
+    * instead of float arrays (64 B/vector vs 256 B). Memoized so the
+    * search below and any future consumer encode once per session. */
+  private def sq8Codes(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "sq8_codes", d) {
+      val e = DedupOps.embParallel(s, d)
+      e.crossJoin(broadcast(sqMinMax(e)))
+        .select(col("vec_id"), array((0 until QDims).map(sqCode): _*).as("codes"))
+    }
+
+  /** Per-query ADC weight table: w_i = q_i·(mx_i−mn_i)/255, the exact
+    * per-unit-code contribution to dot(q, dequantize(codes)). The
+    * Σ q_i·mn_i offset is a per-query CONSTANT, so ranking by
+    * Σ c_i·w_i is ranking by the reconstructed dot — the constant
+    * never needs computing. Q×(64 doubles), broadcast. */
+  private def sq8Qlut(s: SparkSession, d: String): DataFrame =
+    queriesDf(s, d).withColumnRenamed("q_emb", "embedding")
+      .crossJoin(broadcast(sqMinMax(DedupOps.embParallel(s, d))))
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        array((0 until QDims).map(i =>
+          sqV(i) * ((sqMx(i) - sqMn(i)) / 255.0)): _*).as("w"))
+
+  /** SQ8 (scalar-quantized) ANN search — the serving path behind
+    * emb_int8_quantize: rank by ASYMMETRIC distance (float query ×
+    * dequantized int8 codes — the FAISS SQ8 ADC form) over a
+    * codes-only scan, then re-score a bounded shortlist exactly.
+    * At 10⁹ vectors the hot scan reads 64 B codes instead of 256 B
+    * floats, the ADC fold is one codegen'd zip_with against a
+    * broadcast per-query weight array, and only SqShortK ids/query
+    * reach the float re-rank. Fixed-order IEEE folds on both engines
+    * → the shortlist, ranks, and cosines all hash-match. */
+  def sq8Search(s: SparkSession, d: String): DataFrame = {
+    val scored = sq8Codes(s, d).crossJoin(broadcast(sq8Qlut(s, d)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("w"),
+          (c, w) => c.cast("double") * w), lit(0.0),
+          (acc, x) => acc + x).as("adc"))
+    val short = graft.functions.topk.perKey(scored,
+      keys = Seq("query_id"),
+      order = Seq(graft.functions.topk.Order("adc", ascending = false),
+        graft.functions.topk.Order("vec_id")),
+      k = SqShortK)
+      .select("query_id", "vec_id")
+    val rescored = short
+      .join(DedupOps.embParallel(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(broadcast(queriesDf(s, d)), "query_id")
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "vec_id", "cos")
+    rankTopK(rescored, "vec_id")
+  }
+
+  private def sq8SearchSql: String = {
+    val codesList = (0 until QDims).map(sqCodeSql)
+      .mkString("list_value(", ", ", ")")
+    val wList = (0 until QDims).map(i =>
+      s"(${sqVSql(i)} * ((${sqMxSql(i)} - ${sqMnSql(i)}) / 255.0))")
+      .mkString("list_value(", ", ", ")")
+    val adc = "list_reduce(list_prepend(cast(0.0 as double), " +
+      s"list_transform(range(1, ${QDims + 1}), " +
+      "i -> cast(c.codes[i] as double) * q.w[i])), (acc, x) -> acc + x)"
+    val cos = vector.sql.cosine("e.embedding", "q.q_emb")
+    s"""WITH mm AS (SELECT $sqMmSqlCols FROM embeddings),
+       |codes AS (SELECT vec_id, $codesList AS codes FROM embeddings, mm),
+       |qlut AS (SELECT vec_id AS query_id, embedding AS q_emb, $wList AS w
+       |         FROM embeddings, mm WHERE vec_id < $NQueries),
+       |short AS (
+       |  SELECT q.query_id, c.vec_id
+       |  FROM codes c, qlut q
+       |  WHERE c.vec_id <> q.query_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY $adc DESC, c.vec_id) <= $SqShortK)
+       |SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY s.query_id
+       |       ORDER BY $cos DESC, s.vec_id) as int) AS rank,
+       |  round($cos, 6) AS cosine
+       |FROM short s
+       |JOIN embeddings e ON s.vec_id = e.vec_id
+       |JOIN qlut q ON s.query_id = q.query_id
+       |QUALIFY rank <= $K""".stripMargin
   }
 
   // --------------------------------------------------- corpus k-means
@@ -1928,7 +2157,7 @@ object AnnOps {
         expr("max_sz * n_cells * 1000000 div n_vecs").as("imbalance_ppm"))
 
   private def cellStatsSql: String =
-    s"""WITH $ivfChainSql,
+    s"""WITH ${ivfChainSql()},
        |cells AS (
        |  SELECT cell_id, cast(count(*) as bigint) AS sz
        |  FROM asg GROUP BY 1)
@@ -2183,7 +2412,10 @@ object AnnOps {
     "emb_knn_classify" -> (knnClassify _),
     "sample_diverse" -> (sampleDiverse _),
     "ann_range_search" -> (rangeSearch _),
-    "ann_recall_eval" -> (recallEval _))
+    "ann_recall_eval" -> (recallEval _),
+    "ann_filtered" -> (filteredSearch _),
+    "ann_sq8" -> (sq8Search _),
+    "emb_matryoshka" -> (matryoshkaEval _))
 
   val oracle: Map[String, String] = Map(
     "ann_cell_stats" -> cellStatsSql,
@@ -2207,5 +2439,8 @@ object AnnOps {
     "emb_knn_classify" -> knnClassifySql,
     "sample_diverse" -> sampleDiverseSql,
     "ann_range_search" -> rangeSearchSql,
-    "ann_recall_eval" -> recallEvalSql)
+    "ann_recall_eval" -> recallEvalSql,
+    "ann_filtered" -> filteredSearchSql,
+    "ann_sq8" -> sq8SearchSql,
+    "emb_matryoshka" -> matryoshkaEvalSql)
 }

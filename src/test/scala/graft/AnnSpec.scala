@@ -537,4 +537,87 @@ class AnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sq8 search: structural contract + near-exact recall after re-rank") {
+    val got = AnnOps.sq8Search(spark, sf)
+    assert(got.count() == 5 * 10)
+    assert(got.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val ranks = got.groupBy("query_id").agg(collect_list("rank")).collect()
+    ranks.foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 10)))
+    // 8-bit/dim quantization + a 50-deep exact re-rank: the ADC
+    // shortlist should almost never lose a true top-10 neighbor
+    val gotMap = asMap(got)
+    val recalls = exact.map { case (q, nbrs) =>
+      gotMap(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean sq8 recall@10 = $mean")
+  }
+
+  test("filtered search: every hit carries the query's label and " +
+    "matches a label-restricted recount within probed cells") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = AnnOps.filteredSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, _) =>
+      assert(labels(n) == labels(q), s"query $q neighbor $n label")
+      assert(q != n)
+    }
+    // per query: ranked 1..k prefix, k ≤ 10
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"query $q")
+      assert(rows.length <= 10)
+    }
+    // pre-filtering can only help: the filtered result holds at least
+    // as many same-label true neighbors as the unfiltered IVF result
+    val sameLabelExact = exact.map { case (q, _) => q ->
+      AnnSpecHelpers.bruteSameLabel(spark, sf, q, labels) }
+    val ivfGot = asMap(AnnOps.ivf(spark, sf))
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val hits = rows.map(_._2).toSet.intersect(sameLabelExact(q))
+      val ivfHits = ivfGot(q).toSet.intersect(sameLabelExact(q))
+      assert(hits.size >= ivfHits.size, s"query $q filtered < post-filter")
+    }
+  }
+
+  test("matryoshka eval: full-dim row is exact; shapes and ppm consistent") {
+    val rows = AnnOps.matryoshkaEval(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 4 * 5)
+    assert(rows.map(_._1).toSet == Set(8, 16, 32, 64))
+    rows.foreach { case (dim, q, nHit, ppm) =>
+      assert(nHit >= 0 && nHit <= 10, s"dim $dim query $q")
+      assert(ppm == nHit * 1000000L / 10, s"dim $dim query $q ppm")
+    }
+    // prefix = full vector at d=64 → identical ranking → recall 100%
+    rows.filter(_._1 == 64).foreach { case (_, q, nHit, _) =>
+      assert(nHit == 10, s"query $q full-dim recall")
+    }
+  }
+}
+
+private object AnnSpecHelpers {
+  /** Exact same-label top-10 of a query, driver-side. */
+  def bruteSameLabel(spark: org.apache.spark.sql.SparkSession, sf: String,
+                     qid: Long, labels: Map[Long, Int]): Set[Long] = {
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += (a(i) * b(i)).toDouble
+        na += (a(i) * a(i)).toDouble; nb += (b(i) * b(i)).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qe = embs(qid)
+    embs.keys.filter(id => id != qid && labels(id) == labels(qid)).toSeq
+      .map(id => (id, cos(qe, embs(id))))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+  }
 }
