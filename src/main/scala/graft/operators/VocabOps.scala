@@ -876,7 +876,104 @@ object VocabOps {
       |    FROM documents))
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------ BPE merges
+
+  private val BpeSteps = 3
+
+  /** First-k BPE merge learning — the inner loop of byte-pair-
+    * encoding tokenizer training (the step `vocab_token_shapes`
+    * sizes and `vocab_coverage` evaluates), unrolled for the first
+    * [[BpeSteps]] merges: per step, count adjacent symbol pairs over
+    * the DISTINCT-word relation weighted by corpus frequency, take
+    * the argmax pair (count desc, then lexicographic — the
+    * deterministic tiebreak real BPE trainers pin), and merge it
+    * greedily left-to-right in every word. A production 30k-merge
+    * run drives this same primitive from a loop; three unrolled
+    * steps are the cross-engine-verified design probe.
+    *
+    * Scale shape: everything is VOCAB-bounded, never corpus-bounded —
+    * the word relation is the memoized (token, freq) aggregate, each
+    * pair count is one partial/final agg over ≤ Σ|word| symbol pairs
+    * of distinct words, the argmax is a 1-row broadcast, and the
+    * merge is a narrow string map. Words are encoded as
+    * space-wrapped symbol runs (" l  o  w ") so the merge is ONE
+    * literal `replace(" a  b " → " ab ")` with identical
+    * left-to-right non-overlap semantics in both engines — no regex,
+    * no lookahead (RE2 has none). */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val words0 = tokenFreq(s, d)
+      .select(regexp_replace(col("token"), "(.)", " $1 ").as("enc"),
+        col("freq"))
+
+    def pairs(words: DataFrame): DataFrame = {
+      val syms = split(trim(col("enc")), "  ")
+      val prs = when(size(syms) < 2,
+        array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b"))))
+      words.select(col("freq"), explode(prs).as("p"))
+        .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+    }
+
+    def best(pairsDf: DataFrame): DataFrame =
+      pairsDf
+        .agg(min(struct((-col("n")).as("negn"), col("a").as("a"),
+          col("b").as("b"))).as("bp"))
+        .select(col("bp.a").as("a"), col("bp.b").as("b"),
+          (-col("bp.negn")).as("n"))
+
+    def merge(words: DataFrame, bestDf: DataFrame): DataFrame =
+      words.crossJoin(broadcast(bestDf))
+        .select(expr("replace(enc, concat(' ', a, '  ', b, ' '), " +
+          "concat(' ', a, b, ' '))").as("enc"), col("freq"))
+
+    val (rows, _) = (1 to BpeSteps).foldLeft(
+      (Seq.empty[DataFrame], words0)) { case ((acc, words), step) =>
+      val b = best(pairs(words))
+      val row = b.select(lit(step).as("step"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("n").as("pair_n"),
+        concat(col("a"), col("b")).as("merged"))
+      (acc :+ row, merge(words, b))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
+  private val bpeMergesSql = {
+    val toks = text.tokensSql
+    def iter(k: Int): String = {
+      val w = s"w$k"
+      s"""s$k AS (
+         |  SELECT freq, string_split(trim(enc), '  ') AS syms FROM $w),
+         |p$k AS (
+         |  SELECT p.a AS a, p.b AS b, cast(sum(freq) as bigint) AS n
+         |  FROM (SELECT freq,
+         |          unnest(list_transform(range(1, len(syms)),
+         |            i -> {'a': syms[i], 'b': syms[i+1]})) AS p
+         |        FROM s$k)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         |w${k + 1} AS (
+         |  SELECT replace(enc, ' ' || b$k.a || '  ' || b$k.b || ' ',
+         |                 ' ' || b$k.a || b$k.b || ' ') AS enc, freq
+         |  FROM $w, b$k)""".stripMargin
+    }
+    val unions = (0 until BpeSteps).map { k =>
+      s"SELECT ${k + 1} AS step, a AS left_sym, b AS right_sym, " +
+        s"n AS pair_n, a || b AS merged FROM b$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
+       |tf AS (SELECT w, cast(count(*) as bigint) AS freq FROM tok GROUP BY 1),
+       |w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS enc, freq
+       |       FROM tf),
+       |${(0 until BpeSteps).map(iter).mkString(",\n")}
+       |  $unions""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_bpe_merges" -> (bpeMerges _),
     "vocab_token_shapes" -> (tokenShapes _),
     "vocab_keyness" -> (keyness _),
     "doc_hybrid_search" -> (hybridSearch _),
@@ -892,6 +989,7 @@ object VocabOps {
     "text_lm_score" -> (lmScore _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_bpe_merges" -> bpeMergesSql,
     "vocab_token_shapes" -> tokenShapesSql,
     "vocab_keyness" -> keynessSql,
     "doc_hybrid_search" -> hybridSearchSql,

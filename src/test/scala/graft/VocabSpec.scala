@@ -375,4 +375,46 @@ class VocabSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == toks.length.toLong,
       "occurrences partition the token stream")
   }
+
+  test("bpe merges: three steps match a driver-side reference trainer") {
+    // reference BPE over the same (token, freq) table: count adjacent
+    // symbol pairs weighted by freq, argmax with (n desc, a, b)
+    // tiebreak, merge greedily left-to-right
+    val freq0 = Tables.documents(spark, sf)
+      .select(explode(text.tokens(col("text"))).as("t"))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
+    def step(words: Seq[(Vector[String], Long)]):
+        ((String, String, Long), Seq[(Vector[String], Long)]) = {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      val merged = words.map { case (syms, cnt) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), cnt)
+      }
+      ((a, b, n), merged)
+    }
+    val (m1, w1) = step(freq0.toSeq)
+    val (m2, w2) = step(w1)
+    val (m3, _) = step(w2)
+    val got = VocabOps.bpeMerges(spark, sf).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(got.length == 3)
+    Seq(m1, m2, m3).zip(got).zipWithIndex.foreach {
+      case (((wa, wb, wn), (ga, gb, gn, gm)), i) =>
+        assert((ga, gb, gn) == (wa, wb, wn), s"step ${i + 1}")
+        assert(gm == wa + wb, s"step ${i + 1} merged symbol")
+    }
+  }
 }
