@@ -294,13 +294,104 @@ object MultimodalOps {
        |  duration_ms
        |FROM c""".stripMargin
 
+  // ------------------------------------------------ caption pairing
+
+  private val CapMaxToks = 12
+  private val CapMinToks = 3
+  private val CapMinBytes = 64
+  private val CapMaxBytes = 20000
+
+  /** (media, caption) pair extraction + quality gate — the
+    * LAION/CLIP-style pairing step that turns a crawled corpus into
+    * contrastive training pairs. The caption is the doc's leading
+    * [[CapMaxToks]] tokens (a real pipeline takes alt-text; the stub
+    * corpus has no separate field, so the prefix stands in), the
+    * payload is the family's binary column, and the keep gate is the
+    * standard band filter: caption length ∈ [min,max] tokens,
+    * payload ∈ [min,max] bytes — both integer-exact. Narrow map,
+    * zero shuffles, one tokenize already shared by the text family.
+    * A kept pair is what a CLIP loader consumes: (id, caption,
+    * payload size); the payload bytes themselves stay where they
+    * are (the shard manifest, not this table, moves media). */
+  def captionPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.functions.text.tokens(col("text"))
+    val nBytes = octet_length(encode(col("text"), "UTF-8"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat_ws(" ", slice(toks, 1, CapMaxToks)).as("caption"),
+      least(size(toks), lit(CapMaxToks)).cast("int").as("cap_toks"),
+      nBytes.cast("long").as("n_bytes"),
+      (least(size(toks), lit(CapMaxToks)) >= CapMinToks &&
+        nBytes >= CapMinBytes && nBytes <= CapMaxBytes).as("keep"))
+  }
+
+  private val captionPairsSql = {
+    val toks = graft.functions.text.tokensSql
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks,
+       |    cast(octet_length(encode(text)) as bigint) AS n_bytes
+       |  FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(toks[1:$CapMaxToks], ' ') AS caption,
+       |  cast(least(len(toks), $CapMaxToks) as int) AS cap_toks,
+       |  n_bytes,
+       |  (least(len(toks), $CapMaxToks) >= $CapMinToks
+       |    AND n_bytes >= $CapMinBytes AND n_bytes <= $CapMaxBytes) AS keep
+       |FROM t""".stripMargin
+  }
+
+  // ----------------------------------------------- modality profile
+
+  /** Per-modality dataset-card panel (every multimodal data card
+    * leads with it): docs, total/avg/max payload bytes, corpus byte
+    * share in exact ppm. The modality tag comes from the family's
+    * deterministic stub (a real corpus reads it from the metadata
+    * struct; only the tag expression swaps). One partial/final agg
+    * with a ≤3-row final state + a 1-row broadcast total — all
+    * integer arithmetic, avg published as an exact integer division. */
+  def modalityStats(s: SparkSession, d: String): DataFrame = {
+    val nBytes = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val modality = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val per = Tables.documents(s, d)
+      .select(modality.as("modality"), nBytes.as("n_bytes"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+    val tot = per.agg(sum(col("total_bytes")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("modality"), col("n_docs"), col("total_bytes"),
+        expr("total_bytes div n_docs").as("avg_bytes"), col("max_bytes"),
+        expr("total_bytes * 1000000 div t").as("byte_share_ppm"))
+  }
+
+  private val modalityStatsSql =
+    """WITH m AS (
+      |  SELECT ['image', 'audio', 'video'][cast(doc_id % 3 + 1 as int)]
+      |           AS modality,
+      |    cast(octet_length(encode(text)) as bigint) AS n_bytes
+      |  FROM documents),
+      |per AS (
+      |  SELECT modality, cast(count(*) as bigint) AS n_docs,
+      |    cast(sum(n_bytes) as bigint) AS total_bytes,
+      |    cast(max(n_bytes) as bigint) AS max_bytes
+      |  FROM m GROUP BY 1),
+      |tot AS (SELECT cast(sum(total_bytes) as bigint) AS t FROM per)
+      |SELECT modality, n_docs, total_bytes,
+      |  cast(total_bytes // n_docs as bigint) AS avg_bytes, max_bytes,
+      |  cast(total_bytes * 1000000 // t as bigint) AS byte_share_ppm
+      |FROM per, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_chunks" -> (audioChunks _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_dedup_payload" -> (payloadDedup _),
     "mm_shard_manifest" -> (shardManifest _),
-    "mm_resize_plan" -> (resizePlan _))
+    "mm_resize_plan" -> (resizePlan _),
+    "mm_caption_pairs" -> (captionPairs _),
+    "mm_modality_stats" -> (modalityStats _))
 
   val oracle: Map[String, String] = Map(
     "mm_audio_chunks" -> audioChunksSql,
@@ -308,5 +399,7 @@ object MultimodalOps {
     "mm_frame_sample" -> frameSampleSql,
     "mm_dedup_payload" -> payloadDedupSql,
     "mm_shard_manifest" -> shardManifestSql,
-    "mm_resize_plan" -> resizePlanSql)
+    "mm_resize_plan" -> resizePlanSql,
+    "mm_caption_pairs" -> captionPairsSql,
+    "mm_modality_stats" -> modalityStatsSql)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.MultimodalOps
 
 class MultimodalSpec extends AnyFunSuite {
@@ -120,5 +121,42 @@ class MultimodalSpec extends AnyFunSuite {
         assert(chunks.last._4 == dur, "last window reaches the end")
       }
     }
+  }
+
+  test("caption pairs: caption is the token prefix, gate matches a recount") {
+    val docs = Tables.documents(TestSession.spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = MultimodalOps.captionPairs(TestSession.spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, caption, capToks, nBytes, keep) =>
+      // ASCII-range lowering + the tokenizer's whitespace class
+      val toks = docs(id)
+        .map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .split("[ \t\n\u000b\f\r]+").filter(_.nonEmpty)
+      assert(caption == toks.take(12).mkString(" "), s"doc $id caption")
+      assert(capToks == math.min(toks.length, 12), s"doc $id cap_toks")
+      assert(nBytes == docs(id).getBytes("UTF-8").length, s"doc $id bytes")
+      assert(keep == (capToks >= 3 && nBytes >= 64 && nBytes <= 20000),
+        s"doc $id keep")
+    }
+  }
+
+  test("modality stats: rows partition the corpus, shares sum to ~1e6") {
+    val nDocs = Tables.documents(TestSession.spark, sf).count()
+    val rows = MultimodalOps.modalityStats(TestSession.spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet.subsetOf(Set("image", "audio", "video")))
+    assert(rows.map(_._2).sum == nDocs, "docs partition the corpus")
+    rows.foreach { case (m, n, tot, avg, mx, _) =>
+      assert(avg == tot / n, s"$m avg")
+      assert(mx >= avg, s"$m max >= avg")
+    }
+    val shareSum = rows.map(_._6).sum
+    assert(shareSum >= 1000000L - rows.length && shareSum <= 1000000L,
+      s"byte shares sum to ~1e6 ppm (got $shareSum)")
   }
 }
