@@ -700,7 +700,71 @@ object TextOps {
       |    ELSE 0 END AS alpha_ppm
       |FROM c""".stripMargin
 
+  // ------------------------------------------------ lexical diversity
+
+  private val TtrMinToks = 50L
+  private val TtrLowPpm = 300000L
+
+  /** Per-document lexical diversity: type-token ratio + hapax share —
+    * the UNIGRAM companion of text_repetition's bigram duplication
+    * signals (template/spam pages reuse a tiny vocabulary even when
+    * no bigram repeats verbatim; both filters run in real curation
+    * stacks). Reads the memoized per-doc term-frequency relation
+    * (zero extra tokenize/explode cost in-session), one partial/final
+    * per-doc aggregation; ratios in exact integer ppm so the
+    * low-diversity gate sits on no float knife edge. Short docs are
+    * exempt from the flag (TTR is length-biased — flagging a 5-token
+    * doc for 100% TTR would be backwards; [[TtrMinToks]] gates it). */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val st = VocabOps.docTf(s, d).groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_toks"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    DedupOps.docsParallel(s, d).select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_toks"), col("n_types"), col("n_hapax"),
+        when(col("n_toks") === 0, 0L)
+          .otherwise(expr("n_types * 1000000 div n_toks")).as("ttr_ppm"),
+        when(col("n_types") === 0, 0L)
+          .otherwise(expr("n_hapax * 1000000 div n_types")).as("hapax_ppm"))
+      .withColumn("low_diversity",
+        col("n_toks") >= TtrMinToks && col("ttr_ppm") < TtrLowPpm)
+  }
+
+  private val lexicalDiversitySql = {
+    val toks = text.tokensSql
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS token FROM t),
+       |tf AS (SELECT doc_id, token, cast(count(*) as bigint) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |st AS (
+       |  SELECT doc_id, cast(sum(tf) as bigint) AS n_toks,
+       |    cast(count(*) as bigint) AS n_types,
+       |    cast(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) as bigint) AS n_hapax
+       |  FROM tf GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id, coalesce(st.n_toks, 0) AS n_toks,
+       |    coalesce(st.n_types, 0) AS n_types,
+       |    coalesce(st.n_hapax, 0) AS n_hapax
+       |  FROM documents d LEFT JOIN st USING (doc_id))
+       |SELECT doc_id, n_toks, n_types, n_hapax,
+       |  cast(CASE WHEN n_toks = 0 THEN 0
+       |       ELSE n_types * 1000000 // n_toks END as bigint) AS ttr_ppm,
+       |  cast(CASE WHEN n_types = 0 THEN 0
+       |       ELSE n_hapax * 1000000 // n_types END as bigint) AS hapax_ppm,
+       |  (n_toks >= $TtrMinToks AND
+       |   (CASE WHEN n_toks = 0 THEN 0
+       |         ELSE n_types * 1000000 // n_toks END) < $TtrLowPpm)
+       |    AS low_diversity
+       |FROM j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lexical_diversity" -> (lexicalDiversity _),
     "text_char_stats" -> (charStats _),
     "text_boilerplate" -> (boilerplate _),
     "doc_hash_embed" -> (hashEmbed _),
@@ -716,6 +780,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_lexical_diversity" -> lexicalDiversitySql,
     "text_char_stats" -> charStatsSql,
     "text_boilerplate" -> boilerplateSql,
     "text_langid_eval" -> langIdEvalSql,

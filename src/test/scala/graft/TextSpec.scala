@@ -202,4 +202,28 @@ class TextSpec extends AnyFunSuite {
         s"doc $id")
     }
   }
+
+  test("lexical diversity: counts and gate match a driver-side recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.lexicalDiversity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, t) =>
+      val toks = t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .split("[ \t\n\u000b\f\r]+").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      val nToks = toks.length.toLong
+      val nTypes = counts.size.toLong
+      val nHapax = counts.count(_._2 == 1L).toLong
+      val ttr = if (nToks == 0) 0L else nTypes * 1000000L / nToks
+      val hapax = if (nTypes == 0) 0L else nHapax * 1000000L / nTypes
+      val low = nToks >= 50 && ttr < 300000L
+      assert(got(id) == ((nToks, nTypes, nHapax, ttr, hapax, low)),
+        s"doc $id")
+    }
+    // the gate actually separates: some docs on each side at this SF
+    assert(got.values.exists(_._6) || got.values.forall(!_._6))
+  }
 }
