@@ -545,6 +545,7 @@ object AnnOps {
     "pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
     "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () }),
     "sq8_codes" -> (() => { sq8Codes(s, d).count(); () }),
+    "bin_sigs" -> (() => { binSigs(s, d).count(); () }),
     "cov_base" -> (() => { covarianceBase(s, d).count(); () }))
 
   // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
@@ -1601,6 +1602,94 @@ object AnnOps {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  // ------------------------------------------------- binary signatures
+
+  /** 64-bit sign signature: bit i set ⟺ embedding[i] > 0 — the
+    * 1-bit-per-dim quantization (256 B float → 8 B). Bits assemble
+    * by a fixed ascending-dim addition chain of shifted flags (bit
+    * 63's constant is Long.MinValue — the chain adds it LAST, so
+    * partial sums never overflow in either engine). */
+  private def binSig(emb: Column): Column =
+    (0 until QDims).map { i =>
+      when(element_at(emb, i + 1) > 0f, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def binSigSql(emb: String): String =
+    (0 until QDims).map { i =>
+      // DuckDB's << is overflow-checked at bit 63 — spell the sign
+      // bit's two's-complement constant out (Spark's shiftleft wraps)
+      val bit =
+        if (i == 63) "(-9223372036854775807 - 1)"
+        else s"(CAST(1 AS BIGINT) << $i)"
+      s"(CASE WHEN $emb[${i + 1}] > 0 THEN $bit ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Binary-signature ANN search — the extreme end of the
+    * quantization spectrum this family walks (float32 exact → int8
+    * SQ8 → 4 B PQ → 8 B sign bits): rank by HAMMING distance between
+    * 64-bit sign signatures (one xor + popcount per candidate — the
+    * cheapest possible scan, 8 B/vector), then exact re-rank of the
+    * [[SqShortK]]-deep shortlist. The memoized signature relation is
+    * what a binary index stores; recall@10 after the re-rank is
+    * AnnSpec-measured against brute force (sign bits of
+    * zero-centered dims retain direction information — the SimHash
+    * estimator — so the shortlist finds most true neighbors at a
+    * 32× storage discount). Hamming ties break by vec_id on both
+    * engines. */
+  private def binSigs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "bin_sigs", d) {
+      DedupOps.embParallel(s, d)
+        .select(col("vec_id"), binSig(col("embedding")).as("sig"))
+    }
+
+  def binarySearch(s: SparkSession, d: String): DataFrame = {
+    val sigs = binSigs(s, d)
+    val qsigs = queriesDf(s, d)
+      .select(col("query_id"), binSig(col("q_emb")).as("q_sig"))
+    val scored = sigs.crossJoin(broadcast(qsigs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("bit_count(sig ^ q_sig)").cast("int").as("ham"))
+    val short = graft.functions.topk.perKey(scored,
+      keys = Seq("query_id"),
+      order = Seq(graft.functions.topk.Order("ham"),
+        graft.functions.topk.Order("vec_id")),
+      k = SqShortK)
+      .select("query_id", "vec_id")
+    val rescored = short
+      .join(DedupOps.embParallel(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(broadcast(queriesDf(s, d)), "query_id")
+      .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+      .select("query_id", "vec_id", "cos")
+    rankTopK(rescored, "vec_id")
+  }
+
+  private def binarySearchSql: String = {
+    val cos = vector.sql.cosine("e.embedding", "q.q_emb")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, ${binSigSql("embedding")} AS sig FROM embeddings),
+       |qsigs AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb,
+       |    ${binSigSql("embedding")} AS q_sig
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |short AS (
+       |  SELECT q.query_id, s.vec_id
+       |  FROM sigs s, qsigs q
+       |  WHERE s.vec_id <> q.query_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+       |    ORDER BY bit_count(xor(s.sig, q.q_sig)), s.vec_id) <= $SqShortK)
+       |SELECT s.query_id, s.vec_id AS neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY s.query_id
+       |       ORDER BY $cos DESC, s.vec_id) as int) AS rank,
+       |  round($cos, 6) AS cosine
+       |FROM short s
+       |JOIN embeddings e ON s.vec_id = e.vec_id
+       |JOIN qsigs q ON s.query_id = q.query_id
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   // --------------------------------------------------- corpus k-means
 
   /** Corpus clustering as a first-class operator (diversity-aware
@@ -2415,6 +2504,7 @@ object AnnOps {
     "ann_recall_eval" -> (recallEval _),
     "ann_filtered" -> (filteredSearch _),
     "ann_sq8" -> (sq8Search _),
+    "ann_binary" -> (binarySearch _),
     "emb_matryoshka" -> (matryoshkaEval _))
 
   val oracle: Map[String, String] = Map(
@@ -2442,5 +2532,6 @@ object AnnOps {
     "ann_recall_eval" -> recallEvalSql,
     "ann_filtered" -> filteredSearchSql,
     "ann_sq8" -> sq8SearchSql,
+    "ann_binary" -> binarySearchSql,
     "emb_matryoshka" -> matryoshkaEvalSql)
 }

@@ -900,48 +900,53 @@ object VocabOps {
     * literal `replace(" a  b " → " ab ")` with identical
     * left-to-right non-overlap semantics in both engines — no regex,
     * no lookahead (RE2 has none). */
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.DataFrame
-    val words0 = tokenFreq(s, d)
+  // shared BPE step builders — bpeMerges (learn) and bpeSegment
+  // (apply/report) walk the SAME chain, so these exist once
+  private def bpeWords0(s: SparkSession, d: String): DataFrame =
+    tokenFreq(s, d)
       .select(regexp_replace(col("token"), "(.)", " $1 ").as("enc"),
         col("freq"))
 
-    def pairs(words: DataFrame): DataFrame = {
-      val syms = split(trim(col("enc")), "  ")
-      val prs = when(size(syms) < 2,
-        array().cast("array<struct<a:string,b:string>>"))
-        .otherwise(transform(sequence(lit(1), size(syms) - 1),
-          i => struct(element_at(syms, i).as("a"),
-            element_at(syms, i + 1).as("b"))))
-      words.select(col("freq"), explode(prs).as("p"))
-        .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(sum(col("freq")).as("n"))
-    }
+  private def bpePairs(words: DataFrame): DataFrame = {
+    val syms = split(trim(col("enc")), "  ")
+    val prs = when(size(syms) < 2,
+      array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("a"),
+          element_at(syms, i + 1).as("b"))))
+    words.select(col("freq"), explode(prs).as("p"))
+      .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(sum(col("freq")).as("n"))
+  }
 
-    def best(pairsDf: DataFrame): DataFrame =
-      pairsDf
-        .agg(min(struct((-col("n")).as("negn"), col("a").as("a"),
-          col("b").as("b"))).as("bp"))
-        .select(col("bp.a").as("a"), col("bp.b").as("b"),
-          (-col("bp.negn")).as("n"))
+  private def bpeBest(pairsDf: DataFrame): DataFrame =
+    pairsDf
+      .agg(min(struct((-col("n")).as("negn"), col("a").as("a"),
+        col("b").as("b"))).as("bp"))
+      .select(col("bp.a").as("a"), col("bp.b").as("b"),
+        (-col("bp.negn")).as("n"))
 
-    def merge(words: DataFrame, bestDf: DataFrame): DataFrame =
-      words.crossJoin(broadcast(bestDf))
-        .select(expr("replace(enc, concat(' ', a, '  ', b, ' '), " +
-          "concat(' ', a, b, ' '))").as("enc"), col("freq"))
+  private def bpeMerge(words: DataFrame, bestDf: DataFrame): DataFrame =
+    words.crossJoin(broadcast(bestDf))
+      .select(expr("replace(enc, concat(' ', a, '  ', b, ' '), " +
+        "concat(' ', a, b, ' '))").as("enc"), col("freq"))
 
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
     val (rows, _) = (1 to BpeSteps).foldLeft(
-      (Seq.empty[DataFrame], words0)) { case ((acc, words), step) =>
-      val b = best(pairs(words))
+      (Seq.empty[DataFrame], bpeWords0(s, d))) { case ((acc, words), step) =>
+      val b = bpeBest(bpePairs(words))
       val row = b.select(lit(step).as("step"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("n").as("pair_n"),
         concat(col("a"), col("b")).as("merged"))
-      (acc :+ row, merge(words, b))
+      (acc :+ row, bpeMerge(words, b))
     }
     rows.reduce(_ unionAll _)
   }
 
-  private val bpeMergesSql = {
+  /** Shared mirror chain: tok → tf → w0, then per step k the CTEs
+    * s$k (symbol lists) / p$k (pair counts) / b$k (argmax) / w${k+1}
+    * (merged words) — both BPE mirrors compose this. */
+  private def bpeChainSql(steps: Int): String = {
     val toks = text.tokensSql
     def iter(k: Int): String = {
       val w = s"w$k"
@@ -960,20 +965,76 @@ object VocabOps {
          |                 ' ' || b$k.a || b$k.b || ' ') AS enc, freq
          |  FROM $w, b$k)""".stripMargin
     }
+    s"""tok AS (SELECT unnest($toks) AS w FROM documents),
+       |tf AS (SELECT w, cast(count(*) as bigint) AS freq FROM tok GROUP BY 1),
+       |w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS enc, freq
+       |       FROM tf),
+       |${(0 until steps).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeMergesSql = {
     val unions = (0 until BpeSteps).map { k =>
       s"SELECT ${k + 1} AS step, a AS left_sym, b AS right_sym, " +
         s"n AS pair_n, a || b AS merged FROM b$k"
     }.mkString("\n  UNION ALL ")
-    s"""WITH tok AS (SELECT unnest($toks) AS w FROM documents),
-       |tf AS (SELECT w, cast(count(*) as bigint) AS freq FROM tok GROUP BY 1),
-       |w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS enc, freq
-       |       FROM tf),
-       |${(0 until BpeSteps).map(iter).mkString(",\n")}
+    s"""WITH ${bpeChainSql(BpeSteps)}
        |  $unions""".stripMargin
+  }
+
+  /** The APPLY side of BPE training — segment the corpus with the
+    * first 0..[[BpeSteps]] learned merges and report the compression
+    * curve: weighted total symbols, exact symbols-per-token in ppm,
+    * and the cumulative symbol-count reduction vs the character
+    * baseline (step 0). This is the number that decides how many
+    * merges a vocabulary budget buys (the marginal compression of
+    * each merge), read before committing a tokenizer to a 100 TB
+    * encode. Same vocab-bounded chain as vocab_bpe_merges — one
+    * symbol-count aggregation per step, token totals broadcast as a
+    * 1-row relation. */
+  def bpeSegment(s: SparkSession, d: String): DataFrame = {
+    val statsOf = (words: DataFrame, step: Int) =>
+      words.select(col("freq"),
+        size(split(trim(col("enc")), "  ")).cast("long").as("ns"))
+        .agg(sum(col("freq")).as("n_tokens"),
+          sum(col("freq") * col("ns")).as("n_syms"))
+        .select(lit(step).as("step"), col("n_tokens"), col("n_syms"))
+    val (rows, _) = (1 to BpeSteps).foldLeft(
+      (Seq(statsOf(bpeWords0(s, d), 0)), bpeWords0(s, d))) {
+      case ((acc, words), step) =>
+        val merged = bpeMerge(words, bpeBest(bpePairs(words)))
+        (acc :+ statsOf(merged, step), merged)
+    }
+    val base = rows.head.select(col("n_syms").as("base_syms"))
+    rows.reduce(_ unionAll _)
+      .crossJoin(broadcast(base))
+      .select(col("step"), col("n_tokens"), col("n_syms"),
+        expr("n_syms * 1000000 div n_tokens").as("syms_per_token_ppm"),
+        expr("(base_syms - n_syms) * 1000000 div base_syms")
+          .as("reduction_ppm"))
+  }
+
+  private val bpeSegmentSql = {
+    // w0..w3 exist in the chain; s_k lists only up to steps-1, so
+    // count symbols directly from each w_k
+    val stats = (0 to BpeSteps).map { k =>
+      s"SELECT $k AS step, cast(sum(freq) as bigint) AS n_tokens, " +
+        s"cast(sum(freq * len(string_split(trim(enc), '  '))) as bigint) " +
+        s"AS n_syms FROM w$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |st AS (
+       |  $stats),
+       |base AS (SELECT n_syms AS base_syms FROM st WHERE step = 0)
+       |SELECT step, n_tokens, n_syms,
+       |  cast(n_syms * 1000000 // n_tokens as bigint) AS syms_per_token_ppm,
+       |  cast((base_syms - n_syms) * 1000000 // base_syms as bigint)
+       |    AS reduction_ppm
+       |FROM st, base""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_bpe_merges" -> (bpeMerges _),
+    "vocab_bpe_segment" -> (bpeSegment _),
     "vocab_token_shapes" -> (tokenShapes _),
     "vocab_keyness" -> (keyness _),
     "doc_hybrid_search" -> (hybridSearch _),
@@ -990,6 +1051,7 @@ object VocabOps {
 
   val oracle: Map[String, String] = Map(
     "vocab_bpe_merges" -> bpeMergesSql,
+    "vocab_bpe_segment" -> bpeSegmentSql,
     "vocab_token_shapes" -> tokenShapesSql,
     "vocab_keyness" -> keynessSql,
     "doc_hybrid_search" -> hybridSearchSql,

@@ -582,6 +582,23 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("binary search: structural contract + sign-bit recall in range") {
+    val got = AnnOps.binarySearch(spark, sf)
+    assert(got.count() == 5 * 10)
+    assert(got.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val ranks = got.groupBy("query_id").agg(collect_list("rank")).collect()
+    ranks.foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 10)))
+    // 64 sign bits + a 50-deep exact re-rank: lossier than SQ8 by
+    // design (8 B vs 64 B per vector) but far better than chance —
+    // measured 0.68 at sf0.001, pin a margin below
+    val gotMap = asMap(got)
+    val recalls = exact.map { case (q, nbrs) =>
+      gotMap(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean binary recall@10 = $mean")
+  }
+
   test("matryoshka eval: full-dim row is exact; shapes and ppm consistent") {
     val rows = AnnOps.matryoshkaEval(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))

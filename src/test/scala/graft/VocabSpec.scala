@@ -416,5 +416,26 @@ class VocabSpec extends AnyFunSuite {
         assert((ga, gb, gn) == (wa, wb, wn), s"step ${i + 1}")
         assert(gm == wa + wb, s"step ${i + 1} merged symbol")
     }
+
+    // the APPLY side: segmentation stats match the same reference
+    // trainer's word states, compression is monotone
+    def stats(words: Seq[(Vector[String], Long)]): (Long, Long) =
+      (words.map(_._2).sum, words.map { case (s, n) => s.length * n }.sum)
+    val want = Seq(stats(freq0.toSeq), stats(w1), stats(w2),
+      stats(step(w2)._2))
+    val seg = VocabOps.bpeSegment(spark, sf).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(seg.length == 4)
+    val base = want.head._2
+    seg.zip(want).zipWithIndex.foreach {
+      case (((st, nTok, nSym, sptPpm, redPpm), (wTok, wSym)), i) =>
+        assert(st == i, s"step order")
+        assert(nTok == wTok && nSym == wSym, s"step $i counts")
+        assert(sptPpm == wSym * 1000000L / wTok, s"step $i spt")
+        assert(redPpm == (base - wSym) * 1000000L / base, s"step $i red")
+    }
+    assert(seg.map(_._3).toSeq == seg.map(_._3).sorted.reverse.toSeq,
+      "symbol count monotonically decreases")
   }
 }
