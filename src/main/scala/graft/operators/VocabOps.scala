@@ -903,9 +903,13 @@ object VocabOps {
   // shared BPE step builders — bpeMerges (learn) and bpeSegment
   // (apply/report) walk the SAME chain, so these exist once
   private def bpeWords0(s: SparkSession, d: String): DataFrame =
-    tokenFreq(s, d)
-      .select(regexp_replace(col("token"), "(.)", " $1 ").as("enc"),
-        col("freq"))
+    bpeEncode(tokenFreq(s, d))
+
+  /** (token, freq) → space-wrapped symbol encoding (spec hook: the
+    * property test drives synthetic corpora through the same chain). */
+  private[graft] def bpeEncode(freq: DataFrame): DataFrame =
+    freq.select(regexp_replace(col("token"), "(.)", " $1 ").as("enc"),
+      col("freq"))
 
   private def bpePairs(words: DataFrame): DataFrame = {
     val syms = split(trim(col("enc")), "  ")
@@ -927,15 +931,23 @@ object VocabOps {
         (-col("bp.negn")).as("n"))
 
   private def bpeMerge(words: DataFrame, bestDf: DataFrame): DataFrame =
+    // coalesce: a DRY step (no pairs anywhere — only possible on a
+    // degenerate corpus of single-symbol words) leaves words unchanged
+    // instead of nulling them
     words.crossJoin(broadcast(bestDf))
-      .select(expr("replace(enc, concat(' ', a, '  ', b, ' '), " +
-        "concat(' ', a, b, ' '))").as("enc"), col("freq"))
+      .select(coalesce(expr("replace(enc, concat(' ', a, '  ', b, ' '), " +
+        "concat(' ', a, b, ' '))"), col("enc")).as("enc"), col("freq"))
 
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesFromWords(bpeWords0(s, d))
+
+  private[graft] def bpeMergesFromWords(words0: DataFrame): DataFrame = {
     val (rows, _) = (1 to BpeSteps).foldLeft(
-      (Seq.empty[DataFrame], bpeWords0(s, d))) { case ((acc, words), step) =>
+      (Seq.empty[DataFrame], words0)) { case ((acc, words), step) =>
       val b = bpeBest(bpePairs(words))
-      val row = b.select(lit(step).as("step"), col("a").as("left_sym"),
+      // a dry step emits no row (filter, not a null row)
+      val row = b.where(col("a").isNotNull)
+        .select(lit(step).as("step"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("n").as("pair_n"),
         concat(col("a"), col("b")).as("merged"))
       (acc :+ row, bpeMerge(words, b))
