@@ -950,7 +950,12 @@ object VocabOps {
         .select(lit(step).as("step"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("n").as("pair_n"),
         concat(col("a"), col("b")).as("merged"))
-      (acc :+ row, bpeMerge(words, b))
+      // per-step eager checkpoint: the next round's pair count and
+      // every downstream consumer read the MATERIALIZED merged words
+      // instead of re-deriving the whole chain (same per-round
+      // lineage-cut discipline as the GraphOps iterative loops);
+      // vocab-bounded, so the checkpoint is a few MB
+      (acc :+ row, graft.Checkpoints.eager(bpeMerge(words, b)))
     }
     rows.reduce(_ unionAll _)
   }
@@ -1013,7 +1018,9 @@ object VocabOps {
     val (rows, _) = (1 to BpeSteps).foldLeft(
       (Seq(statsOf(bpeWords0(s, d), 0)), bpeWords0(s, d))) {
       case ((acc, words), step) =>
-        val merged = bpeMerge(words, bpeBest(bpePairs(words)))
+        // eager per-step materialization, as in bpeMergesFromWords
+        val merged =
+          graft.Checkpoints.eager(bpeMerge(words, bpeBest(bpePairs(words))))
         (acc :+ statsOf(merged, step), merged)
     }
     val base = rows.head.select(col("n_syms").as("base_syms"))
