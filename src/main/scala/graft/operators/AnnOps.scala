@@ -1711,6 +1711,79 @@ object AnnOps {
         round(element_at(col("c_emb"), 1).cast("double"), 6).as("c_head"),
         round(vector.norm(col("c_emb")), 6).as("c_norm"))
 
+  // ------------------------------------------------- semantic dedup
+
+  private val SemTau = 0.4
+  private val SemCap = 256
+
+  /** SemDeDup-style semantic deduplication: block by the SAME
+    * memoized k-means cells the IVF family trains (√N cells, one
+    * full assignment pass — nothing new runs when any ann_* query
+    * already executed in-session), then compare only WITHIN a cell —
+    * the published recipe for pruning semantic duplicates from
+    * web-scale embedding corpora (cluster first so the pair problem
+    * is per-cell, never corpus-quadratic). Complements
+    * `dedup_embedding`, which blocks by hyperplane LSH: the LSH path
+    * answers "which pairs are near", this one answers "which VECTORS
+    * survive" — per vector, `dup_of` is the smallest-id cell-mate
+    * with cosine ≥ τ (−1 ⇒ kept), so each semantic-dup group keeps
+    * exactly its min-id representative and `SELECT … WHERE kept` IS
+    * the pruned corpus.
+    *
+    * Scale shape: candidate pairs are capped per cell by the dedup
+    * family's representative discipline (`bucketCandidates`, cap
+    * {{SemCap}}) — a cell of B vectors costs O(B·cap), never O(B²);
+    * embeddings re-attach through `embAttacher`'s size-adaptive
+    * broadcast/shuffle_hash strategy, so the ids-only pair stream
+    * never moves carrying the float payload. Chain approximation is
+    * inherited from SemDeDup itself: b may dup to a removed vector
+    * (documented; AnnSpec pins the invariants that DO hold). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val assigned = annAssigned(s, d).select(col("vec_id"), col("cell_id"))
+    val cand = DedupOps.bucketCandidates(
+      assigned.select(col("cell_id"), col("vec_id")),
+      Seq("cell_id"), "vec_id", SemCap)
+      .select(col("cand_a").as("vec_a"), col("cand_b").as("vec_b"))
+    val attach = DedupOps.embAttacher(annCorpus(s, d))
+    val dupOf = cand
+      .join(attach("vec_a", "ea"), "vec_a")
+      .join(attach("vec_b", "eb"), "vec_b")
+      .filter(vector.cosine(col("ea"), col("eb")) >= SemTau)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_raw"))
+    assigned
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        col("cell_id").cast("int").as("cell_id"),
+        coalesce(col("dup_raw"), lit(-1L)).as("dup_of"),
+        col("dup_raw").isNull.as("kept"))
+  }
+
+  /** Mirror: the shared ivf chain's corpus assignment, the dedup
+    * family's rep-cap QUALIFY, exact cosine, min-id keeper. */
+  private def semanticDedupSql: String =
+    s"""WITH ${ivfChainSql()},
+       |reps AS (
+       |  SELECT cell_id, vec_id FROM asg
+       |  QUALIFY row_number() OVER (PARTITION BY cell_id
+       |    ORDER BY vec_id) <= $SemCap),
+       |cand AS (
+       |  SELECT DISTINCT r.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM reps r JOIN asg b USING (cell_id)
+       |  WHERE r.vec_id < b.vec_id),
+       |dup AS (
+       |  SELECT c.vec_b AS vec_id, min(c.vec_a) AS dup_raw
+       |  FROM cand c
+       |  JOIN asg ea ON c.vec_a = ea.vec_id
+       |  JOIN asg eb ON c.vec_b = eb.vec_id
+       |  WHERE ${sqlDot("ea.embedding", "eb.embedding")}
+       |        / (ea.nrm * eb.nrm) >= $SemTau
+       |  GROUP BY 1)
+       |SELECT a.vec_id, cast(a.cell_id as int) AS cell_id,
+       |  coalesce(d.dup_raw, -1) AS dup_of,
+       |  d.dup_raw IS NULL AS kept
+       |FROM asg a LEFT JOIN dup d USING (vec_id)""".stripMargin
+
   /** Mirror: the ivfSql training/assignment chain (same builders, so
     * the two mirrors cannot drift) aggregated per cell. */
   private def embKmeansSql: String =
@@ -2505,6 +2578,7 @@ object AnnOps {
     "ann_filtered" -> (filteredSearch _),
     "ann_sq8" -> (sq8Search _),
     "ann_binary" -> (binarySearch _),
+    "dedup_semantic" -> (semanticDedup _),
     "emb_matryoshka" -> (matryoshkaEval _))
 
   val oracle: Map[String, String] = Map(
@@ -2533,5 +2607,6 @@ object AnnOps {
     "ann_filtered" -> filteredSearchSql,
     "ann_sq8" -> sq8SearchSql,
     "ann_binary" -> binarySearchSql,
+    "dedup_semantic" -> semanticDedupSql,
     "emb_matryoshka" -> matryoshkaEvalSql)
 }

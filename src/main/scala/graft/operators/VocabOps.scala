@@ -357,6 +357,80 @@ object VocabOps {
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- perplexity buckets
+
+  /** CCNet-style quality bucketing: split each language's documents
+    * into head / middle / tail terciles of the corpus-LM fluency
+    * score — the published recipe for stratifying a web crawl by
+    * language-model perplexity before sampling (train mostly from
+    * the head, audit the tail). The score is [[lmScore]]'s exact
+    * integer-sum bigram probability, quantized to ppm so every
+    * comparison is integer.
+    *
+    * Scale shape: NO per-language sort or rank window over the
+    * corpus. The tercile cuts come from a value-DOMAIN-bounded
+    * histogram — distinct (lang, score_ppm) cells, ≤ 10⁶ per
+    * language whatever the corpus size — so the only window runs on
+    * that bounded relation (the q_skyline discipline), and docs get
+    * their bucket by comparing against the broadcast per-lang cuts
+    * map-side. Cut definition: smallest score with cumulative count
+    * ≥ ⌈n/3⌉ (resp. ⌈2n/3⌉) — ties at a cut land in the lower
+    * bucket on both engines. */
+  def pplBucket(s: SparkSession, d: String): DataFrame = {
+    val docs = DedupOps.docsParallel(s, d).select(col("doc_id"), col("lang"))
+    val scored = lmScore(s, d)
+      .select(col("doc_id"),
+        round(col("lm_score") * 1e6).cast("long").as("score_ppm"))
+      .join(docs, "doc_id")
+    val hist = scored.groupBy(col("lang"), col("score_ppm"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("n")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("score_ppm"))))
+      .join(broadcast(tot), "lang")
+    val cuts = cum.groupBy(col("lang")).agg(
+      min(when(col("cum") * 3 >= col("n_docs"), col("score_ppm")))
+        .as("cut_tail"),
+      min(when(col("cum") * 3 >= col("n_docs") * 2, col("score_ppm")))
+        .as("cut_mid"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("score_ppm"),
+        when(col("score_ppm") <= col("cut_tail"), "tail")
+          .when(col("score_ppm") <= col("cut_mid"), "middle")
+          .otherwise("head").as("ppl_bucket"))
+  }
+
+  private val pplBucketSql =
+    s"""WITH base AS ($lmScoreSql),
+       |scored AS (
+       |  SELECT b.doc_id, d.lang,
+       |    cast(round(b.lm_score * 1e6) as bigint) AS score_ppm
+       |  FROM base b JOIN documents d USING (doc_id)),
+       |hist AS (
+       |  SELECT lang, score_ppm, cast(count(*) as bigint) AS n
+       |  FROM scored GROUP BY 1, 2),
+       |tot AS (SELECT lang, cast(sum(n) as bigint) AS n_docs
+       |        FROM hist GROUP BY 1),
+       |cum AS (
+       |  SELECT lang, score_ppm,
+       |    cast(sum(n) OVER (PARTITION BY lang ORDER BY score_ppm)
+       |      as bigint) AS cum
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT c.lang,
+       |    min(CASE WHEN cum * 3 >= t.n_docs THEN score_ppm END)
+       |      AS cut_tail,
+       |    min(CASE WHEN cum * 3 >= t.n_docs * 2 THEN score_ppm END)
+       |      AS cut_mid
+       |  FROM cum c JOIN tot t USING (lang) GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.score_ppm,
+       |  CASE WHEN s.score_ppm <= cut_tail THEN 'tail'
+       |       WHEN s.score_ppm <= cut_mid THEN 'middle'
+       |       ELSE 'head' END AS ppl_bucket
+       |FROM scored s JOIN cuts USING (lang)""".stripMargin
+
   private val PmiMinCount = 5
   private val PmiTopK = 100
 
@@ -1066,7 +1140,8 @@ object VocabOps {
     "doc_tfidf" -> (docTfidf _),
     "vocab_ngram_topk" -> (ngramTopK _),
     "doc_bm25" -> (bm25 _),
-    "text_lm_score" -> (lmScore _))
+    "text_lm_score" -> (lmScore _),
+    "text_ppl_bucket" -> (pplBucket _))
 
   val oracle: Map[String, String] = Map(
     "vocab_bpe_merges" -> bpeMergesSql,
@@ -1083,5 +1158,6 @@ object VocabOps {
     "doc_tfidf" -> docTfidfSql,
     "vocab_ngram_topk" -> ngramTopKSql,
     "doc_bm25" -> bm25Sql,
-    "text_lm_score" -> lmScoreSql)
+    "text_lm_score" -> lmScoreSql,
+    "text_ppl_bucket" -> pplBucketSql)
 }

@@ -613,6 +613,45 @@ class AnnSpec extends AnyFunSuite {
       assert(nHit == 10, s"query $q full-dim recall")
     }
   }
+
+  test("semantic dedup: keeper discipline, cell-local dups, cosine >= tau") {
+    val rows = AnnOps.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "one verdict row per corpus vector")
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (vid, cell, dupOf, kept) =>
+      assert(kept == (dupOf == -1L), s"vec $vid kept/dup_of disagree")
+      if (dupOf >= 0) {
+        assert(dupOf < vid, s"vec $vid dups to a LARGER id $dupOf")
+        assert(cellOf(dupOf) == cell,
+          s"vec $vid dups across cells ${cellOf(dupOf)} != $cell")
+      }
+    }
+    // the min-id vector of every cell can never be anyone's vec_b
+    // duplicate target's superior... i.e. it is always kept
+    rows.groupBy(_._2).values.foreach { cell =>
+      val minId = cell.map(_._1).min
+      assert(cell.find(_._1 == minId).get._4, s"cell min id $minId removed")
+    }
+    // every recorded dup pair really clears the cosine threshold
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.filter(_._3 >= 0).foreach { case (vid, _, dupOf, _) =>
+      assert(cos(embs(vid), embs(dupOf)) >= 0.4 - 1e-9,
+        s"dup pair ($dupOf, $vid) below tau")
+    }
+  }
 }
 
 private object AnnSpecHelpers {

@@ -438,4 +438,34 @@ class VocabSpec extends AnyFunSuite {
     assert(seg.map(_._3).toSeq == seg.map(_._3).sorted.reverse.toSeq,
       "symbol count monotonically decreases")
   }
+
+  test("ppl buckets: exact match to a driver-side tercile recount") {
+    val rows = VocabOps.pplBucket(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == 500, "one bucket verdict per document")
+    // recompute the cuts from the operator's own scores (lm scoring
+    // itself is pinned by the lm-score test): smallest score whose
+    // cumulative count clears n/3 (resp. 2n/3), ties to the LOWER
+    // bucket — then every doc's bucket must match exactly
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.length.toLong
+      val sorted = docs.map(_._3).sorted
+      def cut(mult: Long): Long =
+        sorted.zipWithIndex
+          .find { case (_, i) => (i + 1).toLong * 3 >= n * mult }.get._1
+      val (cutTail, cutMid) = (cut(1), cut(2))
+      docs.foreach { case (did, _, score, bucket) =>
+        val want = if (score <= cutTail) "tail"
+                   else if (score <= cutMid) "middle" else "head"
+        assert(bucket == want,
+          s"doc $did lang $lang score $score: got $bucket want $want")
+      }
+      // each bucket holds roughly a third: the head can't start
+      // before 2n/3 and the tail reaches at least n/3
+      val tailN = docs.count(_._4 == "tail").toLong
+      assert(tailN * 3 >= n, s"lang $lang tail too small")
+      val headN = docs.count(_._4 == "head").toLong
+      assert(headN * 3 <= n, s"lang $lang head too large")
+    }
+  }
 }
