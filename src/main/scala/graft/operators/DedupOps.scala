@@ -249,10 +249,12 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash-LSH candidate pair set (pre-verification), memoized:
-    * minhash_lsh verifies it, dedup_eval measures it. */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, "minhash_cand", d) {
+  /** Per-doc banded MinHash signature relation (doc_id, band, bh) —
+    * memoized because TWO consumers band the whole corpus:
+    * [[minhashCandidates]] (all-pairs bucket candidates) and
+    * [[incrementalDedup]] (batch-vs-base bucket join). */
+  private def minhashBanded(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "minhash_banded", d) {
     val sh = shingleSets(s, d)
     // signature[i] = min over shingles of (fp·A_i + B_i) mod M: the
     // string hashes ONCE per shingle row, then fans out to 64 modmul
@@ -273,15 +275,20 @@ object DedupOps {
     val sigs = perms.groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
     // band j's key = ordered modular fold of its r signature rows,
     // built by a second keyed aggregate on (doc, band)
-    val banded = sigs
+    sigs
       .withColumn("band", (col("perm") / r).cast("int"))
       .groupBy("doc_id", "band")
       .agg(aggregate(array_sort(collect_list(struct(col("perm"), col("mh")))),
         lit(0L),
         (acc, x) => (acc * 31 + x.getField("mh")) % lit(1000000007L)).as("bh"))
-      .cache()
+  }
 
-    bucketCandidates(banded, Seq("band", "bh"), "doc_id", CandBucketCap)
+  /** MinHash-LSH candidate pair set (pre-verification), memoized:
+    * minhash_lsh verifies it, dedup_eval measures it. */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "minhash_cand", d) {
+    bucketCandidates(minhashBanded(s, d), Seq("band", "bh"), "doc_id",
+      CandBucketCap)
       .select(col("cand_a").as("doc_a"), col("cand_b").as("doc_b"))
   }
 
@@ -300,7 +307,10 @@ object DedupOps {
   /** The candidate-generation CTEs alone (fph..cand, assumes a `sh`
     * shingle relation in scope) — shared by the full minhash mirror
     * and the dedup_eval report. */
-  private def minhashCandCtes: String = {
+  /** The signature/banding CTEs alone (fph..banded, assumes a `sh`
+    * shingle relation in scope) — shared by the all-pairs candidate
+    * chain and the incremental batch-vs-base chain. */
+  private def minhashBandedCtes: String = {
     val r = MinHashK / Bands
     val aLit = (0 until MinHashK).map(permA).mkString("[", ",", "]")
     val bLit = (0 until MinHashK).map(permB).mkString("[", ",", "]")
@@ -315,7 +325,11 @@ object DedupOps {
        |    list_reduce(list_prepend(cast(0 as bigint), list(mh ORDER BY perm)),
        |                (acc, x) -> (acc * 31 + x) % 1000000007) AS bh
        |  FROM (SELECT doc_id, perm, mh, perm // $r AS band FROM sigs)
-       |  GROUP BY doc_id, band),
+       |  GROUP BY doc_id, band)""".stripMargin
+  }
+
+  private def minhashCandCtes: String =
+    s"""$minhashBandedCtes,
        |reps AS (
        |  SELECT band, bh, doc_id FROM banded
        |  QUALIFY row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) <= $CandBucketCap),
@@ -323,7 +337,6 @@ object DedupOps {
        |  SELECT DISTINCT r.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM reps r JOIN banded b USING (band, bh)
        |  WHERE r.doc_id < b.doc_id)""".stripMargin
-  }
 
   private[operators] def minhashLshSql: String = {
     s"""WITH $shingleSetsSqlCte,
@@ -342,6 +355,140 @@ object DedupOps {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau""".stripMargin
   }
+
+  // ------------------------------------------------ incremental dedup
+
+  /** Incremental-ingest dedup — the shape a production pipeline
+    * actually runs: each crawl lands a BATCH (the newest decile of
+    * doc ids; pivot 0.9·max_id, integer arithmetic) that is checked
+    * against the standing BASE corpus — batch-vs-base only, never
+    * base-vs-base (the base was already deduped when IT landed) and
+    * never batch-vs-batch here (that is dedup_minhash_lsh's job on
+    * the batch alone). Two layers mirroring the standing operators:
+    * (1) EXACT — whitespace-normalized text equality against any
+    * base doc (dedup_exact's key); (2) NEAR — the memoized banded
+    * MinHash relation split batch/base, base side rep-capped per
+    * (band, bh) bucket through the bounded-heap top-k, candidates
+    * verified with exact Jaccard ≥ τ on the shared df-capped
+    * shingle universe. Verdict per batch doc: exact_dup / near_dup /
+    * new, the smallest base doc id hit (−1 for new), and that pair's
+    * verified jaccard (near only).
+    *
+    * Scale shape: cost is O(batch·bands + candidates) — the base
+    * corpus is touched only through the memoized banded relation
+    * (built once, in production persisted) and the capped bucket
+    * join; re-crawling against a 100 TB base never re-pairs the
+    * base with itself. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = docsParallel(s, d)
+    val mx = docs.agg(max(col("doc_id")).as("mx_id"))
+    // batch ⟺ doc_id·10 > max_id·9: pure integer compare, no
+    // division-rounding drift between engines
+    def split(df: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+      val t = df.crossJoin(broadcast(mx))
+      (t.filter(col(idCol) * 10 > col("mx_id") * 9).drop("mx_id"),
+       t.filter(col(idCol) * 10 <= col("mx_id") * 9).drop("mx_id"))
+    }
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(text.asciiLower(col("text")),
+        text.WsClass + "+", " ")).as("nt"))
+    val (batchN, baseN) = split(norm, "doc_id")
+    val exactHit = batchN
+      .join(baseN.select(col("nt"), col("doc_id").as("base_id")), "nt")
+      .groupBy("doc_id").agg(min(col("base_id")).as("exact_hit"))
+    val (batchB, baseB) = split(minhashBanded(s, d), "doc_id")
+    val baseReps = graft.functions.topk.perKey(
+        baseB.select(col("band"), col("bh"), col("doc_id")),
+        keys = Seq("band", "bh"),
+        order = Seq(graft.functions.topk.Order("doc_id")),
+        k = CandBucketCap)
+      .select(col("band").as("k_band"), col("bh").as("k_bh"),
+        col("doc_id").as("doc_base"))
+    val cand = batchB.join(baseReps.hint("shuffle_hash"),
+        col("k_band") === col("band") && col("k_bh") === col("bh"))
+      .select(col("doc_base"), col("doc_id")).distinct()
+    val sh = shingleSets(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_base"), col("sh")), "doc_base")
+      .join(sh.select(col("doc_id"), col("sh")), Seq("doc_id", "sh"))
+      .groupBy("doc_base", "doc_id").agg(count(lit(1)).as("n_shared"))
+    val near = inter
+      .join(sizes.select(col("doc_id").as("doc_base"), col("n").as("na")),
+        "doc_base")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), "doc_id")
+      .withColumn("jaccard",
+        col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= JaccardTau)
+      // min-id hit + ITS jaccard in one agg: struct min orders by the
+      // leading field and doc_base is unique per (doc_id, doc_base)
+      .groupBy("doc_id")
+      .agg(min(struct(col("doc_base"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.doc_base").as("near_hit"),
+        col("m.jaccard").as("near_jacc"))
+    batchN.select("doc_id")
+      .join(exactHit, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_hit").isNotNull, "exact_dup")
+          .when(col("near_hit").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_hit"), col("near_hit"), lit(-1L)).as("hit_id"),
+        when(col("exact_hit").isNull, col("near_jacc")).as("jaccard"))
+  }
+
+  /** Mirror: same shingle/banding builders, same pivot arithmetic,
+    * same rep cap and exact-Jaccard verification. */
+  private def incrementalDedupSql: String =
+    s"""WITH $shingleSetsSqlCte,
+       |$minhashBandedCtes,
+       |mx AS (SELECT max(doc_id) AS mx_id FROM documents),
+       |norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(${text.asciiLowerSql("text")},
+       |      '${text.WsClassRe2}+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |exact_hit AS (
+       |  SELECT b.doc_id, min(o.doc_id) AS exact_hit
+       |  FROM norm b JOIN norm o ON b.nt = o.nt CROSS JOIN mx
+       |  WHERE b.doc_id * 10 > mx_id * 9 AND o.doc_id * 10 <= mx_id * 9
+       |  GROUP BY 1),
+       |base_reps AS (
+       |  SELECT band, bh, doc_id AS doc_base FROM banded CROSS JOIN mx
+       |  WHERE doc_id * 10 <= mx_id * 9
+       |  QUALIFY row_number() OVER (PARTITION BY band, bh
+       |    ORDER BY doc_id) <= $CandBucketCap),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT r.doc_base, b.doc_id
+       |  FROM base_reps r JOIN banded b USING (band, bh) CROSS JOIN mx
+       |  WHERE b.doc_id * 10 > mx_id * 9),
+       |sizes AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_base, c.doc_id, $oCountAlias AS n_shared
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_base
+       |  JOIN sh sb ON sb.doc_id = c.doc_id AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT inter.doc_id AS doc_id, doc_base AS near_hit,
+       |    n_shared * 1.0 / (sa.n + sb.n - n_shared) AS near_jacc
+       |  FROM inter
+       |  JOIN sizes sa ON doc_base = sa.doc_id
+       |  JOIN sizes sb ON inter.doc_id = sb.doc_id
+       |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau
+       |  QUALIFY row_number() OVER (PARTITION BY inter.doc_id
+       |    ORDER BY doc_base) = 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN e.exact_hit IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.near_hit IS NOT NULL THEN 'near_dup'
+       |       ELSE 'new' END AS status,
+       |  coalesce(e.exact_hit, n.near_hit, -1) AS hit_id,
+       |  CASE WHEN e.exact_hit IS NULL THEN n.near_jacc END AS jaccard
+       |FROM (SELECT doc_id FROM documents CROSS JOIN mx
+       |      WHERE doc_id * 10 > mx_id * 9) b
+       |LEFT JOIN exact_hit e USING (doc_id)
+       |LEFT JOIN near n USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------- simhash
 
@@ -644,6 +791,7 @@ object DedupOps {
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
     "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () }),
+    "minhash_banded" -> (() => { minhashBanded(s, d).count(); () }),
     "minhash_cand" -> (() => { minhashCandidates(s, d).count(); () }),
     "simhash_sigs" -> (() => { simhashSigsMemo(s, d); () }))
 
@@ -995,6 +1143,7 @@ object DedupOps {
     "dedup_passage" -> (passageDedup _),
     "dedup_substring" -> (substringDedup _),
     "dedup_stats" -> (dedupStats _),
+    "dedup_incremental" -> (incrementalDedup _),
     "dedup_eval" -> (dedupEval _))
 
   val oracle: Map[String, String] = Map(
@@ -1007,5 +1156,6 @@ object DedupOps {
     "dedup_passage" -> passageDedupSql,
     "dedup_substring" -> substringDedupSql,
     "dedup_stats" -> dedupStatsSql,
+    "dedup_incremental" -> incrementalDedupSql,
     "dedup_eval" -> dedupEvalSql)
 }

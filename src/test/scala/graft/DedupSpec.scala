@@ -44,6 +44,57 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall (${got.size}/${exactPairs.size})")
   }
 
+  test("incremental dedup: exact layer recounted, near layer consistent " +
+       "with the all-pairs operator") {
+    val docs = Tables.documents(spark, sf)
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    def isBatch(id: Long) = id * 10 > mx * 9
+    val rows = DedupOps.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allIds.filter(isBatch),
+      "one verdict per batch doc, batch = top decile by id")
+    // exact layer: recount with the operator's own normalization
+    val norm = docs.select(col("doc_id"),
+      trim(regexp_replace(text.asciiLower(col("text")),
+        text.WsClass + "+", " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseByNt = norm.filter(kv => !isBatch(kv._1)).toSeq
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    rows.foreach { case (id, status, hit, jacc) =>
+      val wantExact = baseByNt.get(norm(id))
+      if (wantExact.isDefined) {
+        assert(status == "exact_dup" && hit == wantExact.get,
+          s"doc $id: want exact_dup@${wantExact.get}, got $status@$hit")
+        assert(jacc.isEmpty, s"doc $id exact_dup carries a jaccard")
+      } else assert(status != "exact_dup", s"doc $id spurious exact_dup")
+      status match {
+        case "new" =>
+          assert(hit == -1L && jacc.isEmpty, s"doc $id new with hit/jacc")
+        case "near_dup" =>
+          assert(!isBatch(hit) && allIds.contains(hit),
+            s"doc $id near hit $hit not a base doc")
+          assert(jacc.exists(j => j >= 0.2 && j <= 1.0),
+            s"doc $id near jaccard $jacc out of range")
+        case "exact_dup" =>
+          assert(!isBatch(hit), s"doc $id exact hit $hit not a base doc")
+        case other => fail(s"doc $id unknown status $other")
+      }
+    }
+    // every base-batch pair the ALL-PAIRS operator verifies must be
+    // caught incrementally (same bands, base side capped the same)
+    val verdicts = rows.map(r => r._1 -> r._2).toMap
+    DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => !isBatch(a) && isBatch(b) }
+      .foreach { case (a, b) =>
+        assert(verdicts(b) != "new",
+          s"all-pairs found ($a,$b) but incremental calls $b new")
+      }
+    assert(rows.exists(_._2 != "new"), "test data lost its planted dups")
+  }
+
   test("simhash blocking is exhaustive for hamming <= 3 (pigeonhole)") {
     val out = DedupOps.simhash(spark, sf)
     assert(out.filter(col("hamming") > 3).count() == 0)
