@@ -2849,6 +2849,37 @@ object RelationalOps {
     * customer can have, not by corpus size; the same
     * domain-bounded-window contract as q_skyline). All integers; the
     * p99/p50 ratio is the one final division. */
+  // ------------------------------------------------------ k-anonymity
+
+  private val KAnonK = 5
+
+  /** k-anonymity audit of the event log against a release
+    * quasi-identifier (event_type, hour-of-day, value band of 10) —
+    * the privacy gate a log clears before it ships as training data:
+    * any QI group re-identifying fewer than k distinct users must be
+    * suppressed. The group panel is value-DOMAIN-bounded (types × 24
+    * × bands), so whatever the event count this is one partial/final
+    * aggregate pass with a tiny final relation — no per-user state,
+    * no window. */
+  def kanon(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        hour(col("ts")).cast("int").as("hod"),
+        floor(col("value") / 10).cast("long").as("value_band"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("hod"), col("value_band"),
+        col("n_users"), col("n_events"),
+        (col("n_users") >= KAnonK).as("k_anon"))
+
+  private val kanonSql =
+    s"""SELECT event_type, cast(hour(ts) as int) AS hod,
+       |  cast(floor(value / 10) as bigint) AS value_band,
+       |  cast(count(DISTINCT user_id) as bigint) AS n_users,
+       |  $oCount AS n_events,
+       |  count(DISTINCT user_id) >= $KAnonK AS k_anon
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   def skewMetrics(s: SparkSession, d: String): DataFrame = {
     val sizes = Tables.orders(s, d)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("ksize"))
@@ -3310,6 +3341,7 @@ object RelationalOps {
     "q_basket_lift" -> (basketLift _),
     "q_abc_analysis" -> (abcAnalysis _),
     "q_gini" -> (giniRevenue _),
+    "q_kanon" -> (kanon _),
     "q_skew_metrics" -> (skewMetrics _),
     "q_attribution" -> (attribution _))
 
@@ -3396,6 +3428,7 @@ object RelationalOps {
     "q_basket_lift" -> basketLiftSql,
     "q_abc_analysis" -> abcAnalysisSql,
     "q_gini" -> giniRevenueSql,
+    "q_kanon" -> kanonSql,
     "q_skew_metrics" -> skewMetricsSql,
     "q_attribution" -> attributionSql)
 }

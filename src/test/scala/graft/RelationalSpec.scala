@@ -646,6 +646,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity: groups conserve events, flags recounted from raw rows") {
+    val rows = RelationalOps.kanon(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4), r.getBoolean(5))))
+    assert(rows.map(_._1).distinct.length == rows.length, "QI groups unique")
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).cast("int"),
+        floor(col("value") / 10).cast("long"), col("user_id"))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)), r.getLong(3)))
+    assert(rows.map(_._2._2).sum == ev.length.toLong,
+      "every event lands in exactly one QI group")
+    val byQi = ev.groupBy(_._1)
+    rows.foreach { case (qi, (nUsers, nEvents, flag)) =>
+      val grp = byQi(qi)
+      assert(nEvents == grp.length.toLong, s"$qi event count")
+      assert(nUsers == grp.map(_._2).distinct.length.toLong, s"$qi user count")
+      assert(flag == (nUsers >= 5), s"$qi flag")
+    }
+    // both regimes present: rare QI combos exist, common ones clear k
+    assert(rows.exists(!_._2._3) && rows.exists(_._2._3),
+      "test data exercises both suppressed and released groups")
+  }
+
   test("skew metrics: percentiles bracket, totals conserve") {
     val row = RelationalOps.skewMetrics(spark, sf).collect().head
     val sizes = Tables.orders(spark, sf).groupBy("o_custkey").count()
