@@ -378,10 +378,13 @@ object VocabOps {
     * bucket on both engines. */
   def pplBucket(s: SparkSession, d: String): DataFrame = {
     val docs = DedupOps.docsParallel(s, d).select(col("doc_id"), col("lang"))
+    // two consumers (the histogram chain and the final bucket join)
+    // — checkpoint so the lm chain computes once per call
     val scored = lmScore(s, d)
       .select(col("doc_id"),
         round(col("lm_score") * 1e6).cast("long").as("score_ppm"))
       .join(docs, "doc_id")
+      .transform(graft.Checkpoints.eager)
     val hist = scored.groupBy(col("lang"), col("score_ppm"))
       .agg(count(lit(1)).as("n"))
     val tot = hist.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"))
