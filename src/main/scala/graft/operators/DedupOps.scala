@@ -378,7 +378,10 @@ object DedupOps {
     * corpus is touched only through the memoized banded relation
     * (built once, in production persisted) and the capped bucket
     * join; re-crawling against a 100 TB base never re-pairs the
-    * base with itself. */
+    * base with itself. The exact layer joins on the normalized text
+    * for oracle parity; at 100 TB it joins on xxhash64(norm_text)
+    * instead (dedup_exact's documented swap — same plan shape, the
+    * wide string never shuffles). */
   def incrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = docsParallel(s, d)
     val mx = docs.agg(max(col("doc_id")).as("mx_id"))
