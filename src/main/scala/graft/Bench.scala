@@ -222,14 +222,21 @@ object Bench {
     }
     // materialize the shared memo relations ONCE, timed separately:
     // fill cost is real work and stays in the total, but no longer
-    // lands on whichever query alphabetically touches a memo first
+    // lands on whichever query alphabetically touches a memo first.
+    // The fill phase is counted at its WALL time: Memo.fill overlaps
+    // its independent dependency lanes, so the per-fill entries in
+    // the artifact (measured under that concurrency) sum to MORE
+    // than the wall the suite actually pays — the wall is the honest
+    // number, and it's what a rerun reproduces
+    val fillT0 = System.nanoTime()
     val fills = Memo.fill(spark, sfDir)
+    val fillWall = (System.nanoTime() - fillT0) / 1e9
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = results.map(_._2).sum + fills.map(f => math.max(f._2, 0.0)).sum
+    val total = results.map(_._2).sum + fillWall
     // listener events are posted asynchronously; drain the bus so the
     // last stage's metrics are in the snapshot
     org.apache.spark.GraftSparkBridge.drainListenerBus(

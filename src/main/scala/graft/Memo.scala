@@ -176,11 +176,30 @@ object Memo {
     * atomic [[Cell]], spec-covered in MemoSpec. */
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps, VocabOps}
-    val fills: Seq[(String, () => Unit)] =
-      DedupOps.memoFillsBase(s, dir) ++ VocabOps.memoFills(s, dir) ++
-        DedupOps.memoFills(s, dir) ++ CorpusOps.memoFills(s, dir) ++
-        AnnOps.memoFills(s, dir) ++ GraphOps.memoFills(s, dir)
-    runFills(fills)
+    // base scans first (everything text/embedding hangs off them),
+    // then three INDEPENDENT dependency lanes overlap on the shared
+    // scheduler: the text chain (tokenize → shingle/minhash/simhash →
+    // cluster map), the ANN model chain (embeddings only), and the
+    // order/part co-occurrence graphs. Within a lane order is
+    // preserved; across lanes nothing shares a memo key, and the
+    // atomic Cell makes a surprise cross-lane consumer safe anyway.
+    // Small fill jobs nowhere near saturate local[N], so the fill
+    // wall drops to roughly the longest lane.
+    val base = runFills(DedupOps.memoFillsBase(s, dir))
+    val lanes: Seq[Seq[(String, () => Unit)]] = Seq(
+      VocabOps.memoFills(s, dir) ++ DedupOps.memoFills(s, dir) ++
+        CorpusOps.memoFills(s, dir),
+      AnnOps.memoFills(s, dir),
+      GraphOps.memoFills(s, dir))
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(lanes.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val done = Future.sequence(lanes.map(l => Future(runFills(l))))
+      base ++ Await.result(done, Duration.Inf).flatten
+    } finally pool.shutdown()
   }
 
   /** Timing/error harness behind [[fill]], factored out so MemoSpec
