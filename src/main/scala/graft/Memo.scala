@@ -177,29 +177,39 @@ object Memo {
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps, VocabOps}
     // base scans first (everything text/embedding hangs off them),
-    // then three INDEPENDENT dependency lanes overlap on the shared
-    // scheduler: the text chain (tokenize → shingle/minhash/simhash →
-    // cluster map), the ANN model chain (embeddings only), and the
-    // order/part co-occurrence graphs. Within a lane order is
-    // preserved; across lanes nothing shares a memo key, and the
-    // atomic Cell makes a surprise cross-lane consumer safe anyway.
-    // Small fill jobs nowhere near saturate local[N], so the fill
-    // wall drops to roughly the longest lane.
-    val base = runFills(DedupOps.memoFillsBase(s, dir))
-    val lanes: Seq[Seq[(String, () => Unit)]] = Seq(
-      VocabOps.memoFills(s, dir) ++ DedupOps.memoFills(s, dir) ++
-        CorpusOps.memoFills(s, dir),
-      AnnOps.memoFills(s, dir),
-      GraphOps.memoFills(s, dir))
+    // then the per-chain dependency lanes all overlap on the shared
+    // scheduler. Within a lane, order is a real dependency; ACROSS
+    // lanes a shared prerequisite (doc_toks under the shingle lane,
+    // the pair sets under the cluster-map lane) is safe because the
+    // atomic Cell builds each key exactly once — a lane that reaches
+    // a cell another lane is building simply waits on it (its
+    // per-fill time then includes that wait; the artifact's per-fill
+    // entries are profiling hints, the fill WALL is the real cost).
+    // Small fill jobs nowhere near saturate local[N], so the wall
+    // drops to roughly the longest chain (the IVF/IVFPQ model).
+    val base = runLanes(DedupOps.memoFillsBase(s, dir).map(Seq(_)))
+    val lanes: Seq[Seq[(String, () => Unit)]] =
+      Seq(VocabOps.memoFills(s, dir)) ++
+        DedupOps.memoFillLanes(s, dir) ++
+        Seq(CorpusOps.memoFills(s, dir)) ++
+        AnnOps.memoFillLanes(s, dir) ++
+        GraphOps.memoFillLanes(s, dir)
+    base ++ runLanes(lanes)
+  }
+
+  /** Run each lane's fills in order, all lanes concurrently; returns
+    * the per-fill timings in lane order. */
+  private def runLanes(
+      lanes: Seq[Seq[(String, () => Unit)]]): Seq[(String, Double)] = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(lanes.size)
+    val pool = Executors.newFixedThreadPool(math.max(1, lanes.size))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val done = Future.sequence(lanes.map(l => Future(runFills(l))))
-      base ++ Await.result(done, Duration.Inf).flatten
-    } finally pool.shutdown()
+    try Await.result(
+      Future.sequence(lanes.map(l => Future(runFills(l)))),
+      Duration.Inf).flatten
+    finally pool.shutdown()
   }
 
   /** Timing/error harness behind [[fill]], factored out so MemoSpec

@@ -535,18 +535,26 @@ object AnnOps {
     * assignment → PQ codebooks → PQ codes), in dependency order —
     * consumed by [[graft.Memo.fill]]. embeddings_par is filled by the
     * dedup family ahead of these. */
-  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
-    "ann_train" -> (() => { annTrain(s, d).count(); () }),
-    "ann_cents" -> (() => { annCents(s, d).count(); () }),
-    "ann_assigned" -> (() => { annAssigned(s, d).count(); () }),
-    "ann_trainres" -> (() => { annTrainRes(s, d).count(); () }),
-    "ann_pqcents" -> (() => { annPqCents(s, d).count(); () }),
-    "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () }),
-    "pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
-    "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () }),
-    "sq8_codes" -> (() => { sq8Codes(s, d).count(); () }),
-    "bin_sigs" -> (() => { binSigs(s, d).count(); () }),
-    "cov_base" -> (() => { covarianceBase(s, d).count(); () }))
+  private[graft] def memoFillLanes(s: SparkSession, d: String)
+      : Seq[Seq[(String, () => Unit)]] = Seq(
+    // the IVF/IVFPQ model chain is one real dependency chain; the
+    // solo-PQ, SQ8, binary-signature and covariance relations each
+    // read only the base corpus and train/encode independently
+    Seq("ann_train" -> (() => { annTrain(s, d).count(); () }),
+        "ann_cents" -> (() => { annCents(s, d).count(); () }),
+        "ann_assigned" -> (() => { annAssigned(s, d).count(); () }),
+        "ann_trainres" -> (() => { annTrainRes(s, d).count(); () }),
+        "ann_pqcents" -> (() => { annPqCents(s, d).count(); () }),
+        "ann_pqcodes" -> (() => { annPqCodes(s, d).count(); () })),
+    Seq("pq_cents" -> (() => { pqSoloCents(s, d).count(); () }),
+        "pq_codes" -> (() => { pqSoloCodes(s, d).count(); () })),
+    Seq("sq8_codes" -> (() => { sq8Codes(s, d).count(); () })),
+    Seq("bin_sigs" -> (() => { binSigs(s, d).count(); () })),
+    Seq("cov_base" -> (() => { covarianceBase(s, d).count(); () })))
+
+  /** Flat dependency-order view of [[memoFillLanes]]. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] =
+    memoFillLanes(s, d).flatten
 
   // ---- shared SQL mirror builders (ONE copy each: the ivf/pq/ivfpq
   // ---- mirrors must stay bit-identical, so the deterministic-fold

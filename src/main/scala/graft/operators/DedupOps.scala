@@ -788,15 +788,23 @@ object DedupOps {
     "documents_par" -> (() => { docsParallel(s, d).count(); () }),
     "embeddings_par" -> (() => { embParallel(s, d).count(); () }))
 
-  /** The dedup candidate chain, in dependency order — filled after
-    * [[memoFillsBase]] and the VocabOps tokenize pass (each thunk
-    * forces one memo). */
-  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
-    "shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
-    "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () }),
-    "minhash_banded" -> (() => { minhashBanded(s, d).count(); () }),
-    "minhash_cand" -> (() => { minhashCandidates(s, d).count(); () }),
-    "simhash_sigs" -> (() => { simhashSigsMemo(s, d); () }))
+  /** The dedup candidate chains as INDEPENDENT fill lanes (within a
+    * lane order is a real dependency; across lanes only the shared
+    * shingle/tokenize cells couple them, and the atomic Memo cell
+    * makes a cross-lane first-toucher build them exactly once).
+    * Filled after [[memoFillsBase]]; the VocabOps tokenize lane
+    * normally wins the doc_toks build. */
+  private[graft] def memoFillLanes(s: SparkSession, d: String)
+      : Seq[Seq[(String, () => Unit)]] = Seq(
+    Seq("shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
+        "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () })),
+    Seq("minhash_banded" -> (() => { minhashBanded(s, d).count(); () }),
+        "minhash_cand" -> (() => { minhashCandidates(s, d).count(); () })),
+    Seq("simhash_sigs" -> (() => { simhashSigsMemo(s, d); () })))
+
+  /** Flat dependency-order view of [[memoFillLanes]]. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] =
+    memoFillLanes(s, d).flatten
 
   /** Memo-cached parallelized scans shared across the dedup/ANN
     * family (one compute per dataset per process). */

@@ -242,9 +242,14 @@ object GraphOps {
 
   /** This family's shared memoized relation — consumed by
     * [[graft.Memo.fill]]. */
-  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
-    "bipartite_pairs" -> (() => { bipartitePairs(s, d).count(); () }),
-    "assoc_edges" -> (() => { assocEdges(s, d).count(); () }))
+  private[graft] def memoFillLanes(s: SparkSession, d: String)
+      : Seq[Seq[(String, () => Unit)]] = Seq(
+    Seq("bipartite_pairs" -> (() => { bipartitePairs(s, d).count(); () })),
+    Seq("assoc_edges" -> (() => { assocEdges(s, d).count(); () })))
+
+  /** Flat view of [[memoFillLanes]]. */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] =
+    memoFillLanes(s, d).flatten
 
   /** Canonical top-K association edge set (u < v, deduped,
     * localCheckpointed) — shared by the triangle census and the
