@@ -56,7 +56,10 @@ object StreamBench {
       // commit by design — that teardown noise is not a measurement
       // failure (progress was already snapshotted above)
       try q.stop() catch { case _: Throwable => () }
-      val steady = prog.drop(2).filter(_.numInputRows > 0)
+      // prefer post-warmup batches; a short probe that only completed
+      // a couple of big batches still reports those rather than 0
+      val warm = prog.drop(2).filter(_.numInputRows > 0)
+      val steady = if (warm.nonEmpty) warm else prog.filter(_.numInputRows > 0)
       val rows = steady.map(_.numInputRows).sum.toDouble
       val sec = steady.map(_.durationMs.get("triggerExecution").toLong)
         .sum / 1000.0
@@ -85,6 +88,14 @@ object StreamBench {
         events.select(col("user_id"), col("event_id"), col("ts"),
           col("value")).as[StreamSessionize.EvIn],
         gapMinutes = 30).toDF()
+    }
+
+    // probe checkpoints are throwaway state — reclaim the tmp space
+    locally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckRoot))
     }
 
     def f(d: Double) = BigDecimal(d)
