@@ -27,7 +27,8 @@ object VocabOps {
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "doc_toks" -> (() => { docToks(s, d).count(); () }),
     "token_freq" -> (() => { tokenFreq(s, d).count(); () }),
-    "doc_tf" -> (() => { docTf(s, d).count(); () }))
+    "doc_tf" -> (() => { docTf(s, d).count(); () }),
+    "lm_scores" -> (() => { lmScore(s, d).count(); () }))
 
   /** The tokenized corpus — (doc_id, lang, source, toks) with the
     * family's single pinned tokenizer (functions.text.tokens), run
@@ -298,7 +299,11 @@ object VocabOps {
     * order-independent by scaling each p to an integer
     * (round(p·10¹²)) before the sum — the same exact-sum discipline
     * as the money aggregates; both engines divide once at the end. */
-  def lmScore(s: SparkSession, d: String): DataFrame = {
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "lm_scores", d) {
+    // memoized: TWO operators consume the scored relation
+    // (text_lm_score reports it; text_ppl_bucket terciles it), and
+    // the bigram chain is one of the costlier text passes
     val docs = DedupOps.docsParallel(s, d)
     // cached: the exploded gram relation feeds the c2 aggregation
     // (and through it c1) AND the per-doc probe join — without the
