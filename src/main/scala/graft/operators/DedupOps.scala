@@ -764,8 +764,19 @@ object DedupOps {
     * same 256-rep bucket cap (QUALIFY row_number), same exact-cosine
     * verification. */
   private[operators] def embeddingNearDupSql: String = {
-    val cos = vector.sql.cosine("ea.embedding", "eb.embedding")
-    s"""WITH banded AS (
+    // same arithmetic as vector.sql.cosine, restructured so the
+    // interpreted list folds run ONCE: norms precompute per VECTOR
+    // (sqrt of the same dot fold) instead of per pair, and the
+    // scored subquery computes the cosine a single time for both the
+    // threshold and the output (SELECT+WHERE would fold twice) —
+    // identical expression tree per value, so every emitted double
+    // is bit-identical to the naive form; this is the denominator-
+    // honesty discipline (the naive mirror was 213 s of the 546 s
+    // sf1 oracle suite, pure lambda-interpretation overhead)
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    ${vector.sql.norm("embedding")} AS nrm FROM embeddings),
+       |banded AS (
        |${bandedSql("embeddings", "vec_id", EmbTables, EmbBitsPerTable)}),
        |reps AS (
        |  SELECT tbl, bv, vec_id FROM banded
@@ -773,12 +784,16 @@ object DedupOps {
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT r.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM reps r JOIN banded b USING (tbl, bv)
-       |  WHERE r.vec_id < b.vec_id)
-       |SELECT c.vec_a, c.vec_b, round($cos, 6) AS cosine
-       |FROM cand c
-       |JOIN embeddings ea ON c.vec_a = ea.vec_id
-       |JOIN embeddings eb ON c.vec_b = eb.vec_id
-       |WHERE $cos >= $CosTau""".stripMargin
+       |  WHERE r.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${vector.sql.dot("ea.embedding", "eb.embedding")}
+       |      / (ea.nrm * eb.nrm) AS cos
+       |  FROM cand c
+       |  JOIN e ea ON c.vec_a = ea.vec_id
+       |  JOIN e eb ON c.vec_b = eb.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
+       |FROM scored WHERE cos >= $CosTau""".stripMargin
   }
 
   /** The cross-family base scans — filled FIRST (VocabOps' tokenize
