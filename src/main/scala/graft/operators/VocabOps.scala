@@ -960,18 +960,21 @@ object VocabOps {
 
   // ------------------------------------------------------ BPE merges
 
-  private val BpeSteps = 3
+  /** Merge rounds the REGISTERED queries (vocab_bpe_merges /
+    * vocab_bpe_segment) train and cross-engine-verify; [[trainBpe]]
+    * takes any round count. */
+  private[graft] val BpeSteps = 8
 
   /** First-k BPE merge learning — the inner loop of byte-pair-
     * encoding tokenizer training (the step `vocab_token_shapes`
-    * sizes and `vocab_coverage` evaluates), unrolled for the first
+    * sizes and `vocab_coverage` evaluates), looped for the first
     * [[BpeSteps]] merges: per step, count adjacent symbol pairs over
     * the DISTINCT-word relation weighted by corpus frequency, take
     * the argmax pair (count desc, then lexicographic — the
     * deterministic tiebreak real BPE trainers pin), and merge it
     * greedily left-to-right in every word. A production 30k-merge
-    * run drives this same primitive from a loop; three unrolled
-    * steps are the cross-engine-verified design probe.
+    * run drives this same loop with a larger `steps` via
+    * [[trainBpe]]; eight verified rounds are the design probe.
     *
     * Scale shape: everything is VOCAB-bounded, never corpus-bounded —
     * the word relation is the memoized (token, freq) aggregate, each
@@ -1023,8 +1026,18 @@ object VocabOps {
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMergesFromWords(bpeWords0(s, d))
 
-  private[graft] def bpeMergesFromWords(words0: DataFrame): DataFrame = {
-    val (rows, _) = (1 to BpeSteps).foldLeft(
+  /** Production entry: learn `steps` merges over the corpus token
+    * frequencies. Identical chain to the registered probe, just a
+    * caller-chosen round count — per-round eager checkpoints keep
+    * the lineage flat, so cost is steps × (one vocab-bounded agg +
+    * one narrow merge map); a 30k-merge run is 30k small jobs over a
+    * vocab-sized relation, never a corpus rescan. */
+  def trainBpe(s: SparkSession, d: String, steps: Int): DataFrame =
+    bpeMergesFromWords(bpeWords0(s, d), steps)
+
+  private[graft] def bpeMergesFromWords(
+      words0: DataFrame, steps: Int = BpeSteps): DataFrame = {
+    val (rows, _) = (1 to steps).foldLeft(
       (Seq.empty[DataFrame], words0)) { case ((acc, words), step) =>
       val b = bpeBest(bpePairs(words))
       // a dry step emits no row (filter, not a null row)
@@ -1058,11 +1071,16 @@ object VocabOps {
          |            i -> {'a': syms[i], 'b': syms[i+1]})) AS p
          |        FROM s$k)
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
-         |w${k + 1} AS (
-         |  SELECT replace(enc, ' ' || b$k.a || '  ' || b$k.b || ' ',
-         |                 ' ' || b$k.a || b$k.b || ' ') AS enc, freq
-         |  FROM $w, b$k)""".stripMargin
+         |b$k AS MATERIALIZED (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         |w${k + 1} AS MATERIALIZED (
+         |  -- LEFT JOIN ON true + coalesce keeps the step TOTAL: a dry
+         |  -- step (empty b$k) must leave words unchanged, exactly like
+         |  -- the Spark side's coalesce in bpeMerge — a comma cross-join
+         |  -- would return zero rows and empty every later step
+         |  SELECT coalesce(replace(enc, ' ' || b$k.a || '  ' || b$k.b || ' ',
+         |                          ' ' || b$k.a || b$k.b || ' '), enc) AS enc,
+         |         freq
+         |  FROM $w LEFT JOIN b$k ON true)""".stripMargin
     }
     s"""tok AS (SELECT unnest($toks) AS w FROM documents),
        |tf AS (SELECT w, cast(count(*) as bigint) AS freq FROM tok GROUP BY 1),

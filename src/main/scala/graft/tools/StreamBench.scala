@@ -61,7 +61,11 @@ object StreamBench {
       val warm = prog.drop(2).filter(_.numInputRows > 0)
       val steady = if (warm.nonEmpty) warm else prog.filter(_.numInputRows > 0)
       val rows = steady.map(_.numInputRows).sum.toDouble
-      val sec = steady.map(_.durationMs.get("triggerExecution").toLong)
+      // durationMs is a plain java Map — a progress entry without the
+      // triggerExecution key would NPE on unboxing (round-8 ADVICE)
+      val sec = steady.map(p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.toLong).getOrElse(0L))
         .sum / 1000.0
       if (sec == 0) 0.0 else rows / sec
     }

@@ -62,10 +62,11 @@ class BpePropertySpec extends AnyFunSuite {
     check(Prop.forAll(corpusGen) { corpus0 =>
       val corpus = corpus0.groupBy(_._1).view
         .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
-      // reference: run up to 3 steps
+      // reference: run up to 10 steps (most corpora run dry sooner;
+      // the dry tail is exactly what the totality fix must preserve)
       var words = corpus.map { case (w, f) =>
         (w.map(_.toString).toVector, f) }
-      val want = (1 to 3).flatMap { _ =>
+      val want = (1 to 10).flatMap { _ =>
         refStep(words) match {
           case Some((m, next)) => words = next; Some(m)
           case None => None
@@ -73,13 +74,14 @@ class BpePropertySpec extends AnyFunSuite {
       }
       // spark: the operator's chain over the same (token, freq) table
       val freqDf = corpus.toDF("token", "freq")
-      val got = VocabOps.bpeMergesFromWords(VocabOps.bpeEncode(freqDf))
+      val got = VocabOps
+        .bpeMergesFromWords(VocabOps.bpeEncode(freqDf), steps = 10)
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
-      // when fewer than 3 real pairs exist the reference runs dry;
-      // only compare the prefix both produced (the operator's corpus
-      // always has "abab" so all 3 steps exist)
-      got.take(want.length).toSeq == want
+      // when fewer than 10 real pairs exist BOTH engines run dry at
+      // the same step: the reference stops, the operator emits no
+      // row — so the sequences must match exactly, not just a prefix
+      got.toSeq == want
     }, n = 12)
   }
 }

@@ -812,4 +812,31 @@ class RelationalSpec extends AnyFunSuite {
       assert(p50 <= p90 && p90 <= mx.toDouble, s"$p monotone")
     }
   }
+
+  test("basket cap: a mega-basket emits O(cap²) pairs, small baskets exact") {
+    import spark.implicits._
+    // pathological basket: one order with 500 distinct parts would be
+    // C(500,2)=124,750 pairs uncapped; the cap bounds it at C(64,2)
+    val mega = (1L to 500L).map(pk => (1L, pk)) ++
+      Seq((2L, 7L), (2L, 9L), (3L, 7L), (3L, 9L), (3L, 11L))
+    val op = mega.toDF("okey", "pk")
+    val capped = RelationalOps.cappedBasket(op)
+    val perBasket = capped.groupBy("okey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBasket(1L) == 64L, "mega-basket sampled to the cap")
+    assert(perBasket(2L) == 2L && perBasket(3L) == 3L,
+      "baskets under the cap keep every part")
+    // small baskets are pair-complete: the capped relation restricted
+    // to them is exactly the input (hash order is a reorder, not a
+    // filter, below the cap)
+    val small = capped.filter(col("okey") > 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == mega.filter(_._1 > 1L).toSet)
+    // and the pair fan-out is the capped bound, not the quadratic one
+    val nPairs = capped.as("a").join(capped.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .count()
+    assert(nPairs == 64L * 63 / 2 + 1 + 3,
+      s"pair count O(B·cap): got $nPairs")
+  }
 }
