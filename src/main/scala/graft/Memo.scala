@@ -43,7 +43,7 @@ object Memo {
     * own monitor (round-7 verdict item 7). Cross-thread cycles
     * (possible in principle since [[fill]] runs lanes concurrently)
     * are caught by a wait-for-graph walk before every cross-thread
-    * await — see [[Memo.checkNoCrossCycle]] — so a cyclic key
+    * await — see [[Memo.awaitCrossThread]] — so a cyclic key
     * dependency between lanes throws instead of hanging
     * `slot.join()` forever.
     * `computeIfAbsent` itself only allocates the closure, so the map
@@ -237,7 +237,8 @@ object Memo {
     * (two callers racing into one key) is guaranteed by the atomic
     * [[Cell]], spec-covered in MemoSpec. */
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps, VocabOps}
+    import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps,
+      MultimodalOps, VocabOps}
     // base scans first (everything text/embedding hangs off them),
     // then the per-chain dependency lanes all overlap on the shared
     // scheduler. Within a lane, order is a real dependency; ACROSS
@@ -254,6 +255,7 @@ object Memo {
       Seq(VocabOps.memoFills(s, dir)) ++
         DedupOps.memoFillLanes(s, dir) ++
         Seq(CorpusOps.memoFills(s, dir)) ++
+        Seq(MultimodalOps.memoFills(s, dir)) ++
         AnnOps.memoFillLanes(s, dir) ++
         GraphOps.memoFillLanes(s, dir)
     base ++ runLanes(lanes)

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
 object ihash {
   val M = 1000000007L
 
+  /** JVM form: the same three rounds over a plain Long — for typed
+    * codec-boundary code (mapPartitions) that hashes per-byte features
+    * where Column expressions aren't available. Must stay arithmetic-
+    * identical to [[quad]]/[[quadSqlNested]] (one constants site). */
+  def quadLong(x: Long): Long = {
+    val h0 = ((x % M) * 999983L + 424243L) % M
+    val h1 = (h0 * h0 + h0 * 48271L + 11L) % M
+    (h1 * h1 + h1 * 48271L + 11L) % M
+  }
+
   /** Column form: three rounds over a long column. */
   def quad(c: Column): Column = {
     val m = lit(M)

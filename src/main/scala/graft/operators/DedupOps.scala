@@ -495,7 +495,10 @@ object DedupOps {
 
   // ---------------------------------------------------------- simhash
 
-  private val HammingMax = 3
+  /** Near-dup hamming radius for ALL 64-bit-signature families
+    * (simhash text near-dup, mm_dedup_phash media near-dup): the
+    * 4-chunk pigeonhole blocking guarantees exact recall at ≤ 3. */
+  private[operators] val HammingMax = 3
   private val SimHashChunks = 4 // pigeonhole: ham<=3 ⇒ ≥1 of 4 16-bit chunks equal
   /** Per-(chunk, value) bucket cap: each bucket contributes pairs
     * only against its `cap` lowest-doc_id REPRESENTATIVES, so a
@@ -581,6 +584,16 @@ object DedupOps {
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
+  /** Shared hamming-≤[[HammingMax]] near-dup machinery over ANY
+    * (doc_id, sig) 64-bit signature relation — the 4×16-bit chunk
+    * pigeonhole blocking + per-bucket rep cap + xor/bit_count verify.
+    * mm_dedup_phash feeds perceptual media signatures through the
+    * SAME pair engine simhash uses (one blocking discipline, one
+    * scale argument). `signed` should be materialized (memo/eager):
+    * both join sides read it. */
+  private[operators] def hammingPairs(signed: DataFrame, bucketCap: Int): DataFrame =
+    simhashPairsFromSignatures(signed, bucketCap)
+
   private def simhashPairsFromSignatures(signed: DataFrame, bucketCap: Int): DataFrame = {
     val chunks = (0 until SimHashChunks).map { j =>
       struct(lit(j).as("ci"), shiftright(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("cv"))
@@ -653,9 +666,17 @@ object DedupOps {
        |chunks AS MATERIALIZED (
        |  SELECT doc_id, k // 16 AS ci, sum(b * (1 << (k % 16))) AS cv
        |  FROM sigbits GROUP BY 1, 2),
-       |reps AS (
+       |${hammingPairsSql(SimHashBucketCap)}""".stripMargin
+  }
+
+  /** Mirror twin of [[hammingPairs]]: the reps/cand/ham CTE chain and
+    * final select over a `chunks`(doc_id, ci, cv) relation already in
+    * scope — shared by the simhash and mm_dedup_phash mirrors so the
+    * pair semantics cannot drift between them. */
+  private[operators] def hammingPairsSql(cap: Int): String =
+    s"""reps AS (
        |  SELECT ci, cv, doc_id FROM chunks
-       |  QUALIFY row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) <= $SimHashBucketCap),
+       |  QUALIFY row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) <= $cap),
        |cand AS MATERIALIZED (
        |  SELECT DISTINCT r.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM reps r JOIN chunks c USING (ci, cv)
@@ -668,7 +689,6 @@ object DedupOps {
        |  JOIN chunks cb ON cb.doc_id = c.doc_b AND cb.ci = ca.ci
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HammingMax""".stripMargin
-  }
 
   // ------------------------------------------------ embedding near-dup
 

