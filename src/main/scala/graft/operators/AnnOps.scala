@@ -1113,19 +1113,38 @@ object AnnOps {
                             queries: DataFrame, nProbe: Int,
                             shortK: Int): DataFrame = {
     import graft.functions.topk
-    val probes = topk.perKey(
+    // probes feeds both the candidate join and the composite table
+    // (which re-expands it against cents × pcents); checkpointing the
+    // tiny |queries|·nProbe relation cuts the composite-ADC plan's
+    // fan-out at its root — pre-checkpoint the final ann_ivfpq plan
+    // carried 3,196 exchanges / 752 (broadcast-benign) BNLJ nodes of
+    // repeated quantizer-training lineage, a Catalyst planning cost
+    // that grows with PqM·PqCells unrolling (round-8 verdict item 2;
+    // the text_ppl_bucket precedent)
+    val probes = graft.Checkpoints.eager(topk.perKey(
       queries.crossJoin(broadcast(cents))
         .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
         .select("query_id", "cell_id", "dist"),
       keys = Seq("query_id"),
       order = Seq(topk.Order("dist"), topk.Order("cell_id")),
       k = nProbe)
-      .select("query_id", "cell_id")
-    val cand = assigned.join(broadcast(probes), "cell_id")
+      .select("query_id", "cell_id"))
+    // assigned/codes arrive as nested InMemoryRelations whose build
+    // plans (the whole coarse + PQ training chains) reprint at every
+    // reference; truncating them to checkpoint scans here is what
+    // actually collapses the composite plan (12-byte and 16-byte rows
+    // per vector — cheap blocks)
+    val assignedCp = graft.Checkpoints.eager(assigned)
+    val codesCp = graft.Checkpoints.eager(codes)
+    val cand = assignedCp.join(broadcast(probes), "cell_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "cell_id")
-    val approx = adcFold(cand.join(codes, "vec_id")
-      .join(broadcast(resQueryTab(queries, probes, cents, pcents)),
+    // same cut for the composite table itself: |queries|·nProbe·PqM·
+    // PqCells rows, always broadcastable — materializing it once
+    // removes the cents/pcents training chains from the scoring plan
+    val approx = adcFold(cand.join(codesCp, "vec_id")
+      .join(broadcast(graft.Checkpoints.eager(
+          resQueryTab(queries, probes, cents, pcents))),
         Seq("query_id", "cell_id", "j", "code")))
     adcShortRescore(approx, e, queries, shortK)
   }

@@ -254,8 +254,12 @@ object DedupOps {
     * [[minhashCandidates]] (all-pairs bucket candidates) and
     * [[incrementalDedup]] (batch-vs-base bucket join). */
   private def minhashBanded(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, "minhash_banded", d) {
-    val sh = shingleSets(s, d)
+    graft.Memo.cached(s, "minhash_banded", d)(
+      bandedFromShingles(shingleSets(s, d)))
+
+  /** The banding pipeline from any (doc_id, sh) relation — shared by
+    * the memoized corpus path and the streaming ingest twin. */
+  private[graft] def bandedFromShingles(sh: DataFrame): DataFrame = {
     // signature[i] = min over shingles of (fp·A_i + B_i) mod M: the
     // string hashes ONCE per shingle row, then fans out to 64 modmul
     // permutations, then a (doc, perm) min aggregate — all narrow
@@ -392,14 +396,24 @@ object DedupOps {
       (t.filter(col(idCol) * 10 > col("mx_id") * 9).drop("mx_id"),
        t.filter(col(idCol) * 10 <= col("mx_id") * 9).drop("mx_id"))
     }
-    val norm = docs.select(col("doc_id"),
-      trim(regexp_replace(text.asciiLower(col("text")),
-        text.WsClass + "+", " ")).as("nt"))
-    val (batchN, baseN) = split(norm, "doc_id")
+    val (batchN, baseN) = split(normText(docs), "doc_id")
     val exactHit = batchN
       .join(baseN.select(col("nt"), col("doc_id").as("base_id")), "nt")
       .groupBy("doc_id").agg(min(col("base_id")).as("exact_hit"))
     val (batchB, baseB) = split(minhashBanded(s, d), "doc_id")
+    verdictCore(batchN.select("doc_id"), exactHit, batchB, baseB,
+      shingleSets(s, d))
+  }
+
+  /** The batch-vs-base verdict from its parts — the lower half of
+    * [[incrementalDedup]], factored so the streaming ingest twin
+    * ([[graft.streaming.StreamingOps]] foreachBatch path) runs the
+    * IDENTICAL candidate/verify/verdict plan per micro-batch. Inputs:
+    * batch doc ids, the exact-layer hits, banded signatures split
+    * batch/base, and the shared shingle universe. */
+  private[graft] def verdictCore(batchIds: DataFrame, exactHit: DataFrame,
+                                 batchB: DataFrame, baseB: DataFrame,
+                                 sh: DataFrame): DataFrame = {
     val baseReps = graft.functions.topk.perKey(
         baseB.select(col("band"), col("bh"), col("doc_id")),
         keys = Seq("band", "bh"),
@@ -410,7 +424,6 @@ object DedupOps {
     val cand = batchB.join(baseReps.hint("shuffle_hash"),
         col("k_band") === col("band") && col("k_bh") === col("bh"))
       .select(col("doc_base"), col("doc_id")).distinct()
-    val sh = shingleSets(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_base"), col("sh")), "doc_base")
@@ -429,7 +442,7 @@ object DedupOps {
       .agg(min(struct(col("doc_base"), col("jaccard"))).as("m"))
       .select(col("doc_id"), col("m.doc_base").as("near_hit"),
         col("m.jaccard").as("near_jacc"))
-    batchN.select("doc_id")
+    batchIds
       .join(exactHit, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -438,6 +451,50 @@ object DedupOps {
           .otherwise("new").as("status"),
         coalesce(col("exact_hit"), col("near_hit"), lit(-1L)).as("hit_id"),
         when(col("exact_hit").isNull, col("near_jacc")).as("jaccard"))
+  }
+
+  /** Normalized text for the exact-dup layer (one definition — the
+    * memoized path and the streaming twin must agree byte-for-byte). */
+  private[graft] def normText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(text.asciiLower(col("text")),
+        text.WsClass + "+", " ")).as("nt"))
+
+  /** Shingle universe from an arbitrary (doc_id, text) frame — the
+    * same tokenize→2-gram→distinct→df-cap chain as the memoized
+    * [[shingleSets]], with the df cap evaluated over THIS frame. */
+  private[graft] def shinglesFromDocs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
+    val frequent = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxDf)
+      .select("sh")
+    sh.join(frequent, Seq("sh"), "left_anti")
+  }
+
+  /** Batch-vs-base ingest verdict over ARBITRARY doc frames — what a
+    * crawl-ingest pipeline calls once per arriving batch (the
+    * streaming twin calls it from foreachBatch; the registered
+    * `dedup_incremental` query is the same chain over the memoized
+    * corpus relations with the 90/10 id split). The shingle universe
+    * (and its df cap) is evaluated over batch ∪ base, so the verdict
+    * is a pure deterministic function of the two frames. Cost per
+    * batch: O(batch·bands + candidates) against the rep-capped base
+    * buckets — the base never re-pairs with itself. */
+  private[graft] def verdictAgainstBase(batch: DataFrame,
+                                        base: DataFrame): DataFrame = {
+    val batchN = normText(batch)
+    val baseN = normText(base)
+    val exactHit = batchN
+      .join(baseN.select(col("nt"), col("doc_id").as("base_id")), "nt")
+      .groupBy("doc_id").agg(min(col("base_id")).as("exact_hit"))
+    val sh = graft.Checkpoints.eager(shinglesFromDocs(
+      batch.select("doc_id", "text").unionByName(base.select("doc_id", "text"))))
+    val banded = graft.Checkpoints.eager(bandedFromShingles(sh))
+    val batchIds = batch.select("doc_id")
+    val batchB = banded.join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+    val baseB = banded.join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    verdictCore(batchIds, exactHit, batchB, baseB, sh)
   }
 
   /** Mirror: same shingle/banding builders, same pivot arithmetic,

@@ -376,6 +376,45 @@ object StreamingOps {
        |WHERE abs(${graft.operators.EtlOps.zscoreZSql}) > $AlertZ
        |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------- streaming ingest dedup
+
+  /** Streaming crawl-ingest dedup — [[graft.operators.DedupOps
+    * .verdictAgainstBase]] run once per micro-batch against the base
+    * corpus accumulated so far (seed base + every prior batch), in
+    * the Upsert.foreachBatchUpsert regime: foreachBatch gives the
+    * batch frame + batch id, the verdict rows go to `sink`, and the
+    * batch's docs fold into the base for the NEXT batch (a re-crawled
+    * twin arriving later is flagged against them — the planted
+    * cross-batch case StreamingSpec proves). State is the growing
+    * base frame, eagerly checkpointed per batch so lineage stays flat
+    * across arbitrarily many batches (the GraphOps per-round
+    * discipline); the base is only ever touched through the
+    * rep-capped bucket join inside the verdict, never re-paired with
+    * itself, so per-batch cost is O(batch·bands + candidates)
+    * regardless of how large the base has grown. At-least-once
+    * replay of a micro-batch re-emits the same verdict rows
+    * (deterministic function of (batch, base)) — idempotent for any
+    * keyed sink, the reference's check-then-insert guarantee.
+    *
+    * `docsStream` needs (doc_id, text); returns the started query. */
+  def ingestDedup(docsStream: DataFrame, base0: DataFrame)
+                 (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var base = graft.Checkpoints.eager(base0.select("doc_id", "text"))
+    docsStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batchRaw: DataFrame, id: Long) =>
+        val batch = graft.Checkpoints.eager(
+          batchRaw.select("doc_id", "text"))
+        if (!batch.isEmpty) {
+          sink(id, graft.operators.DedupOps.verdictAgainstBase(batch, base))
+          base = graft.Checkpoints.eager(base.unionByName(batch))
+        }
+        ()
+      }
+      .start()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_zscore_alerts" -> (zscoreAlerts _),
     "stream_enrich" -> (enrich _),

@@ -485,4 +485,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == closedBatch)
     } finally q.stop()
   }
+
+  test("streaming ingest dedup == batch replay, cross-batch near-dup found") {
+    implicit val sqlCtx = spark.sqlContext
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 97}tok$i").mkString(" ")
+    val base0Rows = Seq(
+      (1L, words(1, 30)), (2L, words(2, 30)), (3L, words(3, 30)))
+    // batch A: 100 near-dups base doc 2 (two words swapped), 101 new
+    val nearOf2 = words(2, 30).replace("tok5", "edit5").replace("tok9", "edit9")
+    val batchA = Seq((100L, nearOf2), (101L, words(7, 30)))
+    // batch B: 200 exact-dups base doc 1; 201 near-dups 101 — a doc
+    // that arrived in the PRIOR batch and was folded into the base
+    // (the cross-batch case); 202 new
+    val nearOf101 = words(7, 30).replace("tok3", "edit3")
+    val batchB = Seq((200L, words(1, 30)), (201L, nearOf101),
+      (202L, words(11, 30)))
+
+    val base0 = base0Rows.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[(Long, String, Long)]]
+    val q = StreamingOps.ingestDedup(
+        mem.toDF().toDF("doc_id", "text"), base0) { (id, verdict) =>
+      got(id) = verdict.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    try {
+      mem.addData(batchA); q.processAllAvailable()
+      mem.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch replay: the same fold, no stream in sight
+    var base = base0
+    val want = Seq(batchA, batchB).map { b =>
+      val v = graft.operators.DedupOps
+        .verdictAgainstBase(b.toDF("doc_id", "text"), base)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      base = base.unionByName(b.toDF("doc_id", "text"))
+      v
+    }
+    assert(got.size == 2, s"two micro-batches expected, got ${got.keySet}")
+    val gotOrdered = got.toSeq.sortBy(_._1).map(_._2)
+    assert(gotOrdered == want, "stream verdicts == batch replay")
+    val all = gotOrdered.flatten.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(all(100L) == ("near_dup", 2L), "in-batch near-dup vs seed base")
+    assert(all(101L) == ("new", -1L))
+    assert(all(200L) == ("exact_dup", 1L))
+    assert(all(201L) == ("near_dup", 101L),
+      "cross-batch near-dup: twin of a PRIOR batch's doc")
+    assert(all(202L) == ("new", -1L))
+  }
 }
