@@ -305,14 +305,17 @@ object VocabOps {
     // (text_lm_score reports it; text_ppl_bucket terciles it), and
     // the bigram chain is one of the costlier text passes
     val docs = DedupOps.docsParallel(s, d)
-    // cached: the exploded gram relation feeds the c2 aggregation
-    // (and through it c1) AND the per-doc probe join — without the
-    // cache the full-corpus bigram explode runs three times (the
-    // tokenize itself comes from the shared memoized pass)
+    // checkpointed: the exploded gram relation feeds the c2
+    // aggregation (and through it c1) AND the per-doc probe join —
+    // unmaterialized, the full-corpus bigram explode runs three
+    // times. Registered eager checkpoint, NOT a bare .cache(): a
+    // plain SQL cache is held strongly by the CacheManager and
+    // survives Memo.clear — the round-9 MemSoak found exactly this
+    // entry still resident after a full build/clear cycle
     val g = docToks(s, d).select(col("doc_id"),
       explode(text.ngrams(col("toks"), 2)).as("g"))
       .withColumn("w1", element_at(split(col("g"), " "), 1))
-      .cache()
+      .transform(graft.Checkpoints.eager)
     val c2 = g.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = c2.withColumn("w1", element_at(split(col("g"), " "), 1))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
@@ -463,8 +466,11 @@ object VocabOps {
     // totals DERIVE from the aggregates — no extra corpus pass:
     // T = Σ n_w, P = Σ n_ab over the pre-filter bigram counts
     val tot = uni.agg(sum(col("n_w")).as("t"))
+    // registered checkpoint, not .cache() — same MemSoak leak class
+    // as the lm chain's gram relation (two consumers: ptot + bic)
     val bic0 = toksArr.select(explode(text.ngrams(col("toks"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("n_ab")).cache()
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      .transform(graft.Checkpoints.eager)
     val ptot = bic0.agg(sum(col("n_ab")).as("p"))
     val bic = bic0
       .filter(col("n_ab") >= PmiMinCount)

@@ -63,6 +63,13 @@ def main():
     # oracle reruns may need more (the single-process engine's working
     # set grows with the data — SELFCHECK_MEM='64GB' to raise it)
     con.sql(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '24GB')}'")
+    # capacity knobs for big-sf oracle runs (the compare sorts rows
+    # itself, so insertion order is free to drop — it otherwise forces
+    # DuckDB to keep ordered intermediates resident; fewer threads =
+    # fewer concurrent pipeline buffers on the list-heavy ANN chains)
+    con.sql("SET preserve_insertion_order=false")
+    if os.environ.get("SELFCHECK_THREADS"):
+        con.sql(f"SET threads={int(os.environ['SELFCHECK_THREADS'])}")
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
         # multi-file table dirs (GenScale output) need the glob form;
