@@ -2666,18 +2666,32 @@ object RelationalOps {
   private val LiftBasketCap = 64
 
   /** The capped pair-generation input: each basket's `LiftBasketCap`
-    * lowest-ihash parts, via the bounded-heap top-k (no window sort —
-    * a mega-basket costs one heap pass, not a partition sort). Spec
+    * lowest-ihash parts. TWO-PHASE, not a blanket per-key top-k: a
+    * cheap map-side-combined size count first finds the OVERSIZED
+    * baskets, and only their rows go through the bounded-heap top-k —
+    * baskets at or under the cap pass through untouched (for them the
+    * cap is the identity, so the output is identical to capping
+    * everything). The blanket form OOM'd the first sf10 run: with
+    * ~15M basket keys the per-key heap state is proportional to the
+    * whole relation when keys ≈ rows — the bounded-heap is built for
+    * few keys × many rows, and the size-gate restores that shape
+    * (heap state = #oversized × cap, ~zero on retail data). Spec
     * seam: RelationalSpec drives a pathological 500-part basket
     * through this directly. */
-  private[graft] def cappedBasket(op: DataFrame): DataFrame =
-    graft.functions.topk.perKey(
-        op.withColumn("_h", graft.functions.ihash.quad(col("pk"))),
+  private[graft] def cappedBasket(op: DataFrame): DataFrame = {
+    val big = op.groupBy(col("okey")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > LiftBasketCap)
+      .select("okey")
+    val cappedBig = graft.functions.topk.perKey(
+        op.join(big, "okey")
+          .withColumn("_h", graft.functions.ihash.quad(col("pk"))),
         keys = Seq("okey"),
         order = Seq(graft.functions.topk.Order("_h"),
           graft.functions.topk.Order("pk")),
         k = LiftBasketCap)
       .select("okey", "pk")
+    op.join(big, Seq("okey"), "left_anti").unionByName(cappedBig)
+  }
 
   /** Market-basket association: top part pairs by LIFT
     * (n_ab·N / (n_a·n_b) — how much more often the pair co-occurs
