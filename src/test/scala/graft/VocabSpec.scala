@@ -376,7 +376,7 @@ class VocabSpec extends AnyFunSuite {
       "occurrences partition the token stream")
   }
 
-  test("bpe merges: three steps match a driver-side reference trainer") {
+  test("bpe merges: all registered steps match a driver-side reference trainer") {
     // reference BPE over the same (token, freq) table: count adjacent
     // symbol pairs weighted by freq, argmax with (n desc, a, b)
     // tiebreak, merge greedily left-to-right
@@ -405,13 +405,19 @@ class VocabSpec extends AnyFunSuite {
       }
       ((a, b, n), merged)
     }
-    val (m1, w1) = step(freq0.toSeq)
-    val (m2, w2) = step(w1)
-    val (m3, _) = step(w2)
+    // roll the reference trainer through the full registered round
+    // count (BpeSteps, 8 as of round 9), keeping each state for the
+    // segment-side stats
+    val states = scala.collection.mutable.ArrayBuffer(freq0.toSeq)
+    val merges = (1 to VocabOps.BpeSteps).map { _ =>
+      val (m, w) = step(states.last)
+      states += w
+      m
+    }
     val got = VocabOps.bpeMerges(spark, sf).orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
-    assert(got.length == 3)
-    Seq(m1, m2, m3).zip(got).zipWithIndex.foreach {
+    assert(got.length == VocabOps.BpeSteps)
+    merges.zip(got).zipWithIndex.foreach {
       case (((wa, wb, wn), (ga, gb, gn, gm)), i) =>
         assert((ga, gb, gn) == (wa, wb, wn), s"step ${i + 1}")
         assert(gm == wa + wb, s"step ${i + 1} merged symbol")
@@ -421,12 +427,11 @@ class VocabSpec extends AnyFunSuite {
     // trainer's word states, compression is monotone
     def stats(words: Seq[(Vector[String], Long)]): (Long, Long) =
       (words.map(_._2).sum, words.map { case (s, n) => s.length * n }.sum)
-    val want = Seq(stats(freq0.toSeq), stats(w1), stats(w2),
-      stats(step(w2)._2))
+    val want = states.toSeq.map(stats)
     val seg = VocabOps.bpeSegment(spark, sf).orderBy("step").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
-    assert(seg.length == 4)
+    assert(seg.length == VocabOps.BpeSteps + 1)
     val base = want.head._2
     seg.zip(want).zipWithIndex.foreach {
       case (((st, nTok, nSym, sptPpm, redPpm), (wTok, wSym)), i) =>
