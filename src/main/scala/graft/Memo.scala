@@ -136,27 +136,33 @@ object Memo {
   private def awaitCrossThread(
       target: Cell,
       slot: java.util.concurrent.CompletableFuture[DataFrame]): Unit = {
-    val mine = building.get
-    if (!mine.isEmpty) {
-      var c: Cell = target
-      var hops = 0
-      while (c != null && hops < 64) {
-        if (mine.contains(c))
-          throw new IllegalStateException(
-            "cross-thread cyclic memo fill detected: this thread is " +
-              "building a key that the awaited key's builder chain is " +
-              "blocked on (a fill lane's build closure may only read " +
-              "keys from the base group or EARLIER IN ITS OWN lane — " +
-              "see Memo.fill)")
-        val t = builderOf.get(c)
-        c = if (t == null) null else waitingOn.get(t)
-        hops += 1
-      }
-    }
+    // INSTALL the wait edge BEFORE walking: two threads closing a
+    // 2-cycle simultaneously would otherwise both walk a graph still
+    // missing the other's edge, both pass, and both block (classic
+    // check-then-wait TOCTOU). With install-first, whichever walk
+    // linearizes second sees the completed cycle and throws.
     waitingOn.put(Thread.currentThread(), target)
-    try { slot.join(); () }
-    catch { case _: Throwable => () } // surfaced by the caller's join
-    finally waitingOn.remove(Thread.currentThread())
+    try {
+      val mine = building.get
+      if (!mine.isEmpty) {
+        var c: Cell = target
+        var hops = 0
+        while (c != null && hops < 64) {
+          if (mine.contains(c))
+            throw new IllegalStateException(
+              "cross-thread cyclic memo fill detected: this thread is " +
+                "building a key that the awaited key's builder chain is " +
+                "blocked on (a fill lane's build closure may only read " +
+                "keys from the base group or EARLIER IN ITS OWN lane — " +
+                "see Memo.fill)")
+          val t = builderOf.get(c)
+          c = if (t == null) null else waitingOn.get(t)
+          hops += 1
+        }
+      }
+      try { slot.join(); () }
+      catch { case _: Throwable => () } // surfaced by the caller's join
+    } finally waitingOn.remove(Thread.currentThread())
   }
 
   /** Fetch `key`'s cell result, dropping the cell on a failed build

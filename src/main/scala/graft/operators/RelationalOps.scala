@@ -2682,15 +2682,28 @@ object RelationalOps {
     val big = op.groupBy(col("okey")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > LiftBasketCap)
       .select("okey")
-    val cappedBig = graft.functions.topk.perKey(
-        op.join(big, "okey")
-          .withColumn("_h", graft.functions.ihash.quad(col("pk"))),
-        keys = Seq("okey"),
-        order = Seq(graft.functions.topk.Order("_h"),
-          graft.functions.topk.Order("pk")),
-        k = LiftBasketCap)
-      .select("okey", "pk")
-    op.join(big, Seq("okey"), "left_anti").unionByName(cappedBig)
+    // bounded driver probe (≤1 row — the CorpusOps union-find
+    // precedent): when NO basket exceeds the cap, the cap is the
+    // identity, so return the (already checkpointed) input and the
+    // self-join keeps its r8 plan — the first capped sf10 run paid
+    // +18.5 s dragging the anti-join/union through both self-join
+    // sides of a relation that the cap never touched
+    if (big.limit(1).collect().isEmpty) op
+    else {
+      val cappedBig = graft.functions.topk.perKey(
+          op.join(big, "okey")
+            .withColumn("_h", graft.functions.ihash.quad(col("pk"))),
+          keys = Seq("okey"),
+          order = Seq(graft.functions.topk.Order("_h"),
+            graft.functions.topk.Order("pk")),
+          k = LiftBasketCap)
+        .select("okey", "pk")
+      // materialized once: both pair-join sides read the capped
+      // relation, and unmaterialized each would re-derive the whole
+      // anti-join + heap chain
+      graft.Checkpoints.eager(
+        op.join(big, Seq("okey"), "left_anti").unionByName(cappedBig))
+    }
   }
 
   /** Market-basket association: top part pairs by LIFT

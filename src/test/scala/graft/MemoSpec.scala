@@ -184,6 +184,46 @@ class MemoSpec extends AnyFunSuite {
     Memo.clear(spark)
   }
 
+  test("a cross-thread cyclic fill fails loudly instead of hanging") {
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // two fill lanes whose builds read EACH OTHER's keys — the
+    // cross-lane cycle the lane invariant forbids. The barrier forces
+    // both builds in flight before either awaits, closing the
+    // tightest race: both walks must still see the installed wait
+    // edges (install-before-walk) and at least one must throw; the
+    // exceptional slot then propagates to the other. Pre-detector
+    // this hung both threads on slot.join() forever.
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    // defs, NOT lazy vals: lazy-val init synchronizes on the spec
+    // instance, which would serialize the two lanes outside Memo and
+    // hang at the barrier before the detector is even reached
+    def keyA: org.apache.spark.sql.DataFrame =
+      Memo.cached(spark, "memo_spec_xcycle_a", "nodir") {
+        gate.await(); keyB.limit(1); Seq(1L).toDF("x")
+      }
+    def keyB: org.apache.spark.sql.DataFrame =
+      Memo.cached(spark, "memo_spec_xcycle_b", "nodir") {
+        gate.await(); keyA.limit(1); Seq(2L).toDF("x")
+      }
+    val fa = Future(keyA)
+    val fb = Future(keyB)
+    // a hang here IS the regression — bounded await fails the test
+    // instead of wedging the suite
+    val results = Seq(fa, fb).map(f =>
+      Await.ready(f, 60.seconds).value.get)
+    val failures = results.collect { case scala.util.Failure(t) => t }
+    assert(failures.nonEmpty, "at least one lane must fail loudly")
+    failures.foreach { t =>
+      assert(t.isInstanceOf[IllegalStateException] &&
+        t.getMessage.contains("cyclic memo fill"),
+        s"unexpected failure: $t")
+    }
+    Memo.clear(spark)
+  }
+
   test("concurrent cachedEager callers build a shared key exactly once") {
     import spark.implicits._
     import java.util.concurrent.atomic.AtomicInteger
