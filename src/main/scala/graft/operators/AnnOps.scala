@@ -319,6 +319,66 @@ object AnnOps {
        |GROUP BY 1""".stripMargin
   }
 
+  private val ProbeLevels = Seq(1, 2, 4, 8)
+
+  /** Probe-budget tuning curve: overall recall@K of IVF against the
+    * exact brute-force top-K at nProbe ∈ {1,2,4,8} — THE table read
+    * before fixing an index's probe budget (recall@1-probe tells you
+    * how good the coarse quantizer alone is; the knee tells you what
+    * latency buys accuracy). One ranked probe pass at the LARGEST
+    * budget serves every level: candidates carry their cell's probe
+    * rank, each level re-ranks the prefix `prank ≤ p` through the
+    * bounded-heap top-k over the one checkpointed candidate relation
+    * — no re-probing, no re-scoring, 4 levels for ~1× the scan cost
+    * of `ann_recall_eval`. Recall is pooled over all queries (exact
+    * ppm of Q·K ground-truth pairs hit). */
+  def probeCurve(s: SparkSession, d: String): DataFrame = {
+    val probes = ivfProbesRanked(annCents(s, d), queriesDf(s, d),
+      ProbeLevels.max)
+    // both the per-level rankings and their joins read this once
+    val cand = graft.Checkpoints.eager(
+      annAssigned(s, d).join(broadcast(probes), "cell_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", vector.cosine(col("embedding"), col("q_emb")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cos"), col("prank")))
+    val bf = graft.Checkpoints.eager(
+      bruteForce(s, d).select("query_id", "neighbor_id"))
+    ProbeLevels.map { p =>
+      val res = rankTopK(cand.filter(col("prank") <= p), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      bf.join(broadcast(res), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("hit")).as("n_hit"), count(lit(1)).as("n_truth"))
+        .select(lit(p).as("n_probe"), col("n_hit"),
+          expr("n_hit * 1000000 div n_truth").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def probeCurveSql: String = {
+    def dot(a: String, b: String) = sqlDot(a, b)
+    val levels = ProbeLevels.mkString("[", ",", "]")
+    s"""WITH ${ivfChainSql(nProbe = ProbeLevels.max)},
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.prank,
+       |    ${dot("a.embedding", "p.q_emb")} / (a.nrm * p.qnrm) AS cos
+       |  FROM asg a JOIN probes p USING (cell_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |bf AS MATERIALIZED ($bruteForceSql),
+       |levels AS (SELECT unnest($levels) AS n_probe),
+       |res AS (
+       |  SELECT l.n_probe, c.query_id, c.neighbor_id
+       |  FROM levels l JOIN cand c ON c.prank <= l.n_probe
+       |  QUALIFY row_number() OVER (PARTITION BY l.n_probe, c.query_id
+       |    ORDER BY c.cos DESC, c.neighbor_id) <= $K)
+       |SELECT l.n_probe, cast(count(r.neighbor_id) as bigint) AS n_hit,
+       |  cast(count(r.neighbor_id) * 1000000 // count(*) as bigint)
+       |    AS recall_ppm
+       |FROM levels l CROSS JOIN bf b
+       |LEFT JOIN res r ON r.n_probe = l.n_probe
+       |  AND r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+       |GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------- matryoshka (MRL) eval
 
   private val MrlDims = Seq(8, 16, 32, 64)
@@ -450,6 +510,14 @@ object AnnOps {
     * search and the recall report. */
   private def ivfProbes(cents: DataFrame, queries: DataFrame,
                         nProbe: Int): DataFrame =
+    ivfProbesRanked(cents, queries, nProbe)
+      .select("query_id", "q_emb", "cell_id")
+
+  /** [[ivfProbes]] plus the probe RANK (1 = nearest cell) — the
+    * probe-curve evaluation derives every smaller probe budget from
+    * one ranked pass instead of re-probing per level. */
+  private def ivfProbesRanked(cents: DataFrame, queries: DataFrame,
+                              nProbe: Int): DataFrame =
     graft.functions.topk.perKey(
       queries.crossJoin(broadcast(cents))
         .withColumn("dist", -vector.cosine(col("q_emb"), col("c_emb")))
@@ -458,7 +526,8 @@ object AnnOps {
       order = Seq(graft.functions.topk.Order("dist"),
         graft.functions.topk.Order("cell_id")),
       k = nProbe)
-      .select("query_id", "q_emb", "cell_id")
+      .select(col("query_id"), col("q_emb"), col("cell_id"),
+        col("rank").cast("int").as("prank"))
 
   /** Probe + score: nProbe nearest cells per query (K=nProbe heap),
     * exact cosine within probed cells, rank top-K. */
@@ -675,10 +744,13 @@ object AnnOps {
        |  FROM embeddings),
        |${kmeansAssign("corpus", "cent2", "asg")},
        |probes AS (
-       |  SELECT t.vec_id AS query_id, t.embedding AS q_emb, t.nrm AS qnrm, s.cell_id
+       |  -- prank (probe order, 1 = nearest cell) rides along for the
+       |  -- probe-curve mirror; existing consumers ignore it
+       |  SELECT t.vec_id AS query_id, t.embedding AS q_emb, t.nrm AS qnrm, s.cell_id,
+       |    cast(row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY -(${sqlDotTS} / (t.nrm * s.cnorm)), s.cell_id) as int) AS prank
        |  FROM (SELECT * FROM corpus WHERE vec_id < $NQueries) t, cent2 s
-       |  QUALIFY row_number() OVER (PARTITION BY t.vec_id
-       |    ORDER BY -(${sqlDotTS} / (t.nrm * s.cnorm)), s.cell_id) <= $nProbe)""".stripMargin
+       |  QUALIFY prank <= $nProbe)""".stripMargin
   }
 
   private def ivfSql: String = {
@@ -2602,6 +2674,7 @@ object AnnOps {
     "sample_diverse" -> (sampleDiverse _),
     "ann_range_search" -> (rangeSearch _),
     "ann_recall_eval" -> (recallEval _),
+    "ann_probe_curve" -> (probeCurve _),
     "ann_filtered" -> (filteredSearch _),
     "ann_sq8" -> (sq8Search _),
     "ann_binary" -> (binarySearch _),
@@ -2620,6 +2693,7 @@ object AnnOps {
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
+    "ann_probe_curve" -> probeCurveSql,
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfpqSql,
     "ann_knn_join" -> knnJoinSql,

@@ -614,6 +614,26 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("probe curve: monotone in budget, agrees with recall_eval at its probe") {
+    val curve = AnnOps.probeCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // a bigger probe budget scans a superset of cells, so pooled
+    // recall can never decrease
+    assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq,
+      s"recall must be monotone in probe budget: $curve")
+    // consistency: the curve's n_probe=4 row must pool exactly what
+    // ann_recall_eval (nProbe=4) reports per query
+    val evalHits = AnnOps.recallEval(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    val at4 = curve.find(_._1 == 4).get
+    assert(at4._2 == evalHits,
+      s"curve@4 (${at4._2}) must equal pooled recall_eval ($evalHits)")
+    // ppm arithmetic is exact: hits * 1e6 div (Q*K)
+    val truth = 50L // 5 queries x K=10 ground-truth pairs
+    curve.foreach { case (_, h, ppm) => assert(ppm == h * 1000000L / truth) }
+  }
+
   test("semantic dedup: keeper discipline, cell-local dups, cosine >= tau") {
     val rows = AnnOps.semanticDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
