@@ -712,7 +712,7 @@ object AnnOps {
     * (assigned corpus) and `probes` — the shared prefix of the ivf /
     * range-search / recall-eval mirrors, mirroring the memoized
     * model pieces the Spark side shares. */
-  private def ivfChainSql(nProbe: Int = DefaultNProbe): String = {
+  private[operators] def ivfChainSql(nProbe: Int = DefaultNProbe): String = {
     val dotTS = sqlDotTS
     def kmeansAssign(src: String, cents: String, out: String): String =
       cAssignSql(src, cents, out)
@@ -1858,30 +1858,41 @@ object AnnOps {
         col("dup_raw").isNull.as("kept"))
   }
 
-  /** Mirror: the shared ivf chain's corpus assignment, the dedup
-    * family's rep-cap QUALIFY, exact cosine, min-id keeper. */
-  private def semanticDedupSql: String =
-    s"""WITH ${ivfChainSql()},
-       |reps AS (
+  /** The SemDeDup verdict CTEs over the shared ivf chain's `asg` —
+    * names PREFIXED `s` so the chain composes next to the minhash
+    * mirror's own reps/cand in one WITH (dedup_cascade). */
+  private[operators] def semanticDupCte: String =
+    s"""sreps AS (
        |  SELECT cell_id, vec_id FROM asg
        |  QUALIFY row_number() OVER (PARTITION BY cell_id
        |    ORDER BY vec_id) <= $SemCap),
-       |cand AS (
+       |scand AS (
        |  SELECT DISTINCT r.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM reps r JOIN asg b USING (cell_id)
+       |  FROM sreps r JOIN asg b USING (cell_id)
        |  WHERE r.vec_id < b.vec_id),
-       |dup AS (
+       |sdup AS MATERIALIZED (
        |  SELECT c.vec_b AS vec_id, min(c.vec_a) AS dup_raw
-       |  FROM cand c
+       |  FROM scand c
        |  JOIN asg ea ON c.vec_a = ea.vec_id
        |  JOIN asg eb ON c.vec_b = eb.vec_id
        |  WHERE ${sqlDot("ea.embedding", "eb.embedding")}
        |        / (ea.nrm * eb.nrm) >= $SemTau
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+
+  /** The whole semantic chain (ivf train/assign + verdict), for
+    * mirrors OUTSIDE this file. */
+  private[operators] def semanticChainCtes: String =
+    ivfChainSql() + ",\n" + semanticDupCte
+
+  /** Mirror: the shared ivf chain's corpus assignment, the dedup
+    * family's rep-cap QUALIFY, exact cosine, min-id keeper. */
+  private def semanticDedupSql: String =
+    s"""WITH ${ivfChainSql()},
+       |$semanticDupCte
        |SELECT a.vec_id, cast(a.cell_id as int) AS cell_id,
        |  coalesce(d.dup_raw, -1) AS dup_of,
        |  d.dup_raw IS NULL AS kept
-       |FROM asg a LEFT JOIN dup d USING (vec_id)""".stripMargin
+       |FROM asg a LEFT JOIN sdup d USING (vec_id)""".stripMargin
 
   /** Mirror: the ivfSql training/assignment chain (same builders, so
     * the two mirrors cannot drift) aggregated per cell. */

@@ -648,7 +648,85 @@ object CorpusOps {
        |WHERE NOT dd.is_benchmark
        |GROUP BY 1""".stripMargin
 
+
+  // ----------------------------------------------------- dedup cascade
+
+  /** The production dedup CASCADE with first-hit attribution — the
+    * composition every large-corpus cleaning run actually executes,
+    * cheapest stage first: (1) EXACT (normalized-text hash groups),
+    * (2) NEAR (MinHash-verified jaccard clusters — membership in a
+    * cluster with a smaller id), (3) SEMANTIC (SemDeDup verdict over
+    * the doc-aligned embeddings), else `unique`. Per doc: the stage
+    * that caught it first and the id it should defer to — the table
+    * that answers both "what survives" (stage = unique) and "what is
+    * each stage worth on this corpus" (group by stage = the stage
+    * yield report that decides whether the expensive semantic pass
+    * pays for itself).
+    *
+    * Scale shape: ALL three verdicts are the already-memoized family
+    * relations (exact layer re-aggregates the normalized text the
+    * incremental chain shares; the cluster map and the SemDeDup
+    * verdict are memo hits) — the cascade itself is three attribute
+    * joins on doc_id, zero new corpus passes. Precedence is resolved
+    * per row in one CASE, so a doc caught by two stages counts once,
+    * at the cheaper stage — exactly how a staged production run
+    * would short-circuit. */
+  def dedupCascade(s: SparkSession, d: String): DataFrame = {
+    val norm = DedupOps.normText(DedupOps.docsParallel(s, d))
+    val exact = norm
+      .join(norm.groupBy("nt").agg(min(col("doc_id")).as("exact_keep")), "nt")
+      .filter(col("doc_id") > col("exact_keep"))
+      .select("doc_id", "exact_keep")
+    val near = clusters(s, d)
+      .filter(col("cluster_id") < col("doc_id"))
+      .select(col("doc_id"), col("cluster_id").as("near_keep"))
+    val sem = graft.operators.AnnOps.semanticDedup(s, d)
+      .filter(!col("kept"))
+      .select(col("vec_id").as("doc_id"), col("dup_of").as("sem_keep"))
+    Tables.documents(s, d).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_keep").isNotNull, "exact")
+          .when(col("near_keep").isNotNull, "near")
+          .when(col("sem_keep").isNotNull, "semantic")
+          .otherwise("unique").as("stage"),
+        coalesce(col("exact_keep"), col("near_keep"), col("sem_keep"),
+          lit(-1L)).as("keep_id"))
+  }
+
+  /** Mirror: the near stage's recursive cc fixpoint, the semantic
+    * stage's shared ivf chain (s-prefixed CTEs so the two pair
+    * machineries coexist in one WITH), the exact stage inline. */
+  private def dedupCascadeSql: String =
+    s"""WITH RECURSIVE $ccCte,
+       |${graft.operators.AnnOps.semanticChainCtes},
+       |exnorm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(${graft.functions.text.asciiLowerSql("text")},
+       |      '${graft.functions.text.WsClassRe2}+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |exkeep AS (SELECT nt, min(doc_id) AS exact_keep FROM exnorm GROUP BY 1),
+       |ex AS (
+       |  SELECT n.doc_id, k.exact_keep
+       |  FROM exnorm n JOIN exkeep k USING (nt)
+       |  WHERE n.doc_id > k.exact_keep)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.exact_keep IS NOT NULL THEN 'exact'
+       |       WHEN cc.cluster_id < d.doc_id THEN 'near'
+       |       WHEN sd.dup_raw IS NOT NULL THEN 'semantic'
+       |       ELSE 'unique' END AS stage,
+       |  coalesce(ex.exact_keep,
+       |    CASE WHEN cc.cluster_id < d.doc_id THEN cc.cluster_id END,
+       |    sd.dup_raw, -1) AS keep_id
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |JOIN cc ON cc.doc_id = d.doc_id
+       |LEFT JOIN sdup sd ON sd.vec_id = d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cascade" -> (dedupCascade _),
     "corpus_contamination_stats" -> (contaminationStats _),
     "corpus_length_hist" -> (lengthHist _),
     "corpus_diversity" -> (diversity _),
@@ -664,6 +742,7 @@ object CorpusOps {
     "corpus_stats" -> (corpusStats _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_cascade" -> dedupCascadeSql,
     "corpus_contamination_stats" -> contaminationStatsSql,
     "corpus_length_hist" -> lengthHistSql,
     "corpus_diversity" -> diversitySql,

@@ -261,4 +261,38 @@ class CorpusSpec extends AnyFunSuite {
       assert(ppm == c * 1000000L / n, s"source $s0 share")
     }
   }
+
+  test("dedup cascade: stages partition, attribution defers to smaller ids, " +
+      "first-hit precedence recomposes from the stage operators") {
+    val rows = CorpusOps.dedupCascade(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 500, "one verdict per document")
+    rows.foreach { case (id, st, keep) =>
+      if (st == "unique") assert(keep == -1L, s"doc $id unique keep")
+      else assert(keep >= 0 && keep < id,
+        s"doc $id ($st) must defer to a smaller id, got $keep")
+    }
+    // recompose precedence from the three stage operators directly
+    val nearKeep = CorpusOps.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val semKeep = graft.operators.AnnOps.semanticDedup(spark, sf).collect()
+      .filter(!_.getBoolean(3)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("[ \t\n\u000B\f\r]+")
+          .filter(_.nonEmpty).mkString(" ")))
+    val exKeep = texts.groupBy(_._2).values
+      .flatMap { g =>
+        val m = g.map(_._1).min
+        g.map(_._1).filter(_ > m).map(_ -> m)
+      }.toMap
+    rows.foreach { case (id, st, keep) =>
+      val want =
+        if (exKeep.contains(id)) ("exact", exKeep(id))
+        else if (nearKeep.get(id).exists(_ < id)) ("near", nearKeep(id))
+        else if (semKeep.contains(id)) ("semantic", semKeep(id))
+        else ("unique", -1L)
+      assert((st, keep) == want, s"doc $id: got ($st,$keep) want $want")
+    }
+  }
 }
