@@ -186,8 +186,13 @@ object CorpusOps {
     * fixpoint — an independent re-derivation of the Spark side's
     * union-find / distributed propagation. */
   private[operators] def ccCte: String =
-    s"""${DedupOps.jaccardPairsCte},
-       |edges AS MATERIALIZED (
+    s"${DedupOps.jaccardPairsCte},\n$ccFixpointCte"
+
+  /** The component fixpoint alone — expects a `pairs`(doc_a, doc_b)
+    * relation already in scope, so ANY pair machinery (jaccard,
+    * phash) can resolve clusters through the same recursive walk. */
+  private[operators] def ccFixpointCte: String =
+    s"""edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),

@@ -731,6 +731,12 @@ object DedupOps {
     * scope — shared by the simhash and mm_dedup_phash mirrors so the
     * pair semantics cannot drift between them. */
   private[operators] def hammingPairsSql(cap: Int): String =
+    s"""${hammingPairsCtes(cap)}
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HammingMax""".stripMargin
+
+  /** The CTE chain alone (reps..ham, `chunks` in scope) — for mirrors
+    * that consume the pair set mid-query (mm_phash_clusters). */
+  private[operators] def hammingPairsCtes(cap: Int): String =
     s"""reps AS (
        |  SELECT ci, cv, doc_id FROM chunks
        |  QUALIFY row_number() OVER (PARTITION BY ci, cv ORDER BY doc_id) <= $cap),
@@ -744,8 +750,7 @@ object DedupOps {
        |  FROM cand c
        |  JOIN chunks ca ON ca.doc_id = c.doc_a
        |  JOIN chunks cb ON cb.doc_id = c.doc_b AND cb.ci = ca.ci
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= $HammingMax""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
 
   // ------------------------------------------------ embedding near-dup
 

@@ -482,9 +482,39 @@ object MultimodalOps {
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "phash_sigs" -> (() => { phashSigsMemo(s, d); () }))
 
+  /** Perceptual media CLUSTERS — the keep/drop verdict over the
+    * phash pair graph (connected components, smallest id kept):
+    * `SELECT … WHERE is_kept` IS the transcode-pruned media corpus,
+    * the exact API symmetry `dedup_clusters` gives text near-dups.
+    * Pairs are the memoized [[dedupPhash]] relation; components
+    * resolve through CorpusOps' shared machinery (driver union-find
+    * under 1M edges, distributed pointer-doubling min-label above —
+    * the same spec-proven path switch). */
+  def phashClusters(s: SparkSession, d: String): DataFrame =
+    CorpusOps.clustersFromPairs(
+      Tables.documents(s, d).select("doc_id"),
+      dedupPhash(s, d).select("doc_a", "doc_b"))
+
+  private def phashClustersSql: String =
+    s"""WITH RECURSIVE $phashChunksCtes,
+       |${DedupOps.hammingPairsCtes(PhashBucketCap)},
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ham
+       |  WHERE hamming <= ${DedupOps.HammingMax}),
+       |${CorpusOps.ccFixpointCte}
+       |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_kept
+       |FROM cc""".stripMargin
+
   private val dedupPhashSql = {
+    s"""WITH $phashChunksCtes,
+       |${DedupOps.hammingPairsSql(PhashBucketCap)}""".stripMargin
+  }
+
+  /** The byte → trigram-bucket → sign-bit → chunk mirror chain
+    * (meta..chunks), shared by the pair and cluster mirrors. */
+  private def phashChunksCtes: String = {
     val q = graft.functions.ihash.quadSqlNested("t")
-    s"""WITH meta AS (
+    s"""meta AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    cast(octet_length(encode(text)) as bigint) AS n
        |  FROM documents WHERE octet_length(encode(text)) >= 3),
@@ -514,12 +544,12 @@ object MultimodalOps {
        |  LEFT JOIN cnts c ON c.doc_id = t.doc_id AND c.cell = k.k),
        |chunks AS MATERIALIZED (
        |  SELECT doc_id, k // 16 AS ci, sum(b * (1 << (k % 16))) AS cv
-       |  FROM bits GROUP BY 1, 2),
-       |${DedupOps.hammingPairsSql(PhashBucketCap)}""".stripMargin
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_phash" -> (dedupPhash _),
+    "mm_phash_clusters" -> (phashClusters _),
     "mm_audio_chunks" -> (audioChunks _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
@@ -531,6 +561,7 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "mm_dedup_phash" -> dedupPhashSql,
+    "mm_phash_clusters" -> phashClustersSql,
     "mm_audio_chunks" -> audioChunksSql,
     "mm_binary_meta" -> binaryMetaSql,
     "mm_frame_sample" -> frameSampleSql,

@@ -189,6 +189,30 @@ class MultimodalSpec extends AnyFunSuite {
       "unrelated payload pairs with nothing")
   }
 
+  test("phash clusters: a transcode family collapses to one keeper") {
+    import spark.implicits._
+    val base = Seq.tabulate(60)(i =>
+      s"frame $i tone ${(i * 7) % 13} sample block payload").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("frame 30", "FRAME-30x")), // re-encode rewrite
+      (3L, "RIFF0001 " + base),                    // container header
+      (4L, Seq.tabulate(60)(i =>
+        s"lorem ${i * 31} ipsum dolor sit amet consectetur").mkString(" ")),
+      (5L, base)                                   // exact byte copy
+    ).toDF("doc_id", "text")
+    val got = graft.operators.CorpusOps.clustersFromPairs(
+        docs.select("doc_id"),
+        MultimodalOps.phashPairsFromDocs(docs, cap = 64)
+          .select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // the whole transcode family defers to doc 1; only it is kept
+    Seq(1L, 2L, 3L, 5L).foreach { id =>
+      assert(got(id) == ((1L, id == 1L)), s"doc $id cluster verdict") }
+    assert(got(4L) == ((4L, true)), "unrelated payload is its own keeper")
+  }
+
   test("phash: typed boundary signatures equal a driver-side recompute") {
     // the mapPartitions codec path (encode -> bytes -> phashOf) must
     // agree with hashing the UTF-8 bytes directly on the driver —
