@@ -497,6 +497,106 @@ object DedupOps {
     verdictCore(batchIds, exactHit, batchB, baseB, sh)
   }
 
+  /** Two-step crawl-ingest FOLD — the registered, oracled evaluation
+    * of the regime [[graft.streaming.StreamingOps.ingestDedup]] runs
+    * live: batch A = ids in (80%, 90%] of max verdicts against the
+    * ≤80% base, then batch B = (90%, 100%] verdicts against the
+    * ≤90% base (base0 ∪ A — a batch-B doc near-dupping a batch-A doc
+    * is attributed to it, the cross-batch case). Each step is
+    * [[verdictCore]] over the SAME corpus-wide memoized banded and
+    * shingle relations (the persisted-feature-store discipline a
+    * production re-crawl uses: the df cap and signatures come from
+    * the global store, only the id split moves per step), so two
+    * steps cost two capped bucket joins, zero extra corpus passes. */
+  def ingestFold(s: SparkSession, d: String): DataFrame =
+    foldStep(s, d, 1, 8, 9).unionAll(foldStep(s, d, 2, 9, 10))
+
+  private def foldStep(s: SparkSession, d: String, step: Int,
+                       lo: Int, hi: Int): DataFrame = {
+    val docs = docsParallel(s, d)
+    val mx = docs.agg(max(col("doc_id")).as("mx_id"))
+    def batchOf(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(mx))
+        .filter(col("doc_id") * 10 > col("mx_id") * lo &&
+          col("doc_id") * 10 <= col("mx_id") * hi)
+        .drop("mx_id")
+    def baseOf(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(mx))
+        .filter(col("doc_id") * 10 <= col("mx_id") * lo)
+        .drop("mx_id")
+    val norm = normText(docs)
+    val exactHit = batchOf(norm)
+      .join(baseOf(norm).select(col("nt"), col("doc_id").as("base_id")), "nt")
+      .groupBy("doc_id").agg(min(col("base_id")).as("exact_hit"))
+    val banded = minhashBanded(s, d)
+    verdictCore(batchOf(norm).select("doc_id"), exactHit,
+        batchOf(banded), baseOf(banded), shingleSets(s, d))
+      .select(lit(step).as("ingest_step"), col("doc_id"), col("status"),
+        col("hit_id"), col("jaccard"))
+  }
+
+  /** Mirror: one shared shingle/banded/norm/sizes store, per-step
+    * prefixed verdict CTEs with the step's split predicates. */
+  private def ingestFoldSql: String = {
+    def stepCtes(p: String, lo: Int, hi: Int): String =
+      s"""${p}_exact AS (
+         |  SELECT b.doc_id, min(o.doc_id) AS exact_hit
+         |  FROM norm b JOIN norm o ON b.nt = o.nt CROSS JOIN mx
+         |  WHERE b.doc_id * 10 > mx_id * $lo AND b.doc_id * 10 <= mx_id * $hi
+         |    AND o.doc_id * 10 <= mx_id * $lo
+         |  GROUP BY 1),
+         |${p}_reps AS (
+         |  SELECT band, bh, doc_id AS doc_base FROM banded CROSS JOIN mx
+         |  WHERE doc_id * 10 <= mx_id * $lo
+         |  QUALIFY row_number() OVER (PARTITION BY band, bh
+         |    ORDER BY doc_id) <= $CandBucketCap),
+         |${p}_cand AS MATERIALIZED (
+         |  SELECT DISTINCT r.doc_base, b.doc_id
+         |  FROM ${p}_reps r JOIN banded b USING (band, bh) CROSS JOIN mx
+         |  WHERE b.doc_id * 10 > mx_id * $lo AND b.doc_id * 10 <= mx_id * $hi),
+         |${p}_inter AS (
+         |  SELECT c.doc_base, c.doc_id, $oCountAlias AS n_shared
+         |  FROM ${p}_cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_base
+         |  JOIN sh sb ON sb.doc_id = c.doc_id AND sb.sh = sa.sh
+         |  GROUP BY 1, 2),
+         |${p}_near AS (
+         |  SELECT i.doc_id AS doc_id, doc_base AS near_hit,
+         |    n_shared * 1.0 / (sa.n + sb.n - n_shared) AS near_jacc
+         |  FROM ${p}_inter i
+         |  JOIN sizes sa ON doc_base = sa.doc_id
+         |  JOIN sizes sb ON i.doc_id = sb.doc_id
+         |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau
+         |  QUALIFY row_number() OVER (PARTITION BY i.doc_id
+         |    ORDER BY doc_base) = 1)""".stripMargin
+    def stepSelect(step: Int, p: String, lo: Int, hi: Int): String =
+      s"""SELECT $step AS ingest_step, b.doc_id,
+         |  CASE WHEN e.exact_hit IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_hit IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS status,
+         |  coalesce(e.exact_hit, n.near_hit, -1) AS hit_id,
+         |  CASE WHEN e.exact_hit IS NULL THEN n.near_jacc END AS jaccard
+         |FROM (SELECT doc_id FROM documents CROSS JOIN mx
+         |      WHERE doc_id * 10 > mx_id * $lo AND doc_id * 10 <= mx_id * $hi) b
+         |LEFT JOIN ${p}_exact e USING (doc_id)
+         |LEFT JOIN ${p}_near n USING (doc_id)""".stripMargin
+    s"""WITH $shingleSetsSqlCte,
+       |$minhashBandedCtes,
+       |mx AS (SELECT max(doc_id) AS mx_id FROM documents),
+       |norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(${text.asciiLowerSql("text")},
+       |      '${text.WsClassRe2}+', ' ', 'g')) AS nt
+       |  FROM documents),
+       |sizes AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |${stepCtes("s1", 8, 9)},
+       |${stepCtes("s2", 9, 10)}
+       |${stepSelect(1, "s1", 8, 9)}
+       |UNION ALL
+       |${stepSelect(2, "s2", 9, 10)}""".stripMargin
+  }
+
   /** Mirror: same shingle/banding builders, same pivot arithmetic,
     * same rep cap and exact-Jaccard verification. */
   private def incrementalDedupSql: String =
@@ -1252,6 +1352,7 @@ object DedupOps {
     "dedup_substring" -> (substringDedup _),
     "dedup_stats" -> (dedupStats _),
     "dedup_incremental" -> (incrementalDedup _),
+    "dedup_ingest_fold" -> (ingestFold _),
     "dedup_eval" -> (dedupEval _))
 
   val oracle: Map[String, String] = Map(
@@ -1265,5 +1366,6 @@ object DedupOps {
     "dedup_substring" -> substringDedupSql,
     "dedup_stats" -> dedupStatsSql,
     "dedup_incremental" -> incrementalDedupSql,
+    "dedup_ingest_fold" -> ingestFoldSql,
     "dedup_eval" -> dedupEvalSql)
 }

@@ -314,4 +314,25 @@ class DedupSpec extends AnyFunSuite {
         starts >= nRuns && nRuns >= 1)
     }
   }
+
+  test("ingest fold: step 2 is exactly dedup_incremental; splits and hits bounded") {
+    val mx = Tables.documents(spark, sf).agg(max(col("doc_id")))
+      .collect().head.getLong(0)
+    val fold = DedupOps.ingestFold(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // split discipline: step 1 = (80%, 90%], step 2 = (90%, 100%];
+    // every hit defers to a doc in the step's BASE (ids <= lo bound)
+    fold.foreach { case (st, id, status, hit) =>
+      val (lo, hi) = if (st == 1) (8L, 9L) else (9L, 10L)
+      assert(id * 10 > mx * lo && id * 10 <= mx * hi, s"doc $id in step $st")
+      if (status == "new") assert(hit == -1L)
+      else assert(hit * 10 <= mx * lo, s"step $st hit $hit must be in-base")
+    }
+    // step 2's (batch, base) split IS dedup_incremental's — the fold
+    // must reproduce it verbatim (same memoized relations, same core)
+    val inc = DedupOps.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val step2 = fold.filter(_._1 == 2).map(t => (t._2, t._3, t._4)).toSet
+    assert(step2 == inc, "fold step 2 == dedup_incremental")
+  }
 }
