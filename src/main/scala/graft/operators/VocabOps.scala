@@ -1083,14 +1083,16 @@ object VocabOps {
          |  -- step (empty b$k) must leave words unchanged, exactly like
          |  -- the Spark side's coalesce in bpeMerge — a comma cross-join
          |  -- would return zero rows and empty every later step
-         |  SELECT coalesce(replace(enc, ' ' || b$k.a || '  ' || b$k.b || ' ',
+         |  SELECT tok,
+         |         coalesce(replace(enc, ' ' || b$k.a || '  ' || b$k.b || ' ',
          |                          ' ' || b$k.a || b$k.b || ' '), enc) AS enc,
          |         freq
          |  FROM $w LEFT JOIN b$k ON true)""".stripMargin
     }
     s"""tok AS (SELECT unnest($toks) AS w FROM documents),
        |tf AS (SELECT w, cast(count(*) as bigint) AS freq FROM tok GROUP BY 1),
-       |w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS enc, freq
+       |w0 AS (SELECT w AS tok, regexp_replace(w, '(.)', ' \\1 ', 'g') AS enc,
+       |              freq
        |       FROM tf),
        |${(0 until steps).map(iter).mkString(",\n")}""".stripMargin
   }
@@ -1102,6 +1104,67 @@ object VocabOps {
     }.mkString("\n  UNION ALL ")
     s"""WITH ${bpeChainSql(BpeSteps)}
        |  $unions""".stripMargin
+  }
+
+  /** [[bpeMerge]] carrying the source `token` key through the merge
+    * (the fertility table needs token → FINAL encoding). */
+  private def bpeMergeKeyed(words: DataFrame, bestDf: DataFrame): DataFrame =
+    words.crossJoin(broadcast(bestDf))
+      .select(col("token"),
+        coalesce(expr("replace(enc, concat(' ', a, '  ', b, ' '), " +
+          "concat(' ', a, b, ' '))"), col("enc")).as("enc"), col("freq"))
+
+  /** Per-LANGUAGE subword fertility under the trained [[BpeSteps]]
+    * merges — the multilingual tokenizer-budget table (fertility =
+    * subword symbols emitted per word; a language at 2× fertility
+    * pays 2× the sequence length, compute, and context budget for
+    * the same text — THE number a multilingual data mix is balanced
+    * against). One global tokenizer (the production shape: merges
+    * train corpus-wide, exactly [[bpeMerges]]' chain with the token
+    * key riding along), then per-lang exact integer rollups: token
+    * occurrences by language × each token's FINAL symbol count.
+    *
+    * Scale shape: the merge fold is vocab-bounded (identical to
+    * bpeMerges — per-round eager checkpoint, one narrow map + one
+    * vocab agg per round); the per-lang counts are one
+    * map-side-combined agg over the memoized tokenize pass; the
+    * final join is vocab × langs. Nothing corpus-sized shuffles. */
+  def fertility(s: SparkSession, d: String): DataFrame = {
+    val w0 = tokenFreq(s, d).select(col("token"),
+      regexp_replace(col("token"), "(.)", " $1 ").as("enc"), col("freq"))
+    val finalEnc = (1 to BpeSteps).foldLeft(w0) { (w, _) =>
+      graft.Checkpoints.eager(bpeMergeKeyed(w, bpeBest(bpePairs(w))))
+    }
+    val nSyms = finalEnc.select(col("token"),
+      size(split(trim(col("enc")), "  ")).cast("long").as("n_syms"))
+    val byLang = docToks(s, d)
+      .select(col("lang"), explode(col("toks")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("freq"))
+    byLang.join(nSyms, "token")
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * col("n_syms")).as("n_syms"))
+      .select(col("lang"), col("n_tokens"), col("n_syms"),
+        expr("n_syms * 1000000 div n_tokens").as("fertility_ppm"))
+  }
+
+  private val fertilitySql = {
+    val toks = text.tokensSql
+    s"""WITH ${bpeChainSql(BpeSteps)},
+       |nsyms AS (
+       |  SELECT tok AS token,
+       |    cast(len(string_split(trim(enc), '  ')) as bigint) AS n_syms
+       |  FROM w$BpeSteps),
+       |bylang AS (
+       |  SELECT lang, token, cast(count(*) as bigint) AS freq
+       |  FROM (SELECT lang, unnest($toks) AS token FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT b.lang, cast(sum(b.freq) as bigint) AS n_tokens,
+       |  cast(sum(b.freq * n.n_syms) as bigint) AS n_syms,
+       |  cast(sum(b.freq * n.n_syms) * 1000000 // sum(b.freq) as bigint)
+       |    AS fertility_ppm
+       |FROM bylang b JOIN nsyms n USING (token)
+       |GROUP BY 1""".stripMargin
   }
 
   /** The APPLY side of BPE training — segment the corpus with the
@@ -1159,6 +1222,7 @@ object VocabOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_bpe_merges" -> (bpeMerges _),
+    "vocab_fertility" -> (fertility _),
     "vocab_bpe_segment" -> (bpeSegment _),
     "vocab_token_shapes" -> (tokenShapes _),
     "vocab_keyness" -> (keyness _),
@@ -1177,6 +1241,7 @@ object VocabOps {
 
   val oracle: Map[String, String] = Map(
     "vocab_bpe_merges" -> bpeMergesSql,
+    "vocab_fertility" -> fertilitySql,
     "vocab_bpe_segment" -> bpeSegmentSql,
     "vocab_token_shapes" -> tokenShapesSql,
     "vocab_keyness" -> keynessSql,

@@ -473,4 +473,21 @@ class VocabSpec extends AnyFunSuite {
       assert(headN * 3 <= n, s"lang $lang head too large")
     }
   }
+
+  test("fertility: per-language totals partition the global segment stats") {
+    val fert = VocabOps.fertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fert.length == 5, "one row per language")
+    // the same corpus, the same trained merges: language rollups must
+    // partition the global step-BpeSteps totals bpeSegment publishes
+    val seg = VocabOps.bpeSegment(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .find(_._1 == VocabOps.BpeSteps).get
+    assert(fert.map(_._2).sum == seg._2, "token totals partition")
+    assert(fert.map(_._3).sum == seg._3, "symbol totals partition")
+    fert.foreach { case (lang, nt, ns, ppm) =>
+      assert(ppm == ns * 1000000L / nt, s"$lang ppm exact")
+      assert(ppm >= 1000000L, s"$lang fertility >= 1 symbol per token")
+    }
+  }
 }
