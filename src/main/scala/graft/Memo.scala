@@ -145,24 +145,43 @@ object Memo {
     try {
       val mine = building.get
       if (!mine.isEmpty) {
-        var c: Cell = target
-        var hops = 0
-        while (c != null && hops < 64) {
-          if (mine.contains(c))
-            throw new IllegalStateException(
-              "cross-thread cyclic memo fill detected: this thread is " +
-                "building a key that the awaited key's builder chain is " +
-                "blocked on (a fill lane's build closure may only read " +
-                "keys from the base group or EARLIER IN ITS OWN lane — " +
-                "see Memo.fill)")
-          val t = builderOf.get(c)
-          c = if (t == null) null else waitingOn.get(t)
-          hops += 1
-        }
+        // The walk can chase a STALE edge pair: builderOf.get returns
+        // a thread that then finishes this cell and blocks on one of
+        // OURS — a cycle that never coexisted. A true deadlock cannot
+        // resolve itself, so walk twice (the re-walk reads a graph in
+        // which the finished build's edges are gone) and before
+        // throwing check slot.isDone: a resolved target proves every
+        // "cycle" the walks saw was stale history, not a hang.
+        var rounds = 0
+        var cyclic = walkSeesCycle(target, mine)
+        while (cyclic && rounds < 1) { rounds += 1
+          cyclic = walkSeesCycle(target, mine) }
+        if (cyclic && !slot.isDone)
+          throw new IllegalStateException(
+            "cross-thread cyclic memo fill detected: this thread is " +
+              "building a key that the awaited key's builder chain is " +
+              "blocked on (a fill lane's build closure may only read " +
+              "keys from the base group or EARLIER IN ITS OWN lane — " +
+              "see Memo.fill)")
       }
       try { slot.join(); () }
       catch { case _: Throwable => () } // surfaced by the caller's join
     } finally waitingOn.remove(Thread.currentThread())
+  }
+
+  /** One bounded pass of the wait-for walk: true iff it reaches a
+    * cell the current thread is building. */
+  private def walkSeesCycle(target: Cell,
+                            mine: java.util.HashSet[Cell]): Boolean = {
+    var c: Cell = target
+    var hops = 0
+    while (c != null && hops < 64) {
+      if (mine.contains(c)) return true
+      val t = builderOf.get(c)
+      c = if (t == null) null else waitingOn.get(t)
+      hops += 1
+    }
+    false
   }
 
   /** Fetch `key`'s cell result, dropping the cell on a failed build

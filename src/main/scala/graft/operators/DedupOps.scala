@@ -173,7 +173,12 @@ object DedupOps {
     * bucket-capped via the partial/final bounded-heap top-k. */
   private[graft] def bucketCandidates(banded: DataFrame, bucketCols: Seq[String],
                                       idCol: String, cap: Int): DataFrame = {
-    val reps = graft.functions.topk.perKey(banded.select((bucketCols :+ idCol).map(col): _*),
+    // size-gated: buckets are mostly unique (keys ≈ rows), so the
+    // blanket per-key heap would copy ~the whole relation into
+    // non-spillable Scala state — the gate heaps only oversized
+    // buckets and is the identity otherwise
+    val reps = graft.functions.topk.capPerKey(
+        banded.select((bucketCols :+ idCol).map(col): _*),
         keys = bucketCols,
         order = Seq(graft.functions.topk.Order(idCol)),
         k = cap)
@@ -414,7 +419,11 @@ object DedupOps {
   private[graft] def verdictCore(batchIds: DataFrame, exactHit: DataFrame,
                                  batchB: DataFrame, baseB: DataFrame,
                                  sh: DataFrame): DataFrame = {
-    val baseReps = graft.functions.topk.perKey(
+    // size-gated cap (not the blanket heap): (band, bh) buckets are
+    // mostly UNIQUE on a real corpus — keys ≈ rows, the exact shape
+    // whose per-key heap map is non-spillable driver-of-OOM state
+    // (round-9 verdict item 3); the gate heaps only oversized buckets
+    val baseReps = graft.functions.topk.capPerKey(
         baseB.select(col("band"), col("bh"), col("doc_id")),
         keys = Seq("band", "bh"),
         order = Seq(graft.functions.topk.Order("doc_id")),

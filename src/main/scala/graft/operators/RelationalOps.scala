@@ -2666,45 +2666,21 @@ object RelationalOps {
   private val LiftBasketCap = 64
 
   /** The capped pair-generation input: each basket's `LiftBasketCap`
-    * lowest-ihash parts. TWO-PHASE, not a blanket per-key top-k: a
-    * cheap map-side-combined size count first finds the OVERSIZED
-    * baskets, and only their rows go through the bounded-heap top-k —
-    * baskets at or under the cap pass through untouched (for them the
-    * cap is the identity, so the output is identical to capping
-    * everything). The blanket form OOM'd the first sf10 run: with
-    * ~15M basket keys the per-key heap state is proportional to the
-    * whole relation when keys ≈ rows — the bounded-heap is built for
-    * few keys × many rows, and the size-gate restores that shape
-    * (heap state = #oversized × cap, ~zero on retail data). Spec
-    * seam: RelationalSpec drives a pathological 500-part basket
-    * through this directly. */
-  private[graft] def cappedBasket(op: DataFrame): DataFrame = {
-    val big = op.groupBy(col("okey")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > LiftBasketCap)
-      .select("okey")
-    // bounded driver probe (≤1 row — the CorpusOps union-find
-    // precedent): when NO basket exceeds the cap, the cap is the
-    // identity, so return the (already checkpointed) input and the
-    // self-join keeps its r8 plan — the first capped sf10 run paid
-    // +18.5 s dragging the anti-join/union through both self-join
-    // sides of a relation that the cap never touched
-    if (big.limit(1).collect().isEmpty) op
-    else {
-      val cappedBig = graft.functions.topk.perKey(
-          op.join(big, "okey")
-            .withColumn("_h", graft.functions.ihash.quad(col("pk"))),
-          keys = Seq("okey"),
-          order = Seq(graft.functions.topk.Order("_h"),
-            graft.functions.topk.Order("pk")),
-          k = LiftBasketCap)
-        .select("okey", "pk")
-      // materialized once: both pair-join sides read the capped
-      // relation, and unmaterialized each would re-derive the whole
-      // anti-join + heap chain
-      graft.Checkpoints.eager(
-        op.join(big, Seq("okey"), "left_anti").unionByName(cappedBig))
-    }
-  }
+    * lowest-ihash parts, through the library's two-phase size-gated
+    * [[graft.functions.topk.capPerKey]] (the gate — count oversized
+    * baskets first, heap only for them, identity when none exceed
+    * the cap — lives there since round 10; the blanket per-key heap
+    * OOM'd the first sf10 run with ~15M basket keys). Spec seam:
+    * RelationalSpec drives a pathological 500-part basket through
+    * capPerKey directly. */
+  private[graft] def cappedBasket(op: DataFrame): DataFrame =
+    graft.functions.topk.capPerKey(
+        op.withColumn("_h", graft.functions.ihash.quad(col("pk"))),
+        keys = Seq("okey"),
+        order = Seq(graft.functions.topk.Order("_h"),
+          graft.functions.topk.Order("pk")),
+        k = LiftBasketCap)
+      .select("okey", "pk")
 
   /** Market-basket association: top part pairs by LIFT
     * (n_ab·N / (n_a·n_b) — how much more often the pair co-occurs

@@ -61,4 +61,35 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("capPerKey: identity plan when no key exceeds the cap") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("g", "v")
+    val got = topk.capPerKey(df, Seq("g"), Seq(topk.Order("v")), 3)
+    // the probe found nothing oversized → the INPUT plan comes back
+    // untouched (eq, not just row-equal): downstream self-joins keep
+    // their shape instead of dragging an anti-join/union through
+    assert(got eq df)
+  }
+
+  test("capPerKey: keys ≈ rows — planted unique-key relation stays " +
+      "out of the heap, oversized keys capped exactly") {
+    import spark.implicits._
+    // 200k keys, one row each (the LSH-bucket / basket-key shape that
+    // OOM'd the blanket heap at sf10) + one hot key with 1000 rows
+    val uniq = spark.range(200000).select(col("id").as("g"), col("id").as("v"))
+    val hot = spark.range(1000).select(lit(-1L).as("g"), col("id").as("v"))
+    val df = uniq.unionByName(hot)
+    val got = topk.capPerKey(df, Seq("g"), Seq(topk.Order("v")), 4)
+    // only the hot key's rows ever enter a heap: the gated plan's
+    // TopKPerKey subtree reads the semi-joined oversized slice
+    val counts = got.groupBy("g").count()
+    assert(counts.filter(col("count") =!= 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((-1L, 4L)))
+    assert(got.count() == 200000L + 4L)
+    assert(got.filter(col("g") === -1L).select("v").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    // schema unchanged (no rank column)
+    assert(got.columns.toSeq == df.columns.toSeq)
+  }
 }
