@@ -106,14 +106,28 @@ object Bench {
     * no per-query map. Kept a pure function so BenchSpec can bound
     * its size. */
   def compactLine(total: Double, sfDir: String,
-                  calib: Option[Calib] = None): String = {
+                  calib: Option[Calib] = None,
+                  oracle: Option[Double] = None): String = {
     // "sf0.1" → 0.1; anything unparseable becomes an ESCAPED string
     val base = sfDir.split('/').last
     val sf = base.stripPrefix("sf")
     val sfJson = sf.toDoubleOption.map(_.toString).getOrElse(jsonStr(base))
     val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec",$cal"sf":$sfJson}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal${oracleJson(total, oracle)}"sf":$sfJson}"""
   }
+
+  /** The 2× gate as ONE field pair: the DuckDB oracle's same-boot
+    * wall over the identical inventory, and total/oracle. Round after
+    * round the gate number was re-litigated against boot noise
+    * (159.2 vs 124.0, 136.1 vs 122…) because the denominator came
+    * from a different run — now both land in the same artifact from
+    * the same boot (round-9 verdict item 8). */
+  private def oracleJson(total: Double, oracle: Option[Double]): String =
+    oracle.filter(_ > 0).map { o =>
+      val r = BigDecimal(total / o)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s""""oracle_total":$o,"ratio":$r,"""
+    }.getOrElse("")
 
   /** Per-query timings parsed from a PRIOR detail artifact — the
     * round-over-round baseline for [[deltaMap]]. Any parse problem
@@ -158,7 +172,8 @@ object Bench {
                  calib: Option[Calib] = None,
                  fillErrors: Map[String, String] = Map.empty,
                  deltas: Seq[(String, Double)] = Nil,
-                 spill: Option[(Long, Long)] = None): String = {
+                 spill: Option[(Long, Long)] = None,
+                 oracle: Option[Double] = None): String = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fl = fills.map { case (k, v) => jsonStr(k) + ":" + v }
@@ -171,7 +186,54 @@ object Bench {
     val sp = spill.map { case (m2, d2) =>
       s""""spill":{"mem":$m2,"disk":$d2},""" }.getOrElse("")
     val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"sf":${jsonStr(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp${oracleJson(total, oracle)}"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"sf":${jsonStr(sfDir)}}"""
+  }
+
+  /** Run the DuckDB oracle suite (tools/time_oracle.py, the driver-
+    * side python interpreter) over the SAME inventory and data dir,
+    * returning its wall seconds — forked after the Spark timings so
+    * the two measurements share the boot but not the CPUs. Absent
+    * tool/interpreter, a non-zero exit, or the time bound → None and
+    * the bench line simply omits the ratio fields (the oracle is a
+    * denominator, never a reason to fail a bench). Opt out with
+    * SPARK_GRAFT_BENCH_ORACLE=0 (e.g. at sf10, where the oracle
+    * needs a capacity-tuned staged run — see tools/selfcheck.py). */
+  def timeOracle(sfDir: String, threads: Int,
+                 boundSec: Long = 7200): Option[Double] = {
+    val tool = new java.io.File("tools/time_oracle.py")
+    if (!tool.isFile) return None
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_oracle")
+      val json = SparkEntry.oracleSql
+        .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(dir.resolve("oracle_sql.json"), json)
+      val pb = new ProcessBuilder("python3", tool.getAbsolutePath,
+        sfDir, dir.toString, threads.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val buf = new java.lang.StringBuilder
+      val reader = new Thread(() => {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        var line = in.readLine()
+        while (line != null) { buf.append(line).append('\n'); line = in.readLine() }
+      })
+      reader.setDaemon(true); reader.start()
+      if (!p.waitFor(boundSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); return None
+      }
+      reader.join(10000)
+      if (p.exitValue() != 0) {
+        System.err.println(s"[bench] oracle timer failed:\n${buf.toString.takeRight(2000)}")
+        return None
+      }
+      "ORACLE_TOTAL=([0-9.]+)".r.findFirstMatchIn(buf.toString)
+        .map(_.group(1).toDouble)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] oracle timer unavailable: ${e.getMessage}")
+      None
+    }
   }
 
   /** Suite-wide spill accounting from completed-stage task metrics —
@@ -241,16 +303,21 @@ object Bench {
     // last stage's metrics are in the snapshot
     org.apache.spark.GraftSparkBridge.drainListenerBus(
       spark.sparkContext, 10000L)
+    // the same-boot oracle denominator, AFTER the Spark timings (the
+    // fork then contends with an idle session, not the timed queries)
+    val oracle =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORACLE").contains("0")) None
+      else timeOracle(sfDir, cpus)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       detailLine(total, results, sfDir, fills, calib, Memo.fillErrors,
-        deltaMap(results, prev), Some(spill.snapshot)) + "\n")
+        deltaMap(results, prev), Some(spill.snapshot), oracle) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     Memo.clear(spark)
     // the compact line is the LAST thing on stdout (after Spark's
     // shutdown chatter goes to stderr via log4j) so even a short tail
     // window catches an intact parseable line
-    println(compactLine(total, sfDir, calib))
+    println(compactLine(total, sfDir, calib, oracle))
     spark.stop()
   }
 }

@@ -37,12 +37,12 @@ object DedupOps {
 
   // ------------------------------------------------ shingle machinery
 
-  private val NGram = 2
-  private val JaccardTau = 0.2
+  private[operators] val NGram = 2
+  private[operators] val JaccardTau = 0.2
   /** df cap: shingles seen in more than this many docs are dropped
     * from candidate generation AND from the jaccard universe (both
     * sides of the oracle apply it) — bounds per-bucket pair fan-out. */
-  private val MaxDf = 100
+  private[operators] val MaxDf = 100
 
   /** (doc_id, shingle) exploded, distinct, df-capped. Memoized +
     * cached per (session, dir): the signature aggregation, candidate
@@ -69,14 +69,21 @@ object DedupOps {
       sh.join(frequent, Seq("sh"), "left_anti")
     }
 
-  private[graft] def shingleSetsSqlCte: String =
+  /** Tokenize + raw (uncapped) per-doc-distinct shingles — the df
+    * policy CTE is appended by the caller ([[shingleSetsSqlCte]]
+    * self-caps; the store mirror caps against the seed's frozen
+    * blocklist). */
+  private[operators] def shingleRawSqlCte: String =
     s"""toks AS (
        |  SELECT doc_id, ${text.tokensSql} AS t
        |  FROM documents),
        |sh0 AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(range(1, len(t) - ${NGram - 2}), i -> t[i] || ' ' || t[i+1])) AS sh
-       |  FROM toks WHERE len(t) >= $NGram),
+       |  FROM toks WHERE len(t) >= $NGram)""".stripMargin
+
+  private[graft] def shingleSetsSqlCte: String =
+    s"""$shingleRawSqlCte,
        |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MaxDf),
        |sh AS MATERIALIZED (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN rare USING (sh))""".stripMargin
 
@@ -418,7 +425,23 @@ object DedupOps {
     * batch/base, and the shared shingle universe. */
   private[graft] def verdictCore(batchIds: DataFrame, exactHit: DataFrame,
                                  batchB: DataFrame, baseB: DataFrame,
-                                 sh: DataFrame): DataFrame = {
+                                 sh: DataFrame): DataFrame =
+    verdictCoreSplit(batchIds, exactHit, batchB, baseB,
+      batchSh = sh, baseSh = sh,
+      sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+
+  /** [[verdictCore]] with the shingle universe SPLIT by side — the
+    * feature-store path passes the batch's freshly-featurized rows
+    * and the store's persisted rows separately (never a union that
+    * would re-derive base features), plus precomputed per-doc sizes.
+    * The `sh` column may be the raw shingle string (memoized corpus
+    * path) or its xxhash64 (store path) — intersection counts are
+    * identical modulo the documented ~2^-64 collision caveat, as
+    * long as BOTH sides carry the same representation. */
+  private[graft] def verdictCoreSplit(batchIds: DataFrame, exactHit: DataFrame,
+                                      batchB: DataFrame, baseB: DataFrame,
+                                      batchSh: DataFrame, baseSh: DataFrame,
+                                      sizes: DataFrame): DataFrame = {
     // size-gated cap (not the blanket heap): (band, bh) buckets are
     // mostly UNIQUE on a real corpus — keys ≈ rows, the exact shape
     // whose per-key heap map is non-spillable driver-of-OOM state
@@ -433,10 +456,9 @@ object DedupOps {
     val cand = batchB.join(baseReps.hint("shuffle_hash"),
         col("k_band") === col("band") && col("k_bh") === col("bh"))
       .select(col("doc_base"), col("doc_id")).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_base"), col("sh")), "doc_base")
-      .join(sh.select(col("doc_id"), col("sh")), Seq("doc_id", "sh"))
+      .join(baseSh.select(col("doc_id").as("doc_base"), col("sh")), "doc_base")
+      .join(batchSh.select(col("doc_id"), col("sh")), Seq("doc_id", "sh"))
       .groupBy("doc_base", "doc_id").agg(count(lit(1)).as("n_shared"))
     val near = inter
       .join(sizes.select(col("doc_id").as("doc_base"), col("n").as("na")),
@@ -473,13 +495,19 @@ object DedupOps {
     * same tokenize→2-gram→distinct→df-cap chain as the memoized
     * [[shingleSets]], with the df cap evaluated over THIS frame. */
   private[graft] def shinglesFromDocs(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
+    val sh = rawShingles(docs)
     val frequent = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxDf)
       .select("sh")
     sh.join(frequent, Seq("sh"), "left_anti")
   }
+
+  /** UNCAPPED per-doc-distinct shingles from an arbitrary (doc_id,
+    * text) frame — the df policy (self-df cap, or a store's frozen
+    * blocklist) is applied by the caller. */
+  private[operators] def rawShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
 
   /** Batch-vs-base ingest verdict over ARBITRARY doc frames — what a
     * crawl-ingest pipeline calls once per arriving batch (the
@@ -489,7 +517,22 @@ object DedupOps {
     * (and its df cap) is evaluated over batch ∪ base, so the verdict
     * is a pure deterministic function of the two frames. Cost per
     * batch: O(batch·bands + candidates) against the rep-capped base
-    * buckets — the base never re-pairs with itself. */
+    * buckets — the base never re-pairs with itself. NOTE this method
+    * re-featurizes batch ∪ base per call; for a standing base use
+    * [[DedupFeatureStore]], which persists the featurized relations
+    * and folds only the batch's features per call.
+    *
+    * PRECONDITION: `doc_id` must be unique across batch ∪ base. The
+    * batch/base banded split is a semi/anti join on doc_id over the
+    * union, so a doc_id present in BOTH frames silently drops the
+    * base copy from the base side (it can never match its own prior
+    * version), and a duplicate id inside either frame doubles its
+    * shingle rows, skewing the df cap and jaccard sizes. Re-crawl
+    * flows that legitimately re-send an id must key versions apart
+    * (e.g. fold the crawl generation into the id) or go through
+    * [[DedupFeatureStore.fold]], whose generation-keyed base makes a
+    * re-sent id match its own earlier version (the crawl semantics
+    * you want: a re-fetch of the same URL is a dup). */
   private[graft] def verdictAgainstBase(batch: DataFrame,
                                         base: DataFrame): DataFrame = {
     val batchN = normText(batch)
@@ -544,10 +587,12 @@ object DedupOps {
         col("hit_id"), col("jaccard"))
   }
 
-  /** Mirror: one shared shingle/banded/norm/sizes store, per-step
-    * prefixed verdict CTEs with the step's split predicates. */
-  private def ingestFoldSql: String = {
-    def stepCtes(p: String, lo: Int, hi: Int): String =
+  /** One fold step's verdict CTEs (assumes `norm`, `banded`, `sh`,
+    * `sizes`, `mx` in scope) — shared by the memoized-relation mirror
+    * ([[ingestFoldSql]]) and the feature-store mirror
+    * ([[DedupFeatureStore.storeFoldSql]]), which differ only in how
+    * the `sh` universe is df-capped. */
+  private[operators] def foldStepCtes(p: String, lo: Int, hi: Int): String =
       s"""${p}_exact AS (
          |  SELECT b.doc_id, min(o.doc_id) AS exact_hit
          |  FROM norm b JOIN norm o ON b.nt = o.nt CROSS JOIN mx
@@ -578,7 +623,10 @@ object DedupOps {
          |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= $JaccardTau
          |  QUALIFY row_number() OVER (PARTITION BY i.doc_id
          |    ORDER BY doc_base) = 1)""".stripMargin
-    def stepSelect(step: Int, p: String, lo: Int, hi: Int): String =
+
+  /** One fold step's final verdict SELECT (see [[foldStepCtes]]). */
+  private[operators] def foldStepSelect(step: Int, p: String,
+                                        lo: Int, hi: Int): String =
       s"""SELECT $step AS ingest_step, b.doc_id,
          |  CASE WHEN e.exact_hit IS NOT NULL THEN 'exact_dup'
          |       WHEN n.near_hit IS NOT NULL THEN 'near_dup'
@@ -589,8 +637,11 @@ object DedupOps {
          |      WHERE doc_id * 10 > mx_id * $lo AND doc_id * 10 <= mx_id * $hi) b
          |LEFT JOIN ${p}_exact e USING (doc_id)
          |LEFT JOIN ${p}_near n USING (doc_id)""".stripMargin
-    s"""WITH $shingleSetsSqlCte,
-       |$minhashBandedCtes,
+
+  /** Shared tail of the two fold mirrors: banding, norm, sizes and
+    * the two step verdicts over whatever `sh` CTE the caller picked. */
+  private[operators] def foldMirrorTail: String =
+    s"""$minhashBandedCtes,
        |mx AS (SELECT max(doc_id) AS mx_id FROM documents),
        |norm AS (
        |  SELECT doc_id,
@@ -599,12 +650,17 @@ object DedupOps {
        |  FROM documents),
        |sizes AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |${stepCtes("s1", 8, 9)},
-       |${stepCtes("s2", 9, 10)}
-       |${stepSelect(1, "s1", 8, 9)}
+       |${foldStepCtes("s1", 8, 9)},
+       |${foldStepCtes("s2", 9, 10)}
+       |${foldStepSelect(1, "s1", 8, 9)}
        |UNION ALL
-       |${stepSelect(2, "s2", 9, 10)}""".stripMargin
-  }
+       |${foldStepSelect(2, "s2", 9, 10)}""".stripMargin
+
+  /** Mirror: one shared shingle/banded/norm/sizes store, per-step
+    * prefixed verdict CTEs with the step's split predicates. */
+  private def ingestFoldSql: String =
+    s"""WITH $shingleSetsSqlCte,
+       |$foldMirrorTail""".stripMargin
 
   /** Mirror: same shingle/banding builders, same pivot arithmetic,
     * same rep cap and exact-Jaccard verification. */
@@ -1362,6 +1418,7 @@ object DedupOps {
     "dedup_stats" -> (dedupStats _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_ingest_fold" -> (ingestFold _),
+    "dedup_store_fold" -> (DedupFeatureStore.storeFold _),
     "dedup_eval" -> (dedupEval _))
 
   val oracle: Map[String, String] = Map(
@@ -1376,5 +1433,6 @@ object DedupOps {
     "dedup_stats" -> dedupStatsSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_ingest_fold" -> ingestFoldSql,
+    "dedup_store_fold" -> DedupFeatureStore.storeFoldSql,
     "dedup_eval" -> dedupEvalSql)
 }

@@ -547,7 +547,162 @@ object MultimodalOps {
        |  FROM bits GROUP BY 1, 2)""".stripMargin
   }
 
+  // ------------------------------------ semantic near-dup (media)
+
+  private val MmSemTables = 8
+  private val MmSemBits = 12
+  private val MmSemCap = 256
+  /** Cosine τ = 0.8 as the exact rational 16/25: the verification
+    * compares 25·dot² ≥ 16·norm2a·norm2b (dot > 0) in integer-valued
+    * arithmetic — no float rounding can diverge between engines. */
+  private val MmSemTauNum = 16L
+  private val MmSemTauDen = 25L
+
+  /** STUB media encoder, driver-side form: the content-level feature
+    * a real CLIP-style encoder would emit, stood in by the signed
+    * token-hash histogram of the DECODED payload (the text twin of
+    * [[phashOf]]'s byte-level features — decode-then-embed instead of
+    * hash-the-bytes). Pure function of the payload, bit-reproducible
+    * by the SQL mirror; MultimodalSpec proves it equals the
+    * expression-path embedding, so swapping a real encoder at the
+    * mapPartitions boundary is the only change. */
+  private[graft] def mediaVecOf(payload: Array[Byte]): Array[Long] = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val vec = new Array[Long](TextOps.hashEmbedDim)
+    val M = 1000000007L
+    var i = 0
+    var h = 0L
+    var inTok = false
+    def close(): Unit = if (inTok) {
+      val dim = (h % TextOps.hashEmbedDim).toInt
+      vec(dim) += (if (h % (2L * TextOps.hashEmbedDim) < TextOps.hashEmbedDim) 1L else -1L)
+      inTok = false; h = 0L
+    }
+    while (i < s.length) {
+      val c0 = s.charAt(i)
+      if (c0 == ' ' || c0 == '\t' || c0 == '\n' || c0 == '\u000B' ||
+          c0 == '\f' || c0 == '\r') close()
+      else {
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        h = (h * 31 + c) % M
+        inTok = true
+      }
+      i += 1
+    }
+    close()
+    vec
+  }
+
+  /** Doc-aligned media embeddings from the payload column: decode at
+    * the binary boundary, then the signed token-hash vector (dense
+    * 64-dim integer counts as doubles + exact integer norm²). */
+  private[graft] def mediaVectorsFromDocs(docs: DataFrame): DataFrame =
+    TextOps.hashEmbedDense(
+        docs.select(col("doc_id"),
+          decode(encode(col("text"), "UTF-8"), "UTF-8").as("text")))
+      .select(col("doc_id"),
+        transform(col("vec"), _.cast("double")).as("embedding"),
+        col("norm2"))
+
+  /** Media SEMANTIC near-dup over an arbitrary (doc_id, text-payload)
+    * frame — the dedup_semantic verdict machinery over stub media
+    * embeddings. See [[mmSemantic]]. */
+  private[graft] def mmSemanticFromDocs(docs: DataFrame): DataFrame = {
+    val vecs = graft.Checkpoints.eager(mediaVectorsFromDocs(docs))
+    val banded = vecs.select(col("doc_id"),
+        explode(DedupOps.lshBuckets(col("embedding"), MmSemTables, MmSemBits,
+          TextOps.hashEmbedDim)).as("b"))
+      .select(col("doc_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+    val cand = DedupOps.bucketCandidates(banded, Seq("tbl", "bv"), "doc_id",
+      MmSemCap)
+    def side(idc: String) = vecs.select(col("doc_id").as(idc),
+      col("embedding").as(s"e_$idc"), col("norm2").as(s"n_$idc"))
+    val dup = cand
+      .join(side("cand_a"), "cand_a")
+      .join(side("cand_b"), "cand_b")
+      .withColumn("dot",
+        graft.functions.vector.dot(col("e_cand_a"), col("e_cand_b")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(MmSemTauDen) >=
+          (col("n_cand_a") * col("n_cand_b") * lit(MmSemTauNum)).cast("double"))
+      .groupBy(col("cand_b").as("doc_id"))
+      .agg(min(col("cand_a")).as("dup_raw"))
+    docs.select("doc_id").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_raw"), lit(-1L)).as("dup_of"),
+        col("dup_raw").isNull.as("kept"))
+  }
+
+  /** Media semantic near-dup + keep/drop verdict — the pass AFTER
+    * [[dedupPhash]]: the perceptual hash catches byte-level
+    * transcodes (hamming ≤ 3 on the trigram-histogram signature),
+    * but an AGGRESSIVE re-encode that rewrites most bytes (case
+    * remap, whitespace renormalization, re-compression) shears the
+    * byte features entirely while leaving the decoded CONTENT
+    * intact. This pass bridges the codec boundary to the embedding
+    * family: decode the payload (stubbed — a real CLIP/audio encoder
+    * swaps in at the same boundary, see [[mediaVecOf]]), embed, then
+    * the `dedup_semantic` verdict machinery verbatim — sign-LSH cell
+    * blocking (the deterministic Rademacher hyperplanes both engines
+    * reproduce), per-cell rep cap via the size-gated candidate
+    * discipline, exact verification (cosine ≥ 0.8 in rational
+    * integer form), min-id keeper per dup group.
+    *
+    * Scale shape: payload bytes are consumed in the scan (decode is
+    * a narrow map); only 64-int vectors and (id, bucket) rows ever
+    * shuffle; candidates are rep-capped per (table, bucket) so a
+    * transcode family of B copies costs O(B·cap), never O(B²); the
+    * verification attaches vectors to the bounded pair stream, not
+    * the corpus. MultimodalSpec plants a re-encode that
+    * [[dedupPhash]] provably misses (hamming > 3) and this pass
+    * catches (cosine 1.0). */
+  def mmSemantic(s: SparkSession, d: String): DataFrame =
+    mmSemanticFromDocs(DedupOps.docsParallel(s, d))
+
+  /** Mirror: the shared hashEmbed vector CTEs over documents, the
+    * SAME ±1 plane literals as the Spark plan (both read
+    * `DedupOps.hyperplanes`), rep-cap QUALIFY, rational-exact cosine
+    * verification, min-id keeper. */
+  private def mmSemanticSql: String = {
+    def dot(a: String, b: String) =
+      "list_reduce(list_prepend(cast(0.0 as double), " +
+        s"list_transform(range(1, ${TextOps.hashEmbedDim + 1}), " +
+        s"i -> cast($a.vec[i] as double) * cast($b.vec[i] as double))), " +
+        "(acc, x) -> acc + x)"
+    s"""WITH ${TextOps.hashEmbedVecCtes},
+       |memb AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(vec, x -> cast(x as double)) AS embedding, vec,
+       |    list_reduce(list_prepend(cast(0 as bigint), vec),
+       |      (acc, x) -> acc + x * x) AS norm2
+       |  FROM vecs),
+       |banded AS MATERIALIZED (
+       |  ${DedupOps.bandedSql("memb", "vec_id", MmSemTables, MmSemBits)}),
+       |reps AS (
+       |  SELECT tbl, bv, vec_id FROM banded
+       |  QUALIFY row_number() OVER (PARTITION BY tbl, bv
+       |    ORDER BY vec_id) <= $MmSemCap),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT r.vec_id AS a, b.vec_id AS b
+       |  FROM reps r JOIN banded b USING (tbl, bv)
+       |  WHERE r.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.b AS doc_id, c.a AS a, ${dot("ea", "eb")} AS dp,
+       |    ea.norm2 AS n2a, eb.norm2 AS n2b
+       |  FROM cand c
+       |  JOIN memb ea ON c.a = ea.vec_id
+       |  JOIN memb eb ON c.b = eb.vec_id),
+       |ver AS (
+       |  SELECT doc_id, min(a) AS dup_raw FROM scored
+       |  WHERE dp > 0 AND dp * dp * $MmSemTauDen >= $MmSemTauNum * n2a * n2b
+       |  GROUP BY 1)
+       |SELECT d.doc_id, coalesce(v.dup_raw, -1) AS dup_of,
+       |  v.dup_raw IS NULL AS kept
+       |FROM documents d LEFT JOIN ver v USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup_semantic" -> (mmSemantic _),
     "mm_dedup_phash" -> (dedupPhash _),
     "mm_phash_clusters" -> (phashClusters _),
     "mm_audio_chunks" -> (audioChunks _),
@@ -560,6 +715,7 @@ object MultimodalOps {
     "mm_modality_stats" -> (modalityStats _))
 
   val oracle: Map[String, String] = Map(
+    "mm_dedup_semantic" -> mmSemanticSql,
     "mm_dedup_phash" -> dedupPhashSql,
     "mm_phash_clusters" -> phashClustersSql,
     "mm_audio_chunks" -> audioChunksSql,

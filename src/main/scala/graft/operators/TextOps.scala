@@ -513,7 +513,7 @@ object TextOps {
   /** The dense signed-count vector per doc (dim order), plus its
     * exact integer squared norm. Every doc appears, even token-free
     * ones (zero vector) — the grid join guarantees it. */
-  private def hashEmbedDense(docs: DataFrame): DataFrame =
+  private[operators] def hashEmbedDense(docs: DataFrame): DataFrame =
     hashEmbedDenseFrom(docs, hashEmbedCounts(docs))
 
   private def hashEmbedDenseFrom(docs: DataFrame, counts: DataFrame): DataFrame = {
@@ -545,13 +545,17 @@ object TextOps {
           (acc, x) => ((acc * 31 + x) % HashMod + HashMod) % HashMod)
           .as("digest"))
 
-  private val hashEmbedSql = {
+  /** The tokenize → signed-hash-count → dense-vector CTE chain
+    * (tok/hs/counts/grid/vecs, `vecs(doc_id, vec)` last) — shared by
+    * the hashEmbed mirror and the media semantic-dedup mirror, whose
+    * stub encoder is exactly this pipeline over the decoded payload. */
+  private[operators] def hashEmbedVecCtes: String = {
     val toks = text.tokensSql
     val tokHash = "list_reduce(list_prepend(cast(0 as bigint), " +
       "list_transform(list_filter(string_split_regex(token, ''), c -> c <> ''), " +
       "c -> cast(ascii(c) as bigint))), (acc, x) -> (acc * 31 + x) % $M)"
         .replace("$M", HashMod.toString)
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest($toks) AS token FROM documents),
        |hs AS (
        |  SELECT doc_id, $tokHash AS h FROM tok),
@@ -566,7 +570,11 @@ object TextOps {
        |vecs AS (
        |  SELECT g.doc_id, list(coalesce(c.cnt, 0) ORDER BY g.dim) AS vec
        |  FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.dim
-       |  GROUP BY g.doc_id)
+       |  GROUP BY g.doc_id)""".stripMargin
+  }
+
+  private val hashEmbedSql = {
+    s"""WITH $hashEmbedVecCtes
        |SELECT doc_id,
        |  cast(len(list_filter(vec, x -> x <> 0)) as int) AS nnz,
        |  list_reduce(list_prepend(cast(0 as bigint), vec),

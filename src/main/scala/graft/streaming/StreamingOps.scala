@@ -378,42 +378,59 @@ object StreamingOps {
 
   // -------------------------------------------- streaming ingest dedup
 
-  /** Streaming crawl-ingest dedup — [[graft.operators.DedupOps
-    * .verdictAgainstBase]] run once per micro-batch against the base
-    * corpus accumulated so far (seed base + every prior batch), in
-    * the Upsert.foreachBatchUpsert regime: foreachBatch gives the
-    * batch frame + batch id, the verdict rows go to `sink`, and the
-    * batch's docs fold into the base for the NEXT batch (a re-crawled
-    * twin arriving later is flagged against them — the planted
-    * cross-batch case StreamingSpec proves). State is the growing
-    * base frame, eagerly checkpointed per batch so lineage stays flat
-    * across arbitrarily many batches (the GraphOps per-round
-    * discipline); the base is only ever touched through the
-    * rep-capped bucket join inside the verdict, never re-paired with
-    * itself, so per-batch cost is O(batch·bands + candidates)
-    * regardless of how large the base has grown. At-least-once
-    * replay of a micro-batch re-emits the same verdict rows
-    * (deterministic function of (batch, base)) — idempotent for any
-    * keyed sink, the reference's check-then-insert guarantee.
+  /** Streaming crawl-ingest dedup over a PERSISTED feature store —
+    * each micro-batch is [[graft.operators.DedupFeatureStore.fold]]:
+    * featurize the batch (the only text pass), verdict it against
+    * every generation already in the store (seed + all prior
+    * batches — a re-crawled twin arriving later is flagged against a
+    * prior batch's doc, the planted cross-batch case StreamingSpec
+    * proves), append the batch's features as its own generation.
+    * Verdict rows go to `sink`.
+    *
+    * Per-batch cost is O(batch text work + candidates): the base is
+    * touched ONLY through the store's columnar feature tables (the
+    * rep-capped bucket join, the candidate-bounded intersection, the
+    * hashed exact-equality join) — base TEXT is never re-read, the
+    * fix for the round-9 scale-killer where every micro-batch
+    * re-shingled batch ∪ base. StreamingSpec asserts the per-batch
+    * executed plan's file scans all live under the store path.
+    *
+    * Recovery: state lives on disk keyed by batch id, not in driver
+    * memory. With a `checkpointDir`, a restarted query replays the
+    * last uncommitted batch and [[graft.operators.DedupFeatureStore
+    * .fold]] is replay-idempotent (its base excludes its own
+    * generation; its append overwrites it), so at-least-once replay
+    * re-emits the same verdict rows — the reference's
+    * check-then-insert guarantee, now across restarts too. A NEW run
+    * over the same store resumes where the old one folded
+    * (cross-session re-crawl).
     *
     * `docsStream` needs (doc_id, text); returns the started query. */
-  def ingestDedup(docsStream: DataFrame, base0: DataFrame)
+  def ingestDedup(docsStream: DataFrame,
+                  store: graft.operators.DedupFeatureStore,
+                  checkpointDir: Option[String] = None)
                  (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    var base = graft.Checkpoints.eager(base0.select("doc_id", "text"))
-    docsStream.writeStream
-      .outputMode("append")
+    val w = docsStream.writeStream.outputMode("append")
+    checkpointDir.fold(w)(p => w.option("checkpointLocation", p))
       .foreachBatch { (batchRaw: DataFrame, id: Long) =>
         val batch = graft.Checkpoints.eager(
           batchRaw.select("doc_id", "text"))
-        if (!batch.isEmpty) {
-          sink(id, graft.operators.DedupOps.verdictAgainstBase(batch, base))
-          base = graft.Checkpoints.eager(base.unionByName(batch))
-        }
+        if (!batch.isEmpty) sink(id, store.fold(batch, id))
         ()
       }
       .start()
   }
+
+  /** [[ingestDedup]] from a seed corpus: builds (overwrites) the
+    * feature store at `storePath` from `base0`, then streams against
+    * it. */
+  def ingestDedup(docsStream: DataFrame, base0: DataFrame,
+                  storePath: String)
+                 (sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestDedup(docsStream,
+      graft.operators.DedupFeatureStore.build(base0, storePath))(sink)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_zscore_alerts" -> (zscoreAlerts _),

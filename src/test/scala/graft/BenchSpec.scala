@@ -38,6 +38,19 @@ class BenchSpec extends AnyFunSuite {
       s"full-load probe should not beat single-thread: $real")
   }
 
+  test("oracle denominator rides both lines as oracle_total + ratio") {
+    val line = Bench.compactLine(159.2, "/x/sf0.1", None, Some(98.5))
+    assert(line.contains(""""oracle_total":98.5,"ratio":1.616,"""))
+    assert(line.endsWith(""""sf":0.1}"""), "sf must stay the final field")
+    assert(line.getBytes("UTF-8").length < 500)
+    val detail = Bench.detailLine(159.2, manyQueries, "/x/sf0.1",
+      oracle = Some(98.5))
+    assert(detail.contains(""""oracle_total":98.5,"ratio":1.616,"""))
+    // no oracle → fields absent, shape unchanged (None and ≤0 alike)
+    assert(!Bench.compactLine(1.0, "/x/sf0.1").contains("oracle"))
+    assert(!Bench.compactLine(1.0, "/x/sf0.1", None, Some(0.0)).contains("oracle"))
+  }
+
   test("sf parses to a number for sfN dirs and degrades to a string") {
     assert(Bench.compactLine(1.0, "/x/sf0.001").endsWith(""""sf":0.001}"""))
     assert(Bench.compactLine(1.0, "weird-dir").endsWith(""""sf":"weird-dir"}"""))

@@ -213,6 +213,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, true)), "unrelated payload is its own keeper")
   }
 
+  test("mm semantic: an aggressive re-encode that phash MISSES is caught") {
+    import spark.implicits._
+    val base = Seq.tabulate(60)(i =>
+      s"frame $i tone ${(i * 7) % 13} sample block payload").mkString(" ")
+    // aggressive re-encode: case remap + whitespace renormalization
+    // rewrites essentially EVERY byte trigram (the phash feature
+    // space) while the decoded content — the token stream — is
+    // unchanged (text.tokens case-folds and collapses whitespace)
+    val reencoded = base.toUpperCase.replace(" ", "  ")
+    val other = Seq.tabulate(60)(i =>
+      s"lorem ${i * 31} ipsum dolor sit amet consectetur").mkString(" ")
+    val docs = Seq((1L, base), (2L, reencoded), (3L, other))
+      .toDF("doc_id", "text")
+    // byte-level pass provably misses it…
+    val phash = MultimodalOps.phashPairsFromDocs(docs, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!phash.contains((1L, 2L)),
+      "the re-encode must escape the byte-trigram signature (hamming > 3)")
+    // …the semantic pass catches it through the decoded embedding
+    val sem = MultimodalOps.mmSemanticFromDocs(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(sem(1L) == ((-1L, true)), "min-id representative kept")
+    assert(sem(2L) == ((1L, false)),
+      "re-encode caught as a semantic dup of the original")
+    assert(sem(3L) == ((-1L, true)), "unrelated payload kept")
+  }
+
+  test("mm semantic: stub encoder (driver-side) equals the expression-path embedding") {
+    // mediaVecOf is where a real CLIP-style encoder plugs in; the
+    // query path computes the same embedding as expressions — the
+    // two must agree bit-for-bit on the corpus (the binaryMeta /
+    // phashOf boundary-equivalence discipline)
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val want = docs.collect().map { r =>
+      (r.getLong(0),
+        MultimodalOps.mediaVecOf(r.getString(1).getBytes("UTF-8")).toSeq)
+    }.toSet
+    val got = MultimodalOps.mediaVectorsFromDocs(docs)
+      .collect().map { r =>
+        (r.getLong(0),
+          r.getSeq[Double](1).map(_.toLong).toSeq)
+      }.toSet
+    assert(got == want)
+  }
+
   test("phash: typed boundary signatures equal a driver-side recompute") {
     // the mapPartitions codec path (encode -> bytes -> phashOf) must
     // agree with hashing the UTF-8 bytes directly on the driver —

@@ -486,7 +486,8 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming ingest dedup == batch replay, cross-batch near-dup found") {
+  test("streaming ingest dedup == store batch replay, cross-batch " +
+      "near-dup found, per-batch plan never scans base text") {
     implicit val sqlCtx = spark.sqlContext
     def words(seed: Int, n: Int) =
       (0 until n).map(i => s"w${(seed * 31 + i * 7) % 97}tok$i").mkString(" ")
@@ -496,37 +497,44 @@ class StreamingSpec extends AnyFunSuite {
     val nearOf2 = words(2, 30).replace("tok5", "edit5").replace("tok9", "edit9")
     val batchA = Seq((100L, nearOf2), (101L, words(7, 30)))
     // batch B: 200 exact-dups base doc 1; 201 near-dups 101 — a doc
-    // that arrived in the PRIOR batch and was folded into the base
+    // that arrived in the PRIOR batch and was folded into the store
     // (the cross-batch case); 202 new
     val nearOf101 = words(7, 30).replace("tok3", "edit3")
     val batchB = Seq((200L, words(1, 30)), (201L, nearOf101),
       (202L, words(11, 30)))
 
-    val base0 = base0Rows.toDF("doc_id", "text")
+    // base text lives ON DISK so the no-base-text-scan assertion has
+    // a real path to catch: a regression back to re-shingling
+    // batch ∪ base would put docsPath in the per-batch plan
+    val docsPath = "/tmp/graft_spec_ingest_docs"
+    base0Rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(docsPath)
+    val storePath = "/tmp/graft_spec_ingest_store"
     val mem = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Map.empty[Long, Set[(Long, String, Long)]]
+    val plans = scala.collection.mutable.Map.empty[Long, String]
     val q = StreamingOps.ingestDedup(
-        mem.toDF().toDF("doc_id", "text"), base0) { (id, verdict) =>
+        mem.toDF().toDF("doc_id", "text"),
+        spark.read.parquet(docsPath), storePath) { (id, verdict) =>
       got(id) = verdict.collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      plans(id) = verdict.queryExecution.executedPlan.toString
     }
     try {
       mem.addData(batchA); q.processAllAvailable()
       mem.addData(batchB); q.processAllAvailable()
     } finally q.stop()
 
-    // batch replay: the same fold, no stream in sight
-    var base = base0
-    val want = Seq(batchA, batchB).map { b =>
-      val v = graft.operators.DedupOps
-        .verdictAgainstBase(b.toDF("doc_id", "text"), base)
+    // batch replay through a SECOND store: fold per batch, no stream
+    val store2 = graft.operators.DedupFeatureStore.build(
+      spark.read.parquet(docsPath), "/tmp/graft_spec_ingest_store2")
+    val want = Seq(batchA, batchB).zipWithIndex.map { case (b, i) =>
+      store2.fold(b.toDF("doc_id", "text"), i.toLong)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-      base = base.unionByName(b.toDF("doc_id", "text"))
-      v
     }
     assert(got.size == 2, s"two micro-batches expected, got ${got.keySet}")
     val gotOrdered = got.toSeq.sortBy(_._1).map(_._2)
-    assert(gotOrdered == want, "stream verdicts == batch replay")
+    assert(gotOrdered == want, "stream verdicts == store batch replay")
     val all = gotOrdered.flatten.map(t => t._1 -> (t._2, t._3)).toMap
     assert(all(100L) == ("near_dup", 2L), "in-batch near-dup vs seed base")
     assert(all(101L) == ("new", -1L))
@@ -534,5 +542,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(all(201L) == ("near_dup", 101L),
       "cross-batch near-dup: twin of a PRIOR batch's doc")
     assert(all(202L) == ("new", -1L))
+
+    // the scale guarantee, asserted on the EXECUTED per-batch plans:
+    // every file scan reads the feature store; the base corpus'
+    // text parquet appears in no micro-batch plan
+    plans.foreach { case (id, p) =>
+      assert(!p.contains(docsPath),
+        s"batch $id plan scans base TEXT:\n$p")
+      assert(p.contains(storePath),
+        s"batch $id plan reads no store relations:\n$p")
+    }
   }
 }
