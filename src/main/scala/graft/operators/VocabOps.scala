@@ -1002,7 +1002,7 @@ object VocabOps {
     freq.select(regexp_replace(col("token"), "(.)", " $1 ").as("enc"),
       col("freq"))
 
-  private def bpePairs(words: DataFrame): DataFrame = {
+  private[graft] def bpePairs(words: DataFrame): DataFrame = {
     val syms = split(trim(col("enc")), "  ")
     val prs = when(size(syms) < 2,
       array().cast("array<struct<a:string,b:string>>"))
@@ -1014,14 +1014,14 @@ object VocabOps {
       .groupBy("a", "b").agg(sum(col("freq")).as("n"))
   }
 
-  private def bpeBest(pairsDf: DataFrame): DataFrame =
+  private[graft] def bpeBest(pairsDf: DataFrame): DataFrame =
     pairsDf
       .agg(min(struct((-col("n")).as("negn"), col("a").as("a"),
         col("b").as("b"))).as("bp"))
       .select(col("bp.a").as("a"), col("bp.b").as("b"),
         (-col("bp.negn")).as("n"))
 
-  private def bpeMerge(words: DataFrame, bestDf: DataFrame): DataFrame =
+  private[graft] def bpeMerge(words: DataFrame, bestDf: DataFrame): DataFrame =
     // coalesce: a DRY step (no pairs anywhere — only possible on a
     // degenerate corpus of single-symbol words) leaves words unchanged
     // instead of nulling them
@@ -1040,6 +1040,32 @@ object VocabOps {
     * vocab-sized relation, never a corpus rescan. */
   def trainBpe(s: SparkSession, d: String, steps: Int): DataFrame =
     bpeMergesFromWords(bpeWords0(s, d), steps)
+
+  /** Instrumented training loop for the long-horizon scale probe
+    * (graft.tools.BpeBench): the IDENTICAL per-round chain as
+    * [[trainBpe]], materialized round by round, yielding (step, wall
+    * seconds, executed-plan node count of that round's merged-words
+    * checkpoint). The cost-model claim under test: per-round wall and
+    * plan size stay FLAT as merges accumulate — each round reads only
+    * the previous round's materialized checkpoint (vocab-bounded, a
+    * few MB), never the chain back to the corpus, so a 30k-merge run
+    * is 30k small jobs. Plan nodes are sampled every `planEvery`
+    * rounds (collecting the executed plan costs a job itself). */
+  private[graft] def bpeProbe(s: SparkSession, d: String, steps: Int,
+                              planEvery: Int): Seq[(Int, Double, Int)] = {
+    var words = bpeWords0(s, d)
+    (1 to steps).map { step =>
+      val t0 = System.nanoTime()
+      val b = bpeBest(bpePairs(words))
+      words = graft.Checkpoints.eager(bpeMerge(words, b))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nodes =
+        if (step == 1 || step % planEvery == 0)
+          words.queryExecution.executedPlan.collect { case p => p }.size
+        else -1
+      (step, secs, nodes)
+    }
+  }
 
   private[graft] def bpeMergesFromWords(
       words0: DataFrame, steps: Int = BpeSteps): DataFrame = {

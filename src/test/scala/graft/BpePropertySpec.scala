@@ -84,4 +84,24 @@ class BpePropertySpec extends AnyFunSuite {
       got.toSeq == want
     }, n = 12)
   }
+
+  test("per-round plan size is bounded — round 30 as flat as round 2") {
+    // the trainBpe cost-model invariant (30k merges = 30k small jobs):
+    // each round's merged-words plan reads the PREVIOUS round's
+    // materialized checkpoint, so the executed plan must not deepen
+    // with the round number — a missing lineage cut would grow it
+    // linearly and round 30 would dwarf round 2
+    val corpus = Seq.tabulate(40)(i =>
+      (s"w${i % 7}x${i % 5}y$i", (i % 9 + 1).toLong))
+    val words0 = VocabOps.bpeEncode(corpus.toDF("token", "freq"))
+    var words = words0
+    val nodes = (1 to 30).map { _ =>
+      val b = VocabOps.bpeBest(VocabOps.bpePairs(words))
+      words = graft.Checkpoints.eager(VocabOps.bpeMerge(words, b))
+      words.queryExecution.executedPlan.collect { case p => p }.size
+    }
+    assert(nodes(29) <= nodes(1) + 2,
+      s"plan grew with round number: ${nodes.mkString(",")}")
+    assert(nodes.max <= 40, s"per-round plan not small: ${nodes.max}")
+  }
 }
