@@ -180,12 +180,28 @@ object DedupOps {
     * bucket-capped via the partial/final bounded-heap top-k. */
   private[graft] def bucketCandidates(banded: DataFrame, bucketCols: Seq[String],
                                       idCol: String, cap: Int): DataFrame = {
-    // size-gated: buckets are mostly unique (keys ≈ rows), so the
-    // blanket per-key heap would copy ~the whole relation into
-    // non-spillable Scala state — the gate heaps only oversized
-    // buckets and is the identity otherwise
+    // pairs only arise in buckets with ≥2 members: drop SINGLETON
+    // buckets before the self-join. On a mostly-unique corpus —
+    // the common shape, keys ≈ rows — this shrinks both join sides
+    // from O(N) to O(duplicated rows), and it is what lets the join's
+    // hash build survive a planted 100M-unique-buckets relation at a
+    // 16 GB heap (CapGateSoak): the pre-fix build side was the FULL
+    // reps relation, a non-spillable HashedRelation ∝ corpus. The
+    // membership count is a spillable map-side-combined aggregate.
+    val multi = banded.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(bucketCols.map(col): _*)
+    // materialized once: the capPerKey gate (count + anti + heap) and
+    // both pair-join sides all read the pruned relation
+    val dup = graft.Checkpoints.eager(
+      banded.select((bucketCols :+ idCol).map(col): _*)
+        .join(multi.hint("shuffle_hash"), bucketCols, "left_semi"))
+    // size-gated: the blanket per-key heap would copy ~the whole
+    // relation into non-spillable Scala state — the gate heaps only
+    // oversized buckets and is the identity otherwise
     val reps = graft.functions.topk.capPerKey(
-        banded.select((bucketCols :+ idCol).map(col): _*),
+        dup,
         keys = bucketCols,
         order = Seq(graft.functions.topk.Order(idCol)),
         k = cap)
@@ -200,7 +216,7 @@ object DedupOps {
     // candidate stream and spills
     val repsR = reps.select(
       bucketCols.map(c => col(c).as(s"k_$c")) :+ col("cand_a"): _*)
-    val full = banded.select(bucketCols.map(col) :+ col(idCol).as("cand_b"): _*)
+    val full = dup.select(bucketCols.map(col) :+ col(idCol).as("cand_b"): _*)
     full.join(repsR.hint("shuffle_hash"),
         bucketCols.map(c => col(s"k_$c") === col(c)).reduce(_ && _) &&
           col("cand_a") < col("cand_b"))
@@ -442,12 +458,21 @@ object DedupOps {
                                       batchB: DataFrame, baseB: DataFrame,
                                       batchSh: DataFrame, baseSh: DataFrame,
                                       sizes: DataFrame): DataFrame = {
+    // probe-side pruning FIRST: base reps only matter for buckets the
+    // BATCH actually probes, so semi-join the base's banded rows to
+    // the batch's bucket keys (bounded: batch·bands rows, the small
+    // build side) before any capping — per batch the base then
+    // contributes O(matching buckets), never O(base), to the rep cap
+    // and the join build (the 100 TB standing-base shape)
+    val batchKeys = batchB.select("band", "bh").distinct()
+    val baseHit = baseB.select(col("band"), col("bh"), col("doc_id"))
+      .join(batchKeys.hint("shuffle_hash"), Seq("band", "bh"), "left_semi")
     // size-gated cap (not the blanket heap): (band, bh) buckets are
     // mostly UNIQUE on a real corpus — keys ≈ rows, the exact shape
     // whose per-key heap map is non-spillable driver-of-OOM state
     // (round-9 verdict item 3); the gate heaps only oversized buckets
     val baseReps = graft.functions.topk.capPerKey(
-        baseB.select(col("band"), col("bh"), col("doc_id")),
+        baseHit,
         keys = Seq("band", "bh"),
         order = Seq(graft.functions.topk.Order("doc_id")),
         k = CandBucketCap)

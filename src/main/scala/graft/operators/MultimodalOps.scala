@@ -657,52 +657,128 @@ object MultimodalOps {
     * [[dedupPhash]] provably misses (hamming > 3) and this pass
     * catches (cosine 1.0). */
   def mmSemantic(s: SparkSession, d: String): DataFrame =
-    mmSemanticFromDocs(DedupOps.docsParallel(s, d))
+    graft.Memo.cached(s, "mm_semantic", d)(
+      mmSemanticFromDocs(DedupOps.docsParallel(s, d)))
 
   /** Mirror: the shared hashEmbed vector CTEs over documents, the
     * SAME ±1 plane literals as the Spark plan (both read
     * `DedupOps.hyperplanes`), rep-cap QUALIFY, rational-exact cosine
     * verification, min-id keeper. */
-  private def mmSemanticSql: String = {
+  /** The semantic verdict CTEs alone, names PREFIXED `$p` so the
+    * chain composes next to the phash/hamming CTEs in one WITH
+    * (mm_dedup_cascade — the semanticDupCte precedent). Assumes the
+    * hashEmbedVecCtes `vecs` in scope; ends at ${p}ver(doc_id,
+    * dup_raw). */
+  private[operators] def mmSemanticCtes(p: String): String = {
     def dot(a: String, b: String) =
       "list_reduce(list_prepend(cast(0.0 as double), " +
         s"list_transform(range(1, ${TextOps.hashEmbedDim + 1}), " +
         s"i -> cast($a.vec[i] as double) * cast($b.vec[i] as double))), " +
         "(acc, x) -> acc + x)"
-    s"""WITH ${TextOps.hashEmbedVecCtes},
-       |memb AS MATERIALIZED (
+    s"""${p}memb AS MATERIALIZED (
        |  SELECT doc_id AS vec_id,
        |    list_transform(vec, x -> cast(x as double)) AS embedding, vec,
        |    list_reduce(list_prepend(cast(0 as bigint), vec),
        |      (acc, x) -> acc + x * x) AS norm2
        |  FROM vecs),
-       |banded AS MATERIALIZED (
-       |  ${DedupOps.bandedSql("memb", "vec_id", MmSemTables, MmSemBits)}),
-       |reps AS (
-       |  SELECT tbl, bv, vec_id FROM banded
+       |${p}banded AS MATERIALIZED (
+       |  ${DedupOps.bandedSql(s"${p}memb", "vec_id", MmSemTables, MmSemBits)}),
+       |${p}reps AS (
+       |  SELECT tbl, bv, vec_id FROM ${p}banded
        |  QUALIFY row_number() OVER (PARTITION BY tbl, bv
        |    ORDER BY vec_id) <= $MmSemCap),
-       |cand AS MATERIALIZED (
+       |${p}cand AS MATERIALIZED (
        |  SELECT DISTINCT r.vec_id AS a, b.vec_id AS b
-       |  FROM reps r JOIN banded b USING (tbl, bv)
+       |  FROM ${p}reps r JOIN ${p}banded b USING (tbl, bv)
        |  WHERE r.vec_id < b.vec_id),
-       |scored AS (
+       |${p}scored AS (
        |  SELECT c.b AS doc_id, c.a AS a, ${dot("ea", "eb")} AS dp,
        |    ea.norm2 AS n2a, eb.norm2 AS n2b
-       |  FROM cand c
-       |  JOIN memb ea ON c.a = ea.vec_id
-       |  JOIN memb eb ON c.b = eb.vec_id),
-       |ver AS (
-       |  SELECT doc_id, min(a) AS dup_raw FROM scored
+       |  FROM ${p}cand c
+       |  JOIN ${p}memb ea ON c.a = ea.vec_id
+       |  JOIN ${p}memb eb ON c.b = eb.vec_id),
+       |${p}ver AS MATERIALIZED (
+       |  SELECT doc_id, min(a) AS dup_raw FROM ${p}scored
        |  WHERE dp > 0 AND dp * dp * $MmSemTauDen >= $MmSemTauNum * n2a * n2b
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def mmSemanticSql: String =
+    s"""WITH ${TextOps.hashEmbedVecCtes},
+       |${mmSemanticCtes("m")}
        |SELECT d.doc_id, coalesce(v.dup_raw, -1) AS dup_of,
        |  v.dup_raw IS NULL AS kept
-       |FROM documents d LEFT JOIN ver v USING (doc_id)""".stripMargin
+       |FROM documents d LEFT JOIN mver v USING (doc_id)""".stripMargin
+
+  /** Media dedup CASCADE with first-hit attribution — the media twin
+    * of `dedup_cascade`: per payload, the CHEAPEST stage that
+    * catches it (exact SHA-256 byte dup → perceptual phash cluster →
+    * semantic embedding dup → unique) and the kept doc it defers to.
+    * The stage-yield table that prices each pass: what does the
+    * perceptual layer add over exact hashing, and the semantic layer
+    * over both. All three verdicts are the already-registered
+    * relations (payload SHA agg, memoized phash clusters, memoized
+    * semantic verdict) — the cascade is three doc_id joins, zero new
+    * passes over payload bytes. */
+  def mmCascade(s: SparkSession, d: String): DataFrame = {
+    val payload = encode(col("text"), "UTF-8")
+    val sha = Tables.documents(s, d)
+      .select(col("doc_id"), sha2(payload, 256).as("h"))
+    val exact = sha
+      .join(sha.groupBy("h").agg(min(col("doc_id")).as("exact_keep")), "h")
+      .filter(col("doc_id") > col("exact_keep"))
+      .select("doc_id", "exact_keep")
+    val perc = phashClusters(s, d)
+      .filter(col("cluster_id") < col("doc_id"))
+      .select(col("doc_id"), col("cluster_id").as("phash_keep"))
+    val sem = mmSemantic(s, d).filter(!col("kept"))
+      .select(col("doc_id"), col("dup_of").as("sem_keep"))
+    Tables.documents(s, d).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(perc, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_keep").isNotNull, "exact")
+          .when(col("phash_keep").isNotNull, "perceptual")
+          .when(col("sem_keep").isNotNull, "semantic")
+          .otherwise("unique").as("stage"),
+        coalesce(col("exact_keep"), col("phash_keep"), col("sem_keep"),
+          lit(-1L)).as("keep_id"))
   }
+
+  /** Mirror: the phash chunk chain + hamming CTEs + recursive cc
+    * fixpoint (shared builders), the m-prefixed semantic chain, and
+    * the SHA exact layer — one WITH, the dedup_cascade composition
+    * precedent. */
+  private def mmCascadeSql: String =
+    s"""WITH RECURSIVE $phashChunksCtes,
+       |${DedupOps.hammingPairsCtes(PhashBucketCap)},
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ham WHERE hamming <= ${DedupOps.HammingMax}),
+       |${CorpusOps.ccFixpointCte},
+       |${TextOps.hashEmbedVecCtes},
+       |${mmSemanticCtes("m")},
+       |shad AS (SELECT doc_id, sha256(text) AS h FROM documents),
+       |shakeep AS (SELECT h, min(doc_id) AS exact_keep FROM shad GROUP BY 1),
+       |ex AS (
+       |  SELECT s.doc_id, k.exact_keep FROM shad s JOIN shakeep k USING (h)
+       |  WHERE s.doc_id > k.exact_keep)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.exact_keep IS NOT NULL THEN 'exact'
+       |       WHEN cc.cluster_id < d.doc_id THEN 'perceptual'
+       |       WHEN sv.dup_raw IS NOT NULL THEN 'semantic'
+       |       ELSE 'unique' END AS stage,
+       |  coalesce(ex.exact_keep,
+       |    CASE WHEN cc.cluster_id < d.doc_id THEN cc.cluster_id END,
+       |    sv.dup_raw, -1) AS keep_id
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |JOIN cc ON cc.doc_id = d.doc_id
+       |LEFT JOIN mver sv ON sv.doc_id = d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_semantic" -> (mmSemantic _),
+    "mm_dedup_cascade" -> (mmCascade _),
     "mm_dedup_phash" -> (dedupPhash _),
     "mm_phash_clusters" -> (phashClusters _),
     "mm_audio_chunks" -> (audioChunks _),
@@ -716,6 +792,7 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "mm_dedup_semantic" -> mmSemanticSql,
+    "mm_dedup_cascade" -> mmCascadeSql,
     "mm_dedup_phash" -> dedupPhashSql,
     "mm_phash_clusters" -> phashClustersSql,
     "mm_audio_chunks" -> audioChunksSql,

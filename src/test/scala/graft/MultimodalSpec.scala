@@ -259,6 +259,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("mm cascade: verdicts recompose from the three stage operators") {
+    import org.apache.spark.sql.functions.col
+    val d = sf
+    val got = MultimodalOps.mmCascade(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // recompose: exact beats perceptual beats semantic beats unique
+    val exact = MultimodalOps.payloadDedup(spark, d)
+      .filter(col("n_copies") > 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shaOf = graft.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.encode(col("text"), "UTF-8"), 256))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perc = MultimodalOps.phashClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sem = MultimodalOps.mmSemantic(spark, d)
+      .filter(!col("kept")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (stage, keep)) =>
+      val exactKeep = exact.get(shaOf(id)).filter(_ < id)
+      val percKeep = perc.get(id).filter(_ < id)
+      val semKeep = sem.get(id)
+      val want = exactKeep.map(("exact", _))
+        .orElse(percKeep.map(("perceptual", _)))
+        .orElse(semKeep.map(("semantic", _)))
+        .getOrElse(("unique", -1L))
+      assert((stage, keep) == want, s"doc $id")
+    }
+  }
+
   test("phash: typed boundary signatures equal a driver-side recompute") {
     // the mapPartitions codec path (encode -> bytes -> phashOf) must
     // agree with hashing the UTF-8 bytes directly on the driver —
