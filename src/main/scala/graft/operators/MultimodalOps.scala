@@ -480,7 +480,8 @@ object MultimodalOps {
 
   /** Bench/Verify fill hook (one lane, no upstream deps). */
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
-    "phash_sigs" -> (() => { phashSigsMemo(s, d); () }))
+    "phash_sigs" -> (() => { phashSigsMemo(s, d); () }),
+    "mm_semantic" -> (() => { mmSemantic(s, d).count(); () }))
 
   /** Perceptual media CLUSTERS — the keep/drop verdict over the
     * phash pair graph (connected components, smallest id kept):

@@ -84,6 +84,19 @@ def run_staged(con, sql):
     if not parsed:
         return con.sql(sql).df()
     recursive, ctes, main = parsed
+    # peak-footprint control: a staged table is DEAD once its last
+    # consumer has materialized — drop it then, not at query end
+    # (the tokenize/shingle heads feed only the next step or two; at
+    # sf10 keeping them all alive is itself tens of GB of temp)
+    last_ref = {}
+    for idx, (name, _) in enumerate(ctes):
+        pat = re.compile(rf'\b{name}\b')
+        last_ref[name] = idx
+        for later, (_, b2) in enumerate(ctes[idx + 1:], idx + 1):
+            if pat.search(b2):
+                last_ref[name] = later
+        if pat.search(main):
+            last_ref[name] = len(ctes)
     created = []
     try:
         rest = None
@@ -93,7 +106,11 @@ def run_staged(con, sql):
                 break
             con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
             created.append(name)
+            for dead in [c for c in created if last_ref[c] == idx and c != name]:
+                con.sql(f'DROP TABLE IF EXISTS "{dead}"')
+                created.remove(dead)
         if rest:
+            # tables read by the recursive tail or the main query stay
             wl = ", ".join(f'{n2} AS ({b})' for n2, b in rest)
             q = f'WITH RECURSIVE {wl} {main}'
         else:
