@@ -616,16 +616,24 @@ object MultimodalOps {
       .select(col("doc_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
     val cand = DedupOps.bucketCandidates(banded, Seq("tbl", "bv"), "doc_id",
       MmSemCap)
-    def side(idc: String) = vecs.select(col("doc_id").as(idc),
-      col("embedding").as(s"e_$idc"), col("norm2").as(s"n_$idc"))
+    // ids-only pair stream; vectors re-attach through the family's
+    // size-adaptive strategy (broadcast under the budget, ids-keyed
+    // shuffle_hash above it). Attaching the 64-double vectors to the
+    // raw pair stream instead shuffled ~1 KB × hundreds of millions
+    // of LSH pairs at sf10 — the spill shape embAttacher exists to
+    // prevent. norm² is the vector's self-dot (integer-valued, exact)
+    // so no separate norm relation rides the join.
+    val attach = DedupOps.embAttacher(
+      vecs.select(col("doc_id").as("vec_id"), col("embedding")))
     val dup = cand
-      .join(side("cand_a"), "cand_a")
-      .join(side("cand_b"), "cand_b")
-      .withColumn("dot",
-        graft.functions.vector.dot(col("e_cand_a"), col("e_cand_b")))
+      .join(attach("cand_a", "ea"), "cand_a")
+      .join(attach("cand_b", "eb"), "cand_b")
+      .withColumn("dot", graft.functions.vector.dot(col("ea"), col("eb")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(MmSemTauDen) >=
-          (col("n_cand_a") * col("n_cand_b") * lit(MmSemTauNum)).cast("double"))
+          graft.functions.vector.dot(col("ea"), col("ea")) *
+            graft.functions.vector.dot(col("eb"), col("eb")) *
+            lit(MmSemTauNum))
       .groupBy(col("cand_b").as("doc_id"))
       .agg(min(col("cand_a")).as("dup_raw"))
     docs.select("doc_id").join(dup, Seq("doc_id"), "left")
