@@ -61,10 +61,25 @@ final class DedupFeatureStore private[operators] (
   /** Frozen frequent-shingle blocklist (hs: long). Small by
     * construction (a shingle needs df > MaxDf docs to enter), so it
     * broadcasts. */
-  def frequent: DataFrame = spark.read.parquet(s"$path/frequent")
+  def frequent: DataFrame =
+    spark.read.schema("hs long").parquet(s"$path/frequent")
+
+  /** Explicit schemas for every store read: a generation whose batch
+    * produced ZERO rows for a table (every shingle blocklisted — a
+    * real state on a small-vocabulary corpus where the whole shingle
+    * vocabulary is frequent) writes no data files, and schema
+    * INFERENCE over a files-less table fails; a declared schema
+    * yields the correct empty relation instead. `ingest_gen` is the
+    * partition column — declared long so generation ids never
+    * truncate. */
+  private val genSchemas = Map(
+    "norm" -> "doc_id long, nt_h long, ingest_gen long",
+    "shingles" -> "doc_id long, sh long, ingest_gen long",
+    "banded" -> "doc_id long, band int, bh long, ingest_gen long",
+    "sizes" -> "doc_id long, n long, ingest_gen long")
 
   private def gens(name: String, before: Long): DataFrame =
-    spark.read.parquet(s"$path/$name")
+    spark.read.schema(genSchemas(name)).parquet(s"$path/$name")
       .filter(col("ingest_gen") < before)
       .drop("ingest_gen")
 
@@ -141,7 +156,7 @@ final class DedupFeatureStore private[operators] (
     * the refreshed list, already-persisted generations keep their
     * rows, which the rep-capped bucket join tolerates). */
   def refreshBlocklist(): Unit =
-    spark.read.parquet(s"$path/shingles")
+    spark.read.schema(genSchemas("shingles")).parquet(s"$path/shingles")
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > DedupOps.MaxDf)
       .select(col("sh").as("hs"))
@@ -164,6 +179,14 @@ object DedupFeatureStore {
     * any store at `path`. */
   def build(docs: DataFrame, path: String): DedupFeatureStore = {
     val spark = docs.sparkSession
+    // a NEW store: wipe the whole path first — overwriting only the
+    // seed generation would leave any stale/partial generations from
+    // a previous (possibly crashed mid-write) store alive under the
+    // same root, and a generation dir holding only staging debris
+    // fails parquet schema inference at read time
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
     val seed = docs.select("doc_id", "text")
     val raw = graft.Checkpoints.eager(
       DedupOps.rawShingles(seed).withColumn("hs", xxhash64(col("sh"))))
