@@ -849,12 +849,23 @@ object DedupOps {
       .select(col("doc_id"), col("sig"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
 
+    // singleton chunk-buckets can never emit a pair: prune them
+    // before the self-join (the bucketCandidates discipline — chunk
+    // buckets over a mostly-unique corpus are keys ≈ rows, and both
+    // the blanket heap's per-key map and the join build otherwise
+    // scale with the corpus instead of with the duplicated rows)
+    val multi = blocked.groupBy(col("ci"), col("cv"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+      .select("ci", "cv")
+    val dup = graft.Checkpoints.eager(
+      blocked.join(multi.hint("shuffle_hash"), Seq("ci", "cv"), "left_semi"))
     // left side of the bucket join = the cap lowest-doc_id members per
-    // bucket (bounded per-key heap, not a bucket sort); a pair (a,b)
-    // with a<b is emitted iff a is a representative in some shared
-    // bucket — identical to the uncapped self-join whenever every
-    // shared bucket has ≤ cap members
-    val reps = graft.functions.topk.perKey(blocked,
+    // bucket (size-gated bounded heap, not a bucket sort); a pair
+    // (a,b) with a<b is emitted iff a is a representative in some
+    // shared bucket — identical to the uncapped self-join whenever
+    // every shared bucket has ≤ cap members
+    val reps = graft.functions.topk.capPerKey(dup,
         keys = Seq("ci", "cv"),
         order = Seq(graft.functions.topk.Order("doc_id")),
         k = bucketCap)
@@ -862,7 +873,7 @@ object DedupOps {
         col("ci"), col("cv"))
 
     reps
-      .join(blocked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      .join(dup.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("ci"), col("cv")), Seq("ci", "cv"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
