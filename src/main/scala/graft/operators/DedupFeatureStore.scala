@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.text
 
@@ -13,33 +14,65 @@ import graft.functions.text
   * batch (the round-9 scale-killer: `verdictAgainstBase` recomputes
   * `shinglesFromDocs(batch ∪ base)` per call, O(|base|) text work
   * against a standing 100 TB corpus). This store persists exactly
-  * the four relations the verdict consumes, each a few fixed-width
+  * the relations the verdict consumes, each a few fixed-width
   * columns — document text NEVER lands in the store:
   *
   *   - `frequent`  (hs)                — the FROZEN df blocklist
   *   - `norm`      (doc_id, nt_h)      — xxhash64 of normalized text
   *   - `shingles`  (doc_id, sh: long)  — xxhash64 of capped shingles
   *   - `banded`    (doc_id, band, bh)  — MinHash band signatures
-  *   - `sizes`     (doc_id, n)         — capped shingle count
+  *   - `sizes`     (doc_id, n)         — capped shingle count (n = 0
+  *     rows included: `sizes` doubles as the per-generation doc
+  *     INDEX, so even a doc whose every shingle is blocklisted can be
+  *     looked up and superseded)
+  *   - `resent`    (doc_id, old_gen)   — supersession masks (below)
   *
-  * All but `frequent` are parquet tables PARTITIONED BY `ingest_gen`
+  * ==Generations==
+  * All featured tables are parquet PARTITIONED BY `ingest_gen`
   * (generation): the seed corpus is generation [[DedupFeatureStore
-  * .SeedGen]], each folded batch its own generation (a streaming
-  * micro-batch's batchId). A fold's base is every generation
-  * STRICTLY BEFORE its own, and its feature append overwrites only
-  * its own generation's partition (dynamic partition overwrite) — so
-  * an at-least-once replay of a batch is idempotent: the re-fold
-  * cannot see the half-written features of its first attempt (own
-  * gen excluded from the base) and the re-append replaces rather
-  * than duplicates them.
+  * .SeedGen]], each folded batch its own generation. A fold's base is
+  * every generation STRICTLY BEFORE its own, and its feature append
+  * overwrites only its own generation's partitions (dynamic partition
+  * overwrite) — so an at-least-once replay of a batch is idempotent:
+  * the re-fold cannot see the half-written features of its first
+  * attempt (own gen excluded from the base) and the re-append
+  * replaces rather than duplicates them.
+  *
+  * ==Re-sent ids (supersession)==
+  * A re-crawl legitimately re-sends a doc_id it folded before. Its
+  * OWN fold verdicts it against the prior version (an unchanged
+  * re-fetch is an exact_dup of itself — the crawl semantics), but
+  * every LATER fold must see only the doc's latest version: two
+  * generations' copies in the base would double the doc's rows in the
+  * shingle/size joins and corrupt jaccard for any pair touching it
+  * (round-10 ADVICE, high). Generations stay immutable, so the fix is
+  * a mask: each fold records `(doc_id, old_gen)` pairs for the ids it
+  * re-sends in the tiny `resent` table (its own generation's
+  * partition — replay-idempotent like the features), and every base
+  * read anti-joins masks written strictly before it. The masked rows
+  * are physically dropped at the next [[compactGenerations]].
+  *
+  * ==Bucketed layout / pruned folds==
+  * Within each generation the tables are SUB-PARTITIONED by a
+  * key-mod bucket ([[DedupFeatureStore.StoreBuckets]] dirs/gen):
+  * `banded` by pmod(bh), `norm` by pmod(nt_h), `shingles`/`sizes` by
+  * pmod(doc_id). A fold collects the ≤ StoreBuckets distinct bucket
+  * values its batch actually probes (a BOUNDED driver list by
+  * construction) and pushes them as a static partition filter, so the
+  * per-fold scan reads only matching buckets' files — sub-linear in
+  * base size for any batch whose probe set doesn't cover every
+  * bucket, instead of the round-10 shape that read the whole base
+  * feature table and pruned AFTER the scan. At a standing 100 TB
+  * corpus StoreBuckets rises with the fleet (it only changes dir
+  * fan-out); the scanned fraction stays ≈ min(1, probed/total).
   *
   * FROZEN df discipline: the frequent-shingle blocklist is a SEED
   * statistic (computed once at [[build]], like a stopword list) and
   * applies uniformly to every later batch — the discipline the
   * registered `dedup_ingest_fold` documents ("the df cap and
   * signatures come from the global store, only the id split moves").
-  * [[refreshBlocklist]] recomputes it over everything folded so far
-  * for corpora whose head distribution drifts.
+  * [[refreshBlocklist]] grows it for corpora whose head distribution
+  * drifts.
   *
   * Hash representation: the store keeps xxhash64 of normalized text
   * and of shingle strings, not the strings (at 100 TB the wide
@@ -69,73 +102,143 @@ final class DedupFeatureStore private[operators] (
     * real state on a small-vocabulary corpus where the whole shingle
     * vocabulary is frequent) writes no data files, and schema
     * INFERENCE over a files-less table fails; a declared schema
-    * yields the correct empty relation instead. `ingest_gen` is the
-    * partition column — declared long so generation ids never
-    * truncate. */
+    * yields the correct empty relation instead. `ingest_gen` and the
+    * bucket column are the partition columns — declared long so
+    * neither generation ids nor bucket values ever truncate. */
   private val genSchemas = Map(
-    "norm" -> "doc_id long, nt_h long, ingest_gen long",
-    "shingles" -> "doc_id long, sh long, ingest_gen long",
-    "banded" -> "doc_id long, band int, bh long, ingest_gen long",
-    "sizes" -> "doc_id long, n long, ingest_gen long")
+    "norm" -> "doc_id long, nt_h long, ingest_gen long, kn long",
+    "shingles" -> "doc_id long, sh long, ingest_gen long, kd long",
+    "banded" -> "doc_id long, band int, bh long, ingest_gen long, kb long",
+    "sizes" -> "doc_id long, n long, ingest_gen long, kd long")
 
-  private def gens(name: String, before: Long): DataFrame =
-    spark.read.schema(genSchemas(name)).parquet(s"$path/$name")
+  /** Per-table bucket partition column and the expression it buckets. */
+  private val kCol = Map("norm" -> "kn", "shingles" -> "kd",
+    "banded" -> "kb", "sizes" -> "kd")
+  private val resentSchema = "doc_id long, old_gen long, ingest_gen long"
+
+  /** Supersession masks written strictly before generation `gen` —
+    * bounded by the number of actually re-sent docs since the last
+    * compaction (tiny on a real crawl; [[compactGenerations]] retires
+    * it), hence the broadcast. */
+  private def resentBefore(gen: Long): DataFrame =
+    spark.read.schema(resentSchema).parquet(s"$path/resent")
+      .filter(col("ingest_gen") < gen)
+      .select("doc_id", "old_gen")
+
+  /** LIVE rows of table `name` strictly before `before` — superseded
+    * versions masked out, `ingest_gen` retained — optionally pruned to
+    * the store buckets in `ks` (a static partition filter: the scan
+    * itself reads only matching buckets' files). */
+  private def liveGens(name: String, before: Long,
+                       ks: Option[Seq[Long]]): DataFrame = {
+    val all = spark.read.schema(genSchemas(name)).parquet(s"$path/$name")
       .filter(col("ingest_gen") < before)
-      .drop("ingest_gen")
+    val pruned = ks match {
+      case Some(Nil) => all.filter(lit(false))
+      case Some(v)   => all.filter(col(kCol(name)).isin(v: _*))
+      case None      => all
+    }
+    val res = resentBefore(before)
+    pruned.join(broadcast(res),
+        pruned("doc_id") === res("doc_id") &&
+          pruned("ingest_gen") === res("old_gen"), "left_anti")
+  }
+
+  private def gens(name: String, before: Long,
+                   ks: Option[Seq[Long]] = None): DataFrame =
+    liveGens(name, before, ks).drop("ingest_gen", kCol(name))
+
+  /** Distinct store buckets of expression `e` over `df` — the prune
+    * list a fold pushes into the store scans. BOUNDED driver state:
+    * pmod(·, StoreBuckets) has at most StoreBuckets distinct values. */
+  private def buckets(df: DataFrame, e: Column): Seq[Long] =
+    df.select(pmod(e, lit(StoreBuckets)).as("k")).distinct()
+      .collect().map(_.getLong(0)).toSeq
 
   /** Verdict of `batch` (doc_id, text) against every generation
     * strictly before `gen`, through the persisted relations only —
     * the per-batch plan tokenizes/shingles/bands the BATCH and joins
-    * the store's columnar feature tables; base text is never read.
+    * the store's columnar feature tables; base text is never read,
+    * and each store scan carries a static bucket-partition filter
+    * from the batch's own probe keys (norm by the batch's nt_h
+    * buckets, banded by its bh buckets, shingles/sizes by the
+    * MATERIALIZED candidate set's doc buckets — the candidate stage
+    * runs eagerly here, which is why this is not a purely lazy plan).
     * Output: (doc_id, status exact_dup|near_dup|new, hit_id, jaccard)
-    * — the `verdictAgainstBase` contract. Pure read side; see
+    * — the `verdictAgainstBase` contract. Read side only; see
     * [[fold]] for verdict + feature append. */
   def verdict(batch: DataFrame, gen: Long): DataFrame =
     verdictOf(featurize(batch), gen)
 
   private def verdictOf(f: Features, gen: Long): DataFrame = {
+    val baseNorm = gens("norm", gen, Some(buckets(f.norm, col("nt_h"))))
     val exactHit = f.norm
-      .join(gens("norm", gen)
-        .select(col("nt_h"), col("doc_id").as("base_id")), "nt_h")
+      .join(baseNorm.select(col("nt_h"), col("doc_id").as("base_id")), "nt_h")
       .groupBy("doc_id").agg(min(col("base_id")).as("exact_hit"))
-    DedupOps.verdictCoreSplit(
-      f.ids, exactHit,
-      batchB = f.banded, baseB = gens("banded", gen),
-      batchSh = f.shingles, baseSh = gens("shingles", gen),
-      sizes = gens("sizes", gen).unionByName(f.sizes))
+    val baseB = gens("banded", gen, Some(buckets(f.banded, col("bh"))))
+    // materialize the (bounded: batch·bands·cap) candidate pairs so
+    // their doc buckets can statically prune the shingle/size scans
+    val cand = graft.Checkpoints.eager(
+      DedupOps.verdictCandidates(f.banded, baseB))
+    val kd = Some(buckets(cand, col("doc_base")))
+    DedupOps.verdictFromCandidates(
+      f.ids, exactHit, cand,
+      batchSh = f.shingles, baseSh = gens("shingles", gen, kd),
+      sizesBase = gens("sizes", gen, kd), sizesBatch = f.sizes)
   }
 
-  /** Verdict + fold: featurize `batch` ONCE, append its features as
+  /** Verdict + fold: featurize `batch` ONCE, record supersession
+    * masks for any re-sent ids, append the batch's features as
     * generation `gen` (overwriting that generation if it already
     * exists — idempotent replay), and return the verdict against the
     * strictly-earlier generations. The verdict DataFrame stays valid
     * after the append because its base excludes `gen` by partition
-    * filter. Cost per call: O(|batch| text work + candidates) — the
-    * base is touched only through the capped bucket join and the
-    * candidate-bounded intersection join over the store's columnar
+    * filter (and its own masks by the `< gen` resent filter). Cost
+    * per call: O(|batch| text work + candidates) — the base is
+    * touched only through bucket-pruned scans of the store's columnar
     * integer relations. */
   def fold(batch: DataFrame, gen: Long): DataFrame = {
     val f = featurize(batch)
+    supersede(f.ids, gen)
     append(f, gen)
     verdictOf(f, gen)
   }
 
+  /** Record generation `gen`'s supersession masks: for each batch id
+    * already in the store, the (doc_id, old_gen) of its current
+    * latest version. One bucket-pruned lookup against the `sizes` doc
+    * index; deterministic given the store below `gen`, so a replayed
+    * fold rewrites the identical partition. */
+  private def supersede(ids: DataFrame, gen: Long): Unit = {
+    val live = liveGens("sizes", gen, Some(buckets(ids, col("doc_id"))))
+    live.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("ingest_gen").as("old_gen"))
+      .withColumn("ingest_gen", lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_gen")
+      .parquet(s"$path/resent")
+  }
+
   private def append(f: Features, gen: Long): Unit = {
-    def write(name: String, df: DataFrame): Unit =
-      df.withColumn("ingest_gen", lit(gen))
+    def write(name: String, df: DataFrame, k: Column): Unit =
+      df.withColumn(kCol(name), pmod(k, lit(StoreBuckets)))
+        .withColumn("ingest_gen", lit(gen))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_gen")
+        .partitionBy("ingest_gen", kCol(name))
         .parquet(s"$path/$name")
-    write("norm", f.norm)
-    write("shingles", f.shingles)
-    write("banded", f.banded)
-    write("sizes", f.sizes)
+    write("norm", f.norm, col("nt_h"))
+    write("shingles", f.shingles, col("doc_id"))
+    write("banded", f.banded, col("bh"))
+    write("sizes", f.sizes, col("doc_id"))
   }
 
   /** Batch featurization under the FROZEN blocklist: one pass over
     * the batch text (eagerly checkpointed — banding, sizes and the
-    * verdict all read it), strings dropped at the boundary. */
+    * verdict all read it), strings dropped at the boundary. `norm` is
+    * checkpointed too: the fold reads it twice (bucket collection +
+    * exact layer). */
   private def featurize(batch: DataFrame): Features = {
     val docs = batch.select("doc_id", "text")
     val capped = graft.Checkpoints.eager(
@@ -144,23 +247,147 @@ final class DedupFeatureStore private[operators] (
         .join(broadcast(frequent), Seq("hs"), "left_anti"))
     val banded = DedupOps.bandedFromShingles(capped.select("doc_id", "sh"))
     val shingles = capped.select(col("doc_id"), col("hs").as("sh"))
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val norm = DedupOps.normText(docs)
-      .select(col("doc_id"), xxhash64(col("nt")).as("nt_h"))
-    Features(docs.select("doc_id"), norm, shingles, banded, sizes)
+    val ids = docs.select("doc_id")
+    // left join, not groupBy alone: a doc with zero surviving
+    // shingles still needs its n = 0 index row (supersession lookup)
+    val sizes = ids.join(
+        shingles.groupBy("doc_id").agg(count(lit(1)).as("cnt")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("n"))
+    val norm = graft.Checkpoints.eager(DedupOps.normText(docs)
+      .select(col("doc_id"), xxhash64(col("nt")).as("nt_h")))
+    Features(ids, norm, shingles, banded, sizes)
   }
 
-  /** Recompute the frequent blocklist over every generation folded so
-    * far (maintenance — run when the corpus head distribution has
-    * drifted from the seed; newly-appended batches then cap against
-    * the refreshed list, already-persisted generations keep their
-    * rows, which the rep-capped bucket join tolerates). */
-  def refreshBlocklist(): Unit =
-    spark.read.schema(genSchemas("shingles")).parquet(s"$path/shingles")
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DedupOps.MaxDf)
-      .select(col("sh").as("hs"))
-      .write.mode("overwrite").parquet(s"$path/frequent")
+  /** Highest generation present (SeedGen for a fresh store) — a
+    * partition-metadata read of the doc-index table: `ingest_gen`
+    * values come from directory names, no data bytes are read. */
+  def maxGen: Long = {
+    val r = spark.read.schema(genSchemas("sizes")).parquet(s"$path/sizes")
+      .agg(max(col("ingest_gen"))).head()
+    if (r.isNullAt(0)) SeedGen else r.getLong(0)
+  }
+
+  /** Generation base for a (possibly restarted) streaming ingest run:
+    * folds use gen = base + batchId. Keyed by the run's checkpoint
+    * location and PERSISTED in the store at first start, so a restart
+    * of the same run resumes the SAME base (a replayed batchId maps
+    * to its original generation — replay stays idempotent even when
+    * earlier folds already advanced [[maxGen]] past it), while a NEW
+    * run (fresh or no checkpoint) starts strictly above every
+    * generation already in the store instead of restarting at raw
+    * batchId 0 and clobbering prior folds (round-10 ADVICE). A run
+    * WITHOUT a checkpoint cannot replay across restarts, so its base
+    * needs no marker. */
+  private[graft] def runBase(checkpoint: Option[String]): Long = {
+    val fresh = maxGen + 1L
+    checkpoint match {
+      case None => fresh
+      case Some(cp) =>
+        val key = sha8(cp)
+        val p = new Path(s"$path/runs/$key")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          try in.readLong() finally in.close()
+        } else {
+          val out = fs.create(p, false)
+          try out.writeLong(fresh) finally out.close()
+          fresh
+        }
+    }
+  }
+
+  /** Fold every generation ≤ `upTo` into ONE compacted generation
+    * (rewritten as generation `upTo`). After thousands of
+    * micro-batches the store holds thousands of small generation
+    * partitions and every fold's pruned read still opens a file per
+    * (generation × bucket) — compaction bounds the per-fold file
+    * count again (StoreSoak's lifecycle). Superseded rows (masked by
+    * `resent`) are dropped for good and their masks retired, so a
+    * verdict at any generation > `upTo` is ROW-IDENTICAL before and
+    * after (DedupStoreSpec proves it). Call between folds with
+    * `upTo` ≤ [[maxGen]] and no streaming run pending a replay at or
+    * below `upTo`. The stage→delete→rewrite sequence is not
+    * crash-atomic (a crash between delete and rewrite leaves the
+    * compacted rows only in the staging dir, recoverable manually); a
+    * production deployment commits the swap through a manifest, the
+    * IncrementalRollup discipline. */
+  def compactGenerations(upTo: Long): Unit = {
+    require(upTo >= SeedGen, s"upTo=$upTo below SeedGen")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every mask is applicable here regardless of WHEN it was written:
+    // compaction runs after the folds, so a mask from any generation
+    // correctly retires its target's rows in the compacted range
+    val resAll = spark.read.schema(resentSchema).parquet(s"$path/resent")
+      .select("doc_id", "old_gen")
+    for (name <- Seq("norm", "shingles", "banded", "sizes")) {
+      val rows = spark.read.schema(genSchemas(name)).parquet(s"$path/$name")
+        .filter(col("ingest_gen") <= upTo)
+      val live = rows.join(broadcast(resAll),
+          rows("doc_id") === resAll("doc_id") &&
+            rows("ingest_gen") === resAll("old_gen"), "left_anti")
+        .withColumn("ingest_gen", lit(upTo))
+      val staged = s"$path/.compact_$name"
+      live.write.mode("overwrite").parquet(staged)
+      deleteGens(fs, s"$path/$name", upTo)
+      spark.read.schema(genSchemas(name)).parquet(staged)
+        .write.mode("append").partitionBy("ingest_gen", kCol(name))
+        .parquet(s"$path/$name")
+      fs.delete(new Path(staged), true)
+    }
+    // masks over compacted generations are retired with their targets;
+    // only masks pointing at still-live generations survive
+    val keep = spark.read.schema(resentSchema).parquet(s"$path/resent")
+      .filter(col("old_gen") > upTo)
+    val stagedR = s"$path/.compact_resent"
+    keep.write.mode("overwrite").parquet(stagedR)
+    fs.delete(new Path(s"$path/resent"), true)
+    spark.read.schema(resentSchema).parquet(stagedR)
+      .write.mode("overwrite").partitionBy("ingest_gen")
+      .parquet(s"$path/resent")
+    fs.delete(new Path(stagedR), true)
+  }
+
+  private def deleteGens(fs: org.apache.hadoop.fs.FileSystem,
+                         table: String, upTo: Long): Unit =
+    fs.listStatus(new Path(table)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("ingest_gen=") &&
+          n.stripPrefix("ingest_gen=").toLong <= upTo)
+        fs.delete(st.getPath, true)
+    }
+
+  /** Grow the frequent blocklist from everything folded so far
+    * (maintenance — run when the corpus head distribution has drifted
+    * from the seed; it full-scans the shingle table ONCE, never per
+    * fold). The persisted shingles only ever contain blocklist
+    * SURVIVORS — a currently-blocked shingle has zero persisted rows,
+    * so recomputing df from them alone would silently DROP every
+    * seed-frequent shingle (round-10 ADVICE): the blocklist is
+    * monotone, recomputed entries union with the existing list. df is
+    * counted over LIVE rows only (supersession-masked), one count per
+    * doc's latest version. Batches folded after a refresh cap against
+    * the grown list; already-persisted generations keep their rows,
+    * which the size-gated rep cap tolerates. */
+  def refreshBlocklist(): Unit = {
+    val sh = spark.read.schema(genSchemas("shingles"))
+      .parquet(s"$path/shingles")
+    val res = spark.read.schema(resentSchema).parquet(s"$path/resent")
+      .select("doc_id", "old_gen")
+    val live = sh.join(broadcast(res),
+      sh("doc_id") === res("doc_id") &&
+        sh("ingest_gen") === res("old_gen"), "left_anti")
+    // eager: the merged list reads `frequent` and then OVERWRITES it —
+    // materialize before touching the files it came from
+    val merged = graft.Checkpoints.eager(
+      live.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > DedupOps.MaxDf)
+        .select(col("sh").as("hs"))
+        .unionByName(frequent).distinct())
+    merged.write.mode("overwrite").parquet(s"$path/frequent")
+  }
 
   private case class Features(ids: DataFrame, norm: DataFrame,
                               shingles: DataFrame, banded: DataFrame,
@@ -173,6 +400,17 @@ object DedupFeatureStore {
     * id (streaming batchIds start at 0). */
   val SeedGen: Long = -1L
 
+  /** Bucket-partition fan-out per generation and table (dirs/gen).
+    * Folds prune their store scans to the buckets they probe, so the
+    * scanned fraction of the base is ≈ min(1, probed/StoreBuckets) —
+    * raise it with corpus size (it only changes directory fan-out;
+    * no row is keyed by it). */
+  val StoreBuckets: Long = 64L
+
+  private def sha8(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Featurize the seed corpus (doc_id, text) and write the store:
     * frequent blocklist from the seed's document frequencies, then
     * the seed's own features as generation [[SeedGen]]. Overwrites
@@ -184,7 +422,7 @@ object DedupFeatureStore {
     // a previous (possibly crashed mid-write) store alive under the
     // same root, and a generation dir holding only staging debris
     // fails parquet schema inference at read time
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     val seed = docs.select("doc_id", "text")
@@ -195,6 +433,14 @@ object DedupFeatureStore {
       .select("hs")
       .write.mode("overwrite").parquet(s"$path/frequent")
     val store = new DedupFeatureStore(spark, path)
+    // an empty resent table (schema-declared reads tolerate the
+    // zero-file state) so every later mask read has a real path
+    spark.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0L).as("old_gen"),
+        lit(0L).as("ingest_gen"))
+      .limit(0)
+      .write.mode("overwrite").partitionBy("ingest_gen")
+      .parquet(s"$path/resent")
     store.append(store.featurize(seed), SeedGen)
     store
   }
@@ -208,9 +454,18 @@ object DedupFeatureStore {
 
   /** Deterministic store location for the registered query (rebuilt
     * and overwritten per call — partition overwrite keeps repeated
-    * runs idempotent). */
-  private def storePathFor(d: String): String =
-    "/tmp/graft_store/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    * runs idempotent). Rooted under the JVM tmpdir + user and
+    * suffixed with a hash of the FULL dir string: the lossy character
+    * sanitization alone could collide two distinct data dirs on one
+    * store path, and a fixed world-readable /tmp prefix is
+    * pre-creatable by other local users (round-10 ADVICE). */
+  private def storePathFor(d: String): String = {
+    val user = Option(System.getProperty("user.name")).getOrElse("anon")
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      .stripSuffix("/")
+    s"$tmp/graft_store_$user/" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + sha8(d)
+  }
 
   /** `dedup_store_fold`: the two-step crawl-ingest fold of
     * `dedup_ingest_fold`, run THROUGH a real on-disk store — build

@@ -457,7 +457,17 @@ object DedupOps {
   private[graft] def verdictCoreSplit(batchIds: DataFrame, exactHit: DataFrame,
                                       batchB: DataFrame, baseB: DataFrame,
                                       batchSh: DataFrame, baseSh: DataFrame,
-                                      sizes: DataFrame): DataFrame = {
+                                      sizes: DataFrame): DataFrame =
+    verdictFromCandidates(batchIds, exactHit,
+      verdictCandidates(batchB, baseB), batchSh, baseSh,
+      sizesBase = sizes, sizesBatch = sizes)
+
+  /** LSH candidate stage of the batch-vs-base verdict, factored out so
+    * the feature-store path can MATERIALIZE the (bounded) candidate
+    * pair set and statically prune its shingle/size parquet scans to
+    * the candidates' store buckets before the verify stage runs. */
+  private[graft] def verdictCandidates(batchB: DataFrame,
+                                       baseB: DataFrame): DataFrame = {
     // probe-side pruning FIRST: base reps only matter for buckets the
     // BATCH actually probes, so semi-join the base's banded rows to
     // the batch's bucket keys (bounded: batch·bands rows, the small
@@ -478,17 +488,32 @@ object DedupOps {
         k = CandBucketCap)
       .select(col("band").as("k_band"), col("bh").as("k_bh"),
         col("doc_id").as("doc_base"))
-    val cand = batchB.join(baseReps.hint("shuffle_hash"),
+    batchB.join(baseReps.hint("shuffle_hash"),
         col("k_band") === col("band") && col("k_bh") === col("bh"))
       .select(col("doc_base"), col("doc_id")).distinct()
+  }
+
+  /** Verify + verdict from a candidate pair set. Size relations are
+    * SPLIT by side — `sizesBase` joins by `doc_base`, `sizesBatch` by
+    * `doc_id` — never a union of the two: when an id legitimately
+    * exists on BOTH sides (a re-sent doc verdicting against its own
+    * earlier store version) a unioned relation would carry two rows
+    * for it and fan the jaccard join out (round-10 ADVICE). */
+  private[graft] def verdictFromCandidates(batchIds: DataFrame,
+                                           exactHit: DataFrame,
+                                           cand: DataFrame,
+                                           batchSh: DataFrame,
+                                           baseSh: DataFrame,
+                                           sizesBase: DataFrame,
+                                           sizesBatch: DataFrame): DataFrame = {
     val inter = cand
       .join(baseSh.select(col("doc_id").as("doc_base"), col("sh")), "doc_base")
       .join(batchSh.select(col("doc_id"), col("sh")), Seq("doc_id", "sh"))
       .groupBy("doc_base", "doc_id").agg(count(lit(1)).as("n_shared"))
     val near = inter
-      .join(sizes.select(col("doc_id").as("doc_base"), col("n").as("na")),
+      .join(sizesBase.select(col("doc_id").as("doc_base"), col("n").as("na")),
         "doc_base")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), "doc_id")
+      .join(sizesBatch.select(col("doc_id"), col("n").as("nb")), "doc_id")
       .withColumn("jaccard",
         col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= JaccardTau)

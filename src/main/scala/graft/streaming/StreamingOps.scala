@@ -395,15 +395,20 @@ object StreamingOps {
     * re-shingled batch ∪ base. StreamingSpec asserts the per-batch
     * executed plan's file scans all live under the store path.
     *
-    * Recovery: state lives on disk keyed by batch id, not in driver
-    * memory. With a `checkpointDir`, a restarted query replays the
-    * last uncommitted batch and [[graft.operators.DedupFeatureStore
-    * .fold]] is replay-idempotent (its base excludes its own
-    * generation; its append overwrites it), so at-least-once replay
-    * re-emits the same verdict rows — the reference's
-    * check-then-insert guarantee, now across restarts too. A NEW run
-    * over the same store resumes where the old one folded
-    * (cross-session re-crawl).
+    * Recovery: state lives on disk keyed by generation, not in driver
+    * memory. Generations are NOT the raw batchId (a new run's batchIds
+    * restart at 0 and would overwrite the old run's generations —
+    * round-10 ADVICE): each run folds at gen = base + batchId, where
+    * base comes from [[graft.operators.DedupFeatureStore.runBase]] —
+    * persisted per checkpoint location at first start, so a RESTART of
+    * the same run maps a replayed batchId back to its original
+    * generation and [[graft.operators.DedupFeatureStore.fold]]'s
+    * replay idempotence holds (its base excludes its own generation;
+    * its append overwrites it): at-least-once replay re-emits the same
+    * verdict rows — the reference's check-then-insert guarantee, now
+    * across restarts too. A NEW run (fresh or no checkpoint) starts
+    * strictly above every generation already folded, so it RESUMES the
+    * store (cross-session re-crawl) instead of clobbering it.
     *
     * `docsStream` needs (doc_id, text); returns the started query. */
   def ingestDedup(docsStream: DataFrame,
@@ -411,12 +416,13 @@ object StreamingOps {
                   checkpointDir: Option[String] = None)
                  (sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = store.runBase(checkpointDir)
     val w = docsStream.writeStream.outputMode("append")
     checkpointDir.fold(w)(p => w.option("checkpointLocation", p))
       .foreachBatch { (batchRaw: DataFrame, id: Long) =>
         val batch = graft.Checkpoints.eager(
           batchRaw.select("doc_id", "text"))
-        if (!batch.isEmpty) sink(id, store.fold(batch, id))
+        if (!batch.isEmpty) sink(id, store.fold(batch, base + id))
         ()
       }
       .start()
