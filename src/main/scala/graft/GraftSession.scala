@@ -37,6 +37,15 @@ object GraftSession {
       // them out to interpreted per-row evaluation (~10-30× slower on
       // the hot map stage). 200 covers every plan in this engine.
       .config("spark.sql.codegen.maxFields", "200")
+      // partitioned-table listing: above this many child dirs Spark
+      // dispatches a DISTRIBUTED listing job — right for object
+      // storage on a real cluster, pure job-launch overhead on a
+      // local filesystem (the feature store's gen × bucket layout
+      // crosses the default 32 every fold). Locally the driver lists
+      // thousands of dirs in milliseconds; on a cluster deployment
+      // lower this back toward the default.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "8192")
       // native expressions (cosine_sim) available in SQL
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

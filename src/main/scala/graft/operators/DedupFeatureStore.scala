@@ -155,6 +155,22 @@ final class DedupFeatureStore private[operators] (
     df.select(pmod(e, lit(StoreBuckets)).as("k")).distinct()
       .collect().map(_.getLong(0)).toSeq
 
+  /** The batch's three static prune lists — norm (nt_h), doc (doc_id)
+    * and band (bh) buckets — in ONE job (a fold runs per micro-batch;
+    * three separate collects were a third of its fixed job count).
+    * Bounded: ≤ 3 × StoreBuckets rows. */
+  private def probeBuckets(f: Features): (Seq[Long], Seq[Long], Seq[Long]) = {
+    val rows = f.norm
+      .select(pmod(col("nt_h"), lit(StoreBuckets)).as("k"), lit(0).as("t"))
+      .unionAll(f.norm
+        .select(pmod(col("doc_id"), lit(StoreBuckets)).as("k"), lit(1).as("t")))
+      .unionAll(f.banded
+        .select(pmod(col("bh"), lit(StoreBuckets)).as("k"), lit(2).as("t")))
+      .distinct().collect()
+    def of(t: Int) = rows.filter(_.getInt(1) == t).map(_.getLong(0)).toSeq
+    (of(0), of(1), of(2))
+  }
+
   /** Verdict of `batch` (doc_id, text) against every generation
     * strictly before `gen`, through the persisted relations only —
     * the per-batch plan tokenizes/shingles/bands the BATCH and joins
@@ -167,15 +183,19 @@ final class DedupFeatureStore private[operators] (
     * Output: (doc_id, status exact_dup|near_dup|new, hit_id, jaccard)
     * — the `verdictAgainstBase` contract. Read side only; see
     * [[fold]] for verdict + feature append. */
-  def verdict(batch: DataFrame, gen: Long): DataFrame =
-    verdictOf(featurize(batch), gen)
+  def verdict(batch: DataFrame, gen: Long): DataFrame = {
+    val f = featurize(batch)
+    val (kn, _, kb) = probeBuckets(f)
+    verdictOf(f, gen, kn, kb)
+  }
 
-  private def verdictOf(f: Features, gen: Long): DataFrame = {
-    val baseNorm = gens("norm", gen, Some(buckets(f.norm, col("nt_h"))))
+  private def verdictOf(f: Features, gen: Long,
+                        kn: Seq[Long], kb: Seq[Long]): DataFrame = {
+    val baseNorm = gens("norm", gen, Some(kn))
     val exactHit = f.norm
       .join(baseNorm.select(col("nt_h"), col("doc_id").as("base_id")), "nt_h")
       .groupBy("doc_id").agg(min(col("base_id")).as("exact_hit"))
-    val baseB = gens("banded", gen, Some(buckets(f.banded, col("bh"))))
+    val baseB = gens("banded", gen, Some(kb))
     // materialize the (bounded: batch·bands·cap) candidate pairs so
     // their doc buckets can statically prune the shingle/size scans
     val cand = graft.Checkpoints.eager(
@@ -199,9 +219,10 @@ final class DedupFeatureStore private[operators] (
     * integer relations. */
   def fold(batch: DataFrame, gen: Long): DataFrame = {
     val f = featurize(batch)
-    supersede(f.ids, gen)
+    val (kn, kd, kb) = probeBuckets(f)
+    supersede(f.ids, gen, kd)
     append(f, gen)
-    verdictOf(f, gen)
+    verdictOf(f, gen, kn, kb)
   }
 
   /** Record generation `gen`'s supersession masks: for each batch id
@@ -209,8 +230,8 @@ final class DedupFeatureStore private[operators] (
     * latest version. One bucket-pruned lookup against the `sizes` doc
     * index; deterministic given the store below `gen`, so a replayed
     * fold rewrites the identical partition. */
-  private def supersede(ids: DataFrame, gen: Long): Unit = {
-    val live = liveGens("sizes", gen, Some(buckets(ids, col("doc_id"))))
+  private def supersede(ids: DataFrame, gen: Long, kd: Seq[Long]): Unit = {
+    val live = liveGens("sizes", gen, Some(kd))
     live.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("ingest_gen").as("old_gen"))
       .withColumn("ingest_gen", lit(gen))
@@ -221,17 +242,35 @@ final class DedupFeatureStore private[operators] (
   }
 
   private def append(f: Features, gen: Long): Unit = {
+    // repartition by the bucket column first: one task owns each
+    // bucket, so a generation writes ONE file per touched bucket
+    // instead of (upstream tasks × buckets) — the per-fold listing
+    // cost over many generations is proportional to file count, and
+    // this keeps it at the bucket fan-out. At executor-sized batch
+    // volumes add a salt column here to widen a bucket across tasks.
     def write(name: String, df: DataFrame, k: Column): Unit =
       df.withColumn(kCol(name), pmod(k, lit(StoreBuckets)))
         .withColumn("ingest_gen", lit(gen))
+        .repartition(col(kCol(name)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_gen", kCol(name))
         .parquet(s"$path/$name")
-    write("norm", f.norm, col("nt_h"))
-    write("shingles", f.shingles, col("doc_id"))
-    write("banded", f.banded, col("bh"))
-    write("sizes", f.sizes, col("doc_id"))
+    // the four tables are independent (distinct paths, shared inputs
+    // already checkpointed): run the writes concurrently — the
+    // per-write cost is mostly the partitioned-commit protocol over
+    // the bucket dirs, which serializes on the driver per write, so
+    // overlapping them cuts the fold's append wall to ~the slowest
+    // single table
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(write("norm", f.norm, col("nt_h"))),
+      Future(write("shingles", f.shingles, col("doc_id"))),
+      Future(write("banded", f.banded, col("bh"))),
+      Future(write("sizes", f.sizes, col("doc_id"))))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
   }
 
   /** Batch featurization under the FROZEN blocklist: one pass over
@@ -241,11 +280,21 @@ final class DedupFeatureStore private[operators] (
     * exact layer). */
   private def featurize(batch: DataFrame): Features = {
     val docs = batch.select("doc_id", "text")
+    featurizeHashed(docs,
+      DedupOps.rawShingles(docs).withColumn("hs", xxhash64(col("sh"))))
+  }
+
+  /** [[featurize]] from an already-derived hashed raw-shingle
+    * relation — [[DedupFeatureStore.build]] reuses the checkpoint its
+    * df count was computed from instead of re-tokenizing the seed. */
+  private def featurizeHashed(docs: DataFrame, rawHs: DataFrame): Features = {
     val capped = graft.Checkpoints.eager(
-      DedupOps.rawShingles(docs)
-        .withColumn("hs", xxhash64(col("sh")))
-        .join(broadcast(frequent), Seq("hs"), "left_anti"))
-    val banded = DedupOps.bandedFromShingles(capped.select("doc_id", "sh"))
+      rawHs.join(broadcast(frequent), Seq("hs"), "left_anti"))
+    // banding is the batch's most expensive derivation and has THREE
+    // consumers per fold (probe-bucket collection, the feature append,
+    // the candidate stage) — materialize it once
+    val banded = graft.Checkpoints.eager(
+      DedupOps.bandedFromShingles(capped.select("doc_id", "sh")))
     val shingles = capped.select(col("doc_id"), col("hs").as("sh"))
     val ids = docs.select("doc_id")
     // left join, not groupBy alone: a doc with zero surviving
@@ -329,10 +378,15 @@ final class DedupFeatureStore private[operators] (
           rows("doc_id") === resAll("doc_id") &&
             rows("ingest_gen") === resAll("old_gen"), "left_anti")
         .withColumn("ingest_gen", lit(upTo))
-      val staged = s"$path/.compact_$name"
+      // a VISIBLE sibling dir (never a table path, table reads only
+      // ever target $path/<table>): dot/underscore prefixes are
+      // hidden-filtered by the file index and depend on listing
+      // internals
+      val staged = s"$path/tmp_compact/$name"
       live.write.mode("overwrite").parquet(staged)
       deleteGens(fs, s"$path/$name", upTo)
       spark.read.schema(genSchemas(name)).parquet(staged)
+        .repartition(col(kCol(name)))
         .write.mode("append").partitionBy("ingest_gen", kCol(name))
         .parquet(s"$path/$name")
       fs.delete(new Path(staged), true)
@@ -341,13 +395,14 @@ final class DedupFeatureStore private[operators] (
     // only masks pointing at still-live generations survive
     val keep = spark.read.schema(resentSchema).parquet(s"$path/resent")
       .filter(col("old_gen") > upTo)
-    val stagedR = s"$path/.compact_resent"
+    val stagedR = s"$path/tmp_compact/resent"
     keep.write.mode("overwrite").parquet(stagedR)
     fs.delete(new Path(s"$path/resent"), true)
     spark.read.schema(resentSchema).parquet(stagedR)
       .write.mode("overwrite").partitionBy("ingest_gen")
       .parquet(s"$path/resent")
-    fs.delete(new Path(stagedR), true)
+    fs.delete(new Path(s"$path/tmp_compact"), true)
+    ()
   }
 
   private def deleteGens(fs: org.apache.hadoop.fs.FileSystem,
@@ -441,7 +496,8 @@ object DedupFeatureStore {
       .limit(0)
       .write.mode("overwrite").partitionBy("ingest_gen")
       .parquet(s"$path/resent")
-    store.append(store.featurize(seed), SeedGen)
+    store.append(
+      store.featurizeHashed(seed.select("doc_id", "text"), raw), SeedGen)
     store
   }
 
