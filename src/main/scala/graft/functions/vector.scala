@@ -36,6 +36,16 @@ object vector {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
+  /** Integer dot of two `array<long>` columns via the native fused
+    * Catalyst expression (graft.plans.DotLongExpr): one allocation-
+    * free pass, exact, value-identical to the builtin fold (and the
+    * SQL mirror) on integer-valued inputs — only faster. */
+  def dotLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.DotLongExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** Matching DuckDB SQL fragments (same fold shape). */
   object sql {
     def dot(a: String, b: String): String =

@@ -159,7 +159,7 @@ final class DedupFeatureStore private[operators] (
     * and band (bh) buckets — in ONE job (a fold runs per micro-batch;
     * three separate collects were a third of its fixed job count).
     * Bounded: ≤ 3 × StoreBuckets rows. */
-  private def probeBuckets(f: Features): (Seq[Long], Seq[Long], Seq[Long]) = {
+  private[graft] def probeBuckets(f: Features): (Seq[Long], Seq[Long], Seq[Long]) = {
     val rows = f.norm
       .select(pmod(col("nt_h"), lit(StoreBuckets)).as("k"), lit(0).as("t"))
       .unionAll(f.norm
@@ -189,7 +189,7 @@ final class DedupFeatureStore private[operators] (
     verdictOf(f, gen, kn, kb)
   }
 
-  private def verdictOf(f: Features, gen: Long,
+  private[graft] def verdictOf(f: Features, gen: Long,
                         kn: Seq[Long], kb: Seq[Long]): DataFrame = {
     val baseNorm = gens("norm", gen, Some(kn))
     val exactHit = f.norm
@@ -230,7 +230,7 @@ final class DedupFeatureStore private[operators] (
     * latest version. One bucket-pruned lookup against the `sizes` doc
     * index; deterministic given the store below `gen`, so a replayed
     * fold rewrites the identical partition. */
-  private def supersede(ids: DataFrame, gen: Long, kd: Seq[Long]): Unit = {
+  private[graft] def supersede(ids: DataFrame, gen: Long, kd: Seq[Long]): Unit = {
     val live = liveGens("sizes", gen, Some(kd))
     live.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("ingest_gen").as("old_gen"))
@@ -241,7 +241,7 @@ final class DedupFeatureStore private[operators] (
       .parquet(s"$path/resent")
   }
 
-  private def append(f: Features, gen: Long): Unit = {
+  private[graft] def append(f: Features, gen: Long): Unit = {
     // repartition by the bucket column first: one task owns each
     // bucket, so a generation writes ONE file per touched bucket
     // instead of (upstream tasks × buckets) — the per-fold listing
@@ -278,7 +278,7 @@ final class DedupFeatureStore private[operators] (
     * verdict all read it), strings dropped at the boundary. `norm` is
     * checkpointed too: the fold reads it twice (bucket collection +
     * exact layer). */
-  private def featurize(batch: DataFrame): Features = {
+  private[graft] def featurize(batch: DataFrame): Features = {
     val docs = batch.select("doc_id", "text")
     featurizeHashed(docs,
       DedupOps.rawShingles(docs).withColumn("hs", xxhash64(col("sh"))))
@@ -444,7 +444,7 @@ final class DedupFeatureStore private[operators] (
     merged.write.mode("overwrite").parquet(s"$path/frequent")
   }
 
-  private case class Features(ids: DataFrame, norm: DataFrame,
+  private[graft] case class Features(ids: DataFrame, norm: DataFrame,
                               shingles: DataFrame, banded: DataFrame,
                               sizes: DataFrame)
 }

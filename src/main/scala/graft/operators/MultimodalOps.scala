@@ -461,10 +461,14 @@ object MultimodalOps {
       graft.Checkpoints.eager(phashSigsFromDocs(docs)), cap)
 
   /** The memoized signature relation — both sides of the chunk join
-    * read it, and a pipeline lands signatures once per corpus. */
+    * read it, and a pipeline lands signatures once per corpus. A
+    * projection of [[mediaFeatsMemo]]: the phash pass and the
+    * semantic pass share ONE payload decode sweep (short payloads
+    * carry no trigram signal and are excluded by contract — the same
+    * filter [[phashSigsFromDocs]] applies before the codec). */
   private[graft] def phashSigsMemo(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cachedEager(s, "phash_sigs", d)(
-      phashSigsFromDocs(Tables.documents(s, d)))
+    mediaFeatsMemo(s, d).filter(col("sig_ok"))
+      .select(col("doc_id"), col("sig"))
 
   /** Perceptual near-duplicate media pairs: payloads whose 64-bit
     * perceptual signatures ([[phashOf]]) lie within hamming ≤ 3,
@@ -478,9 +482,10 @@ object MultimodalOps {
   def dedupPhash(s: SparkSession, d: String): DataFrame =
     DedupOps.hammingPairs(phashSigsMemo(s, d), PhashBucketCap)
 
-  /** Bench/Verify fill hook (one lane, no upstream deps). */
+  /** Bench/Verify fill hook (one lane: the shared decode sweep, then
+    * the semantic verdict built over it). */
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
-    "phash_sigs" -> (() => { phashSigsMemo(s, d); () }),
+    "media_feats" -> (() => { mediaFeatsMemo(s, d); () }),
     "mm_semantic" -> (() => { mmSemantic(s, d).count(); () }))
 
   /** Perceptual media CLUSTERS — the keep/drop verdict over the
@@ -594,9 +599,14 @@ object MultimodalOps {
     vec
   }
 
-  /** Doc-aligned media embeddings from the payload column: decode at
-    * the binary boundary, then the signed token-hash vector (dense
-    * 64-dim integer counts as doubles + exact integer norm²). */
+  /** Expression-path twin of the codec-boundary embedding: the SAME
+    * signed token-hash vector computed entirely in Catalyst
+    * expressions (tokenize → rolling hash → signed counts → dense
+    * grid) — the shape the DuckDB mirror's hashEmbed CTEs also
+    * compute. Production reads [[mediaFeatsFromDocs]] (one decode
+    * sweep); this twin exists so MultimodalSpec can prove the typed
+    * encoder is value-neutral against an independent recompute, the
+    * same boundary-equivalence discipline [[phashOf]] carries. */
   private[graft] def mediaVectorsFromDocs(docs: DataFrame): DataFrame =
     TextOps.hashEmbedDense(
         docs.select(col("doc_id"),
@@ -605,38 +615,115 @@ object MultimodalOps {
         transform(col("vec"), _.cast("double")).as("embedding"),
         col("norm2"))
 
+  /** Expression-path twin of the decode-sweep BANDING (spec-only,
+    * same discipline as [[mediaVectorsFromDocs]]): the shared
+    * [[DedupOps.lshBuckets]] expression with the same table/bit
+    * parameters, so the sweep's integer bucket loop is provable
+    * against an independent Catalyst recompute. */
+  private[graft] def mediaBandedExprFromDocs(docs: DataFrame): DataFrame =
+    mediaVectorsFromDocs(docs).select(col("doc_id"),
+      explode(DedupOps.lshBuckets(col("embedding"), MmSemTables, MmSemBits,
+        TextOps.hashEmbedDim)).as("b"))
+      .select(col("doc_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+
+  /** Every per-payload media feature in ONE decode pass: the
+    * perceptual signature ([[phashOf]]), the stub content embedding
+    * ([[mediaVecOf]]) with its exact integer norm², and the sign-LSH
+    * bucket ids the semantic pass blocks on. At corpus scale the
+    * payload decode dominates BOTH media dedup passes, so landing
+    * all features in one mapPartitions sweep reads each payload once
+    * instead of once per pass — and the 96-plane banding runs as a
+    * tight integer loop over the decoded vector instead of 96 fold
+    * expressions per row. The ±1 plane rows are
+    * [[DedupOps.hyperplanes]] — the very literals the SQL mirror
+    * embeds — and every dot is integer-valued (counts × ±1), so the
+    * JVM loop, the expression fold, and the mirror agree
+    * bit-for-bit; MultimodalSpec proves both boundary equalities
+    * against independent recomputes. */
+  case class MediaFeat(doc_id: Long, sig_ok: Boolean, sig: Long,
+                       vec: Array[Long], norm2: Long, bvs: Array[Long])
+
+  private[graft] def mediaFeatsFromDocs(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val signs: Array[Array[Long]] =
+      DedupOps.hyperplanes(MmSemTables * MmSemBits, TextOps.hashEmbedDim)
+        .map(_.map(v => if (v > 0) 1L else -1L))
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val vec = mediaVecOf(p)
+        var norm2 = 0L
+        var i = 0
+        while (i < vec.length) { norm2 += vec(i) * vec(i); i += 1 }
+        val bvs = new Array[Long](MmSemTables)
+        var t = 0
+        while (t < MmSemTables) {
+          var bv = 0L
+          var k = 0
+          while (k < MmSemBits) {
+            val pl = signs(t * MmSemBits + k)
+            var d = 0L
+            var j = 0
+            while (j < pl.length) { d += vec(j) * pl(j); j += 1 }
+            if (d >= 0L) bv |= 1L << k
+            k += 1
+          }
+          bvs(t) = bv
+          t += 1
+        }
+        MediaFeat(id, p.length >= 3, if (p.length >= 3) phashOf(p) else 0L,
+          vec, norm2, bvs)
+      })
+      .toDF()
+  }
+
+  /** The memoized one-sweep feature relation — [[dedupPhash]] and
+    * [[mmSemantic]] are projections of it, so a pipeline decodes the
+    * media corpus exactly once however many dedup passes run. */
+  private[graft] def mediaFeatsMemo(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cachedEager(s, "media_feats", d)(
+      mediaFeatsFromDocs(DedupOps.docsParallel(s, d)))
+
   /** Media SEMANTIC near-dup over an arbitrary (doc_id, text-payload)
     * frame — the dedup_semantic verdict machinery over stub media
     * embeddings. See [[mmSemantic]]. */
-  private[graft] def mmSemanticFromDocs(docs: DataFrame): DataFrame = {
-    val vecs = graft.Checkpoints.eager(mediaVectorsFromDocs(docs))
-    val banded = vecs.select(col("doc_id"),
-        explode(DedupOps.lshBuckets(col("embedding"), MmSemTables, MmSemBits,
-          TextOps.hashEmbedDim)).as("b"))
-      .select(col("doc_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+  private[graft] def mmSemanticFromDocs(docs: DataFrame): DataFrame =
+    mmSemanticFromFeats(graft.Checkpoints.eager(mediaFeatsFromDocs(docs)))
+
+  /** The verdict over a materialized [[mediaFeatsFromDocs]] relation
+    * (banding already landed in the decode sweep — only (id, bucket)
+    * rows and the bounded pair stream move from here on). */
+  private def mmSemanticFromFeats(feats: DataFrame): DataFrame = {
+    val banded = feats.select(col("doc_id"),
+      posexplode(col("bvs")).as(Seq("tbl", "bv")))
     val cand = DedupOps.bucketCandidates(banded, Seq("tbl", "bv"), "doc_id",
       MmSemCap)
     // ids-only pair stream; vectors re-attach through the family's
     // size-adaptive strategy (broadcast under the budget, ids-keyed
-    // shuffle_hash above it). Attaching the 64-double vectors to the
+    // shuffle_hash above it). Attaching the 64-int vectors to the
     // raw pair stream instead shuffled ~1 KB × hundreds of millions
     // of LSH pairs at sf10 — the spill shape embAttacher exists to
-    // prevent. norm² is the vector's self-dot (integer-valued, exact)
-    // so no separate norm relation rides the join.
+    // prevent. The attached value is the (vec, norm²) struct straight
+    // off the decode sweep: norm² rides the join instead of being
+    // re-derived as a per-pair self-dot, and the one remaining dot is
+    // the native fused integer expression — exact, whole-stage-
+    // codegen'd, no per-pair array allocation (the builtin fold trio
+    // here was the verdict's dominant term at 2.2M pairs / sf0.1).
     val attach = DedupOps.embAttacher(
-      vecs.select(col("doc_id").as("vec_id"), col("embedding")))
+      feats.select(col("doc_id").as("vec_id"),
+        struct(col("vec"), col("norm2")).as("embedding")))
     val dup = cand
       .join(attach("cand_a", "ea"), "cand_a")
       .join(attach("cand_b", "eb"), "cand_b")
-      .withColumn("dot", graft.functions.vector.dot(col("ea"), col("eb")))
+      .withColumn("dot",
+        graft.functions.vector.dotLong(col("ea.vec"), col("eb.vec")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(MmSemTauDen) >=
-          graft.functions.vector.dot(col("ea"), col("ea")) *
-            graft.functions.vector.dot(col("eb"), col("eb")) *
-            lit(MmSemTauNum))
+          col("ea.norm2") * col("eb.norm2") * lit(MmSemTauNum))
       .groupBy(col("cand_b").as("doc_id"))
       .agg(min(col("cand_a")).as("dup_raw"))
-    docs.select("doc_id").join(dup, Seq("doc_id"), "left")
+    feats.select("doc_id").join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("dup_raw"), lit(-1L)).as("dup_of"),
         col("dup_raw").isNull.as("kept"))
@@ -667,7 +754,7 @@ object MultimodalOps {
     * catches (cosine 1.0). */
   def mmSemantic(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "mm_semantic", d)(
-      mmSemanticFromDocs(DedupOps.docsParallel(s, d)))
+      mmSemanticFromFeats(mediaFeatsMemo(s, d)))
 
   /** Mirror: the shared hashEmbed vector CTEs over documents, the
     * SAME ±1 plane literals as the Spark plan (both read

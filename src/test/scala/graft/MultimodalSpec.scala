@@ -259,6 +259,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("mm decode sweep: one-pass feats equal independent expression recomputes") {
+    // production decodes each payload ONCE (mediaFeatsFromDocs) and
+    // lands sig + vec + norm² + LSH buckets in that sweep; every
+    // feature must agree bit-for-bit with its expression-path twin
+    // (the mirror's shape), or the one-pass fusion silently drifts
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val feats = MultimodalOps.mediaFeatsFromDocs(docs).collect().map { r =>
+      r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getSeq[Long](3).toSeq,
+          r.getLong(4), r.getSeq[Long](5).toSeq))
+    }.toMap
+    val exprVec = MultimodalOps.mediaVectorsFromDocs(docs).collect().map { r =>
+      r.getLong(0) ->
+        ((r.getSeq[Double](1).map(_.toLong).toSeq, r.getLong(2)))
+    }.toMap
+    assert(feats.keySet == exprVec.keySet, "every doc crosses the sweep")
+    feats.foreach { case (id, (_, _, vec, n2, _)) =>
+      assert((vec, n2) == exprVec(id), s"doc $id vec/norm2") }
+    val exprB = MultimodalOps.mediaBandedExprFromDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    feats.foreach { case (id, (_, _, _, _, bvs)) =>
+      bvs.zipWithIndex.foreach { case (bv, t) =>
+        assert(exprB((id, t)) == bv, s"doc $id table $t bucket") } }
+    val leanSig = MultimodalOps.phashSigsFromDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sweepSig = feats.collect { case (id, (ok, sig, _, _, _)) if ok =>
+      id -> sig }
+    assert(sweepSig == leanSig, "sig + sig_ok match the lean phash seam")
+  }
+
   test("mm cascade: verdicts recompose from the three stage operators") {
     import org.apache.spark.sql.functions.col
     val d = sf
