@@ -220,8 +220,16 @@ final class DedupFeatureStore private[operators] (
   def fold(batch: DataFrame, gen: Long): DataFrame = {
     val f = featurize(batch)
     val (kn, kd, kb) = probeBuckets(f)
-    supersede(f.ids, gen, kd)
-    append(f, gen)
+    // the mask write and the feature appends touch disjoint paths and
+    // both read only already-checkpointed inputs / strictly-earlier
+    // generations — overlap them (the fold's fixed wall is a chain of
+    // small driver-committed writes; see append's rationale)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(supersede(f.ids, gen, kd)),
+      Future(append(f, gen)))),
+      scala.concurrent.duration.Duration.Inf)
     verdictOf(f, gen, kn, kb)
   }
 
