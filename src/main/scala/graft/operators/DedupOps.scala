@@ -995,7 +995,7 @@ object DedupOps {
     * 0.099 at 48 planes × 64 dims). All operands stay < 2^63 (h <
     * 1e9+7 ⇒ h² < 1.1e18), so the same integer arithmetic runs
     * exactly in any engine with 64-bit ints. */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim)(radSign)
 
   private[operators] def radSign(p: Int, i: Int): Double = {
@@ -1046,19 +1046,23 @@ object DedupOps {
 
   /** SQL mirror of `lshBuckets` over `src` (any relation exposing
     * `$idSql` and an `embedding` column): one SELECT per table,
-    * bucket = Σ sign-bit·2^k with the SAME ±1.0 plane literals the
-    * Spark plan uses (both sides read `hyperplanes` — deterministic,
-    * no RNG) and the same sequential double fold per dot product. */
+    * bucket = Σ sign-bit·2^k with the SAME ±1 plane signs the Spark
+    * plan uses (both sides read `hyperplanes` — deterministic, no
+    * RNG). Each plane dot is the UNROLLED flat sum
+    * `0.0 + e[1] - e[2] …` — left-associated like the list_reduce
+    * fold it replaces, and IEEE `acc + (x·−1.0) ≡ acc − x`, so every
+    * bucket bit is unchanged — but it runs as plain vectorized
+    * column arithmetic instead of 4.8M single-threaded list-lambda
+    * folds (the round-11 sf1 oracle wall: the mm banded CTE alone
+    * held one core for >10 min; unrolled it is seconds, and it
+    * parallelizes). */
   private[operators] def bandedSql(src: String, idSql: String,
                                    tables: Int, bits: Int): String = {
     val planes = hyperplanes(tables * bits, 64)
-    def planeLit(p: Array[Double]): String =
-      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     def dot(p: Array[Double]): String =
-      s"list_reduce(list_prepend(cast(0.0 as double), " +
-        s"list_transform(range(1, 65), i -> " +
-        s"cast(embedding[i] as double) * (${planeLit(p)})[i])), " +
-        s"(acc, x) -> acc + x)"
+      p.zipWithIndex.map { case (v, i) =>
+        s"${if (v > 0) "+" else "-"} cast(embedding[${i + 1}] as double)"
+      }.mkString("(cast(0.0 as double) ", " ", ")")
     def bucket(t: Int): String =
       (0 until bits).map { k =>
         s"(CASE WHEN ${dot(planes(t * bits + k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"

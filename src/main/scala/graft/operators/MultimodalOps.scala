@@ -766,11 +766,14 @@ object MultimodalOps {
     * hashEmbedVecCtes `vecs` in scope; ends at ${p}ver(doc_id,
     * dup_raw). */
   private[operators] def mmSemanticCtes(p: String): String = {
+    // UNROLLED flat bigint sum — value-identical to the double fold
+    // it replaces (integer-valued operands, same rational compare)
+    // and to Spark's DotLongExpr, but vectorized instead of a
+    // per-pair list-lambda fold (the sf1 oracle's other wall: tens
+    // of millions of candidate pairs)
     def dot(a: String, b: String) =
-      "list_reduce(list_prepend(cast(0.0 as double), " +
-        s"list_transform(range(1, ${TextOps.hashEmbedDim + 1}), " +
-        s"i -> cast($a.vec[i] as double) * cast($b.vec[i] as double))), " +
-        "(acc, x) -> acc + x)"
+      (1 to TextOps.hashEmbedDim).map(i => s"$a.vec[$i]*$b.vec[$i]")
+        .mkString("(", " + ", ")")
     s"""${p}memb AS MATERIALIZED (
        |  SELECT doc_id AS vec_id,
        |    list_transform(vec, x -> cast(x as double)) AS embedding, vec,
