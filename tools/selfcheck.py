@@ -26,21 +26,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def split_with(sql):
-    """Parse a `WITH [RECURSIVE] a AS (...), b AS (...) SELECT ...`
-    into (recursive, [(name, body)...], main_query), or None when the
-    statement has no top-level WITH. Tracks paren depth and single-
-    quoted strings, so CTE bodies may nest arbitrarily."""
+    """Parse a `WITH [RECURSIVE] a AS (...), b(c1, c2) AS (...)
+    SELECT ...` into (recursive, [(name, cols, body)...], main_query)
+    — `cols` is the optional column-alias list incl. parens, or '' —
+    or None when the statement has no top-level WITH. Tracks paren
+    depth and single-quoted strings, so CTE bodies may nest
+    arbitrarily."""
     s = sql.strip()
     m = re.match(r'(?is)^WITH\s+(RECURSIVE\s+)?', s)
     if not m:
         return None
     recursive, i, n, ctes = bool(m.group(1)), m.end(), len(s), []
+    skip = re.compile(r'(?:\s+|--[^\n]*)*')  # whitespace + -- comments
     while True:
-        m2 = re.match(r'(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+'
+        i += skip.match(s, i).end() - i
+        m2 = re.match(r'(?is)([A-Za-z_][A-Za-z0-9_]*)\s*'
+                      r'(\(\s*[A-Za-z_][A-Za-z0-9_]*'
+                      r'(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*\s*\))?\s+AS\s+'
                       r'(?:MATERIALIZED\s+)?\(', s[i:])
         if not m2:
             return None
-        name, k, depth, in_str = m2.group(1), i + m2.end(), 1, False
+        name, cols = m2.group(1), m2.group(2) or ''
+        k, depth, in_str = i + m2.end(), 1, False
         j = k
         while k < n and depth:
             c = s[k]
@@ -61,8 +68,9 @@ def split_with(sql):
             elif c == ')':
                 depth -= 1
             k += 1
-        ctes.append((name, s[j:k - 1]))
-        m3 = re.match(r'\s*,', s[k:])
+        ctes.append((name, cols, s[j:k - 1]))
+        k += skip.match(s, k).end() - k
+        m3 = re.match(r',', s[k:])
         if m3:
             i = k + m3.end()
         else:
@@ -75,11 +83,15 @@ def run_staged(con, sql):
     pipeline at a time instead of holding the whole shared-chain graph
     of concurrent pipeline buffers resident, which is what pushed the
     sf10 ann_ivfpq / dedup_cascade mirrors past the ~75 GB spill
-    budget. Under WITH RECURSIVE, CTEs are staged up to the first
-    SELF-REFERENTIAL one; it and everything after stay a WITH (they
-    may read the staged tables). Results are byte-identical to the
-    unstaged form — selfcheck runs the full sf0.01 suite in staged
-    mode as the equivalence proof."""
+    budget. A SELF-REFERENTIAL CTE (under WITH RECURSIVE) stages as
+    `CREATE TEMP TABLE x AS WITH RECURSIVE x AS (...) SELECT * FROM x`
+    — its body reads the already-staged tables, and everything AFTER
+    it keeps staging (the r11 fix: the previous prefix-only staging
+    left every CTE after an early recursive fixpoint inside one giant
+    WITH, exactly the compositions — the cascades — that need staging
+    most). Results are byte-identical to the unstaged form — selfcheck
+    runs the full sf0.01 suite in staged mode as the equivalence
+    proof."""
     parsed = split_with(sql)
     if not parsed:
         return con.sql(sql).df()
@@ -89,33 +101,34 @@ def run_staged(con, sql):
     # (the tokenize/shingle heads feed only the next step or two; at
     # sf10 keeping them all alive is itself tens of GB of temp)
     last_ref = {}
-    for idx, (name, _) in enumerate(ctes):
+    for idx, (name, _, _) in enumerate(ctes):
         pat = re.compile(rf'\b{name}\b')
         last_ref[name] = idx
-        for later, (_, b2) in enumerate(ctes[idx + 1:], idx + 1):
+        for later, (_, _, b2) in enumerate(ctes[idx + 1:], idx + 1):
             if pat.search(b2):
                 last_ref[name] = later
         if pat.search(main):
             last_ref[name] = len(ctes)
     created = []
     try:
-        rest = None
-        for idx, (name, body) in enumerate(ctes):
+        for idx, (name, cols, body) in enumerate(ctes):
             if recursive and re.search(rf'\b{name}\b', body):
-                rest = ctes[idx:]
-                break
-            con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
+                con.sql(f'CREATE TEMP TABLE "{name}" AS '
+                        f'WITH RECURSIVE {name}{cols} AS ({body}) '
+                        f'SELECT * FROM {name}')
+            elif cols:
+                # column-alias CTE: stage through a nested WITH so the
+                # alias list applies exactly as it would in-query
+                con.sql(f'CREATE TEMP TABLE "{name}" AS '
+                        f'WITH {name}{cols} AS ({body}) '
+                        f'SELECT * FROM {name}')
+            else:
+                con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
             created.append(name)
             for dead in [c for c in created if last_ref[c] == idx and c != name]:
                 con.sql(f'DROP TABLE IF EXISTS "{dead}"')
                 created.remove(dead)
-        if rest:
-            # tables read by the recursive tail or the main query stay
-            wl = ", ".join(f'{n2} AS ({b})' for n2, b in rest)
-            q = f'WITH RECURSIVE {wl} {main}'
-        else:
-            q = main
-        return con.sql(q).df()
+        return con.sql(main).df()
     finally:
         for name in reversed(created):
             con.sql(f'DROP TABLE IF EXISTS "{name}"')
