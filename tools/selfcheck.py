@@ -205,9 +205,11 @@ def main():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
             got = canon(con.sql(f"select * from read_parquet({files!r})").df())
+            t0 = __import__("time").time()
             exp = canon(run_staged(con, oracle[name])
                         if staged and staged.search(name)
                         else con.sql(oracle[name]).df())
+            osec = __import__("time").time() - t0
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(exp.columns):
@@ -248,7 +250,8 @@ def main():
                 print(f"FAIL {name}: col={c} row={i} got={a!r} exp={b!r} absdiff={d}")
             n_fail += 1
         else:
-            print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols")
+            print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols"
+                  f" (oracle {osec:.1f}s)")
     rows_only = [] if len(sys.argv) > 3 else [
         f for f in sorted(os.listdir(outdir))
         if os.path.isdir(os.path.join(outdir, f)) and f not in oracle]
