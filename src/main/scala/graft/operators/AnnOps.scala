@@ -122,6 +122,94 @@ object AnnOps {
        |QUALIFY rank <= $K""".stripMargin
   }
 
+  // ------------------------------------------------------------- mips
+
+  private val MipsTables = 8
+  private val MipsBits = 4
+
+  /** Max-inner-product search — retrieval where vector MAGNITUDE
+    * matters (popularity-weighted item embeddings, unnormalized
+    * retrieval heads), so cosine ANN ranks wrong. Classic norm
+    * augmentation (Bachrach et al. 2014; Shrivastava & Li 2014)
+    * reduces MIPS to angular search: every corpus vector gains a
+    * 65th component sqrt(M² − ‖x‖²) with M = corpus max norm
+    * (augmented norms are the constant M), queries gain 0 — then
+    * cos(x', q') is monotone in ⟨x, q⟩ and the SAME hyperplane-LSH
+    * banding as `ann_lsh` probes buckets in the 65-dim space.
+    * Candidate generation moves only (id, bucket) pairs; the exact
+    * inner-product rerank runs on the ORIGINAL vectors after the
+    * distinct. At 100 TB: identical scale shape to `ann_lsh` — the
+    * augmentation is a narrow map (one extra float per vector), M is
+    * one scalar broadcast, and a query touches only its buckets. */
+  def mips(s: SparkSession, d: String): DataFrame = {
+    val e = DedupOps.embParallel(s, d)
+    val m2 = e.agg(max(vector.dot(col("embedding"), col("embedding"))).as("m2"))
+    val aug = e.crossJoin(broadcast(m2))
+      .select(col("vec_id"), concat(col("embedding"), array(
+        sqrt(col("m2") - vector.dot(col("embedding"), col("embedding")))
+          .cast("float"))).as("aug_emb"))
+    val qAug = queriesDf(s, d)
+      .select(col("query_id"),
+        concat(col("q_emb"), array(lit(0.0f))).as("aug_emb"))
+    def banded(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol),
+        explode(DedupOps.lshBuckets(col("aug_emb"), MipsTables, MipsBits, 65))
+          .as("b"))
+        .select(col(idCol), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+    val cand = banded(aug, "vec_id")
+      .join(broadcast(banded(qAug, "query_id")), Seq("tbl", "bv"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queriesDf(s, d)), "query_id")
+      .withColumn("ip", vector.dot(col("embedding"), col("q_emb")))
+      .select("query_id", "vec_id", "ip")
+    import graft.functions.topk
+    topk.perKey(scored,
+      keys = Seq("query_id"),
+      order = Seq(topk.Order("ip", ascending = false), topk.Order("vec_id")),
+      k = K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("ip"), 6).as("ip"))
+  }
+
+  /** Mirror: the same augmentation arithmetic (max-of-dot in double,
+    * sqrt difference rounded to REAL — both engines IEEE, so the
+    * 65-float augmented arrays are bit-identical), the same ±1 plane
+    * literals over 65 dims via DedupOps.bandedSql, exact dot rerank
+    * ranked (ip DESC, id ASC) like the Spark side. */
+  private def mipsSql = {
+    val dotSelf = vector.sql.dot("embedding", "embedding")
+    val ip = vector.sql.dot("e.embedding", "q.embedding")
+    s"""WITH m2 AS (SELECT max($dotSelf) AS m2 FROM embeddings),
+       |ea AS (
+       |  SELECT vec_id,
+       |    list_append(embedding, cast(sqrt(m2.m2 - $dotSelf) as real))
+       |      AS embedding
+       |  FROM embeddings, m2),
+       |qa AS (
+       |  SELECT vec_id AS query_id,
+       |    list_append(embedding, cast(0.0 as real)) AS embedding
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |cb AS (
+       |${DedupOps.bandedSql("ea", "vec_id", MipsTables, MipsBits, 65)}),
+       |qb AS (
+       |${DedupOps.bandedSql("qa", "query_id", MipsTables, MipsBits, 65)}),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+       |  FROM cb JOIN qb USING (tbl, bv)
+       |  WHERE cb.vec_id <> qb.query_id)
+       |SELECT c.query_id, c.neighbor_id,
+       |  cast(row_number() OVER (PARTITION BY c.query_id
+       |       ORDER BY $ip DESC, c.neighbor_id) as int) AS rank,
+       |  round($ip, 6) AS ip
+       |FROM cand c
+       |JOIN embeddings e ON c.neighbor_id = e.vec_id
+       |JOIN embeddings q ON c.query_id = q.vec_id
+       |QUALIFY rank <= $K""".stripMargin
+  }
+
   // -------------------------------------------------------------- ivf
 
   private val DefaultNProbe = 4
@@ -2673,6 +2761,7 @@ object AnnOps {
     "emb_dim_stats" -> (dimStats _),
     "ann_bruteforce" -> (bruteForce _),
     "ann_lsh" -> (lsh _),
+    "emb_mips" -> (mips _),
     "ann_ivf" -> (ivf _),
     "ann_pq" -> (pq _),
     "ann_ivfpq" -> (ivfpq _),
@@ -2703,6 +2792,7 @@ object AnnOps {
     "emb_dim_stats" -> dimStatsSql,
     "ann_bruteforce" -> bruteForceSql,
     "ann_lsh" -> lshSql,
+    "emb_mips" -> mipsSql,
     "ann_ivf" -> ivfSql,
     "ann_probe_curve" -> probeCurveSql,
     "ann_pq" -> pqSql,

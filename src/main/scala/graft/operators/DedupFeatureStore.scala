@@ -558,6 +558,37 @@ object DedupFeatureStore {
       .unionAll(step(2, store.fold(slice(9, 10), 2L)))
   }
 
+  /** `dedup_store_compact`: the [[storeFold]] lifecycle WITH a
+    * [[compactGenerations]] between the folds — build the seed
+    * store, fold batch A as generation 1, compact (seed ∪ A
+    * rewritten as ONE generation, supersession masks retired,
+    * superseded rows physically dropped), then fold batch B as
+    * generation 2 against the COMPACTED base. The oracle is
+    * byte-for-byte [[storeFoldSql]]: compaction must be
+    * verdict-invariant, and registering the compacted run against
+    * the uncompacted mirror proves that invariance in the driver's
+    * hash gate at every SF — not just in DedupStoreSpec. Step 1's
+    * verdict is eagerly checkpointed BEFORE compaction (its lazy
+    * plan reads generation dirs the compaction rewrites). */
+  def storeCompactFold(s: SparkSession, d: String): DataFrame = {
+    val docs = DedupOps.docsParallel(s, d).select("doc_id", "text")
+    val mx = docs.agg(max(col("doc_id")).as("mx_id"))
+    def slice(lo: Int, hi: Int): DataFrame =
+      docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") * 10 > col("mx_id") * lo &&
+          col("doc_id") * 10 <= col("mx_id") * hi)
+        .drop("mx_id")
+    val base0 = docs.crossJoin(broadcast(mx))
+      .filter(col("doc_id") * 10 <= col("mx_id") * 8).drop("mx_id")
+    val store = build(base0, storePathFor(d + "#compact"))
+    def step(n: Int, v: DataFrame): DataFrame =
+      v.select(lit(n).as("ingest_step"), col("doc_id"), col("status"),
+        col("hit_id"), col("jaccard"))
+    val v1 = graft.Checkpoints.eager(step(1, store.fold(slice(8, 9), 1L)))
+    store.compactGenerations(1L)
+    v1.unionAll(step(2, store.fold(slice(9, 10), 2L)))
+  }
+
   /** Mirror: identical to the `dedup_ingest_fold` mirror except the
     * df cap — FROZEN over the ≤80% seed slice and applied uniformly
     * to every doc (the store's blocklist discipline), instead of

@@ -1057,8 +1057,9 @@ object DedupOps {
     * held one core for >10 min; unrolled it is seconds, and it
     * parallelizes). */
   private[operators] def bandedSql(src: String, idSql: String,
-                                   tables: Int, bits: Int): String = {
-    val planes = hyperplanes(tables * bits, 64)
+                                   tables: Int, bits: Int,
+                                   dim: Int = 64): String = {
+    val planes = hyperplanes(tables * bits, dim)
     def dot(p: Array[Double]): String =
       p.zipWithIndex.map { case (v, i) =>
         s"${if (v > 0) "+" else "-"} cast(embedding[${i + 1}] as double)"
@@ -1484,6 +1485,7 @@ object DedupOps {
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_ingest_fold" -> (ingestFold _),
     "dedup_store_fold" -> (DedupFeatureStore.storeFold _),
+    "dedup_store_compact" -> (DedupFeatureStore.storeCompactFold _),
     "dedup_eval" -> (dedupEval _))
 
   val oracle: Map[String, String] = Map(
@@ -1499,5 +1501,6 @@ object DedupOps {
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_ingest_fold" -> ingestFoldSql,
     "dedup_store_fold" -> DedupFeatureStore.storeFoldSql,
+    "dedup_store_compact" -> DedupFeatureStore.storeFoldSql,
     "dedup_eval" -> dedupEvalSql)
 }

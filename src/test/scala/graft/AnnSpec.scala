@@ -34,6 +34,33 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean lsh recall@10 = $mean")
   }
 
+  test("mips: rank contract holds and recall vs exact inner-product top-k") {
+    val got = AnnOps.mips(spark, sf)
+    assert(got.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    got.groupBy("query_id").agg(collect_list("rank")).collect()
+      .foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 10)))
+    // exact MIPS ground truth: brute-force inner product top-10
+    val e = graft.Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exactMips = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ip", graft.functions.vector.dot(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("ip").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+    val truth = asMap(exactMips)
+    val gotMap = asMap(got)
+    assert(gotMap.keySet == truth.keySet)
+    val recalls = truth.map { case (q, nbrs) =>
+      gotMap(q).toSet.intersect(nbrs.toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"mean mips recall@10 = $mean")
+  }
+
   test("ivf auto-sized (~sqrt N cells) recall is reasonable") {
     val got = asMap(AnnOps.ivf(spark, sf))
     assert(got.keySet == exact.keySet)

@@ -363,4 +363,14 @@ class DedupStoreSpec extends AnyFunSuite {
         r.getLong(3))).toSet
     assert(viaStore == viaMemo)
   }
+
+  test("registered dedup_store_compact: the compacted lifecycle run is " +
+      "row-identical to dedup_store_fold (verdict invariance end-to-end)") {
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)))).toSet
+    assert(rows(DedupFeatureStore.storeCompactFold(spark, d)) ==
+      rows(DedupFeatureStore.storeFold(spark, d)))
+  }
 }
