@@ -1645,14 +1645,35 @@ object AnnOps {
     * code sum, and the fixed-order reconstruction-error sum. */
   def int8Quantize(s: SparkSession, d: String): DataFrame = {
     val e = DedupOps.embParallel(s, d)
-    def err(i: Int): Column =
-      abs(sqV(i) - (sqMn(i) + sqCode(i).cast("double") * (sqMx(i) - sqMn(i)) / 255.0))
-
-    e.crossJoin(broadcast(sqMinMax(e)))
+    // the min/max row rides the broadcast PACKED as two arrays: the
+    // unrolled form (64 code + 64 error scalar trees in one Project)
+    // generated a processNext() past janino's 64 KB method limit and
+    // silently dropped the whole stage out of codegen — the compact
+    // higher-order expressions below compute the IDENTICAL
+    // left-associated folds (0 + c0 + c1 …, exact for ints; 0.0 + e0
+    // ≡ e0 for the non-negative error terms) inside one small
+    // codegen'd loop, so every digest bit is unchanged
+    val mnA = array((0 until QDims).map(i => col(s"mn$i")): _*)
+    val mxA = array((0 until QDims).map(i => col(s"mx$i")): _*)
+    val idx = sequence(lit(0), lit(QDims - 1))
+    def vAt(i: Column) = element_at(col("embedding"), i + 1).cast("double")
+    def mnAt(i: Column) = element_at(col("mn_a"), i + 1).cast("double")
+    def mxAt(i: Column) = element_at(col("mx_a"), i + 1).cast("double")
+    def codeAt(i: Column): Column =
+      when(element_at(col("mx_a"), i + 1) === element_at(col("mn_a"), i + 1),
+        lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor((vAt(i) - mnAt(i)) * 255.0 / (mxAt(i) - mnAt(i)) + 0.5)
+            .cast("long"))))
+    def errAt(i: Column): Column =
+      abs(vAt(i) - (mnAt(i) + codeAt(i).cast("double") * (mxAt(i) - mnAt(i)) / 255.0))
+    e.crossJoin(broadcast(sqMinMax(e).select(mnA.as("mn_a"), mxA.as("mx_a"))))
       .select(col("vec_id"),
-        sqCode(0).as("code_head"),
-        (0 until QDims).map(sqCode).reduce(_ + _).as("code_sum"),
-        round((0 until QDims).map(err).reduce(_ + _), 6).as("recon_err"))
+        codeAt(lit(0)).as("code_head"),
+        aggregate(transform(idx, i => codeAt(i)), lit(0L), (a, x) => a + x)
+          .as("code_sum"),
+        round(aggregate(transform(idx, i => errAt(i)), lit(0.0), (a, x) => a + x), 6)
+          .as("recon_err"))
   }
 
   // ---- shared scalar-quantizer builders (ONE copy: the quantizer
