@@ -1402,14 +1402,21 @@ object DedupOps {
     val truth = ngramJaccard(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
     val cand = minhashCandidates(s, d).withColumn("in_c", lit(1L))
+    // coalesce: over an EMPTY pair universe (possible at scale — a
+    // replicated corpus can plant zero cross-copy pairs above τ) the
+    // counters are 0 like the mirror's count(*), not sum's NULL
     truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
-      .agg(sum(col("in_t")).as("n_truth"),
-        sum(col("in_c")).as("n_candidates"),
-        sum(col("in_t") * col("in_c")).as("n_found"))
+      .agg(coalesce(sum(col("in_t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("in_c")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("in_t") * col("in_c")), lit(0L)).as("n_found"))
       .select(lit("minhash_lsh").as("method"),
         col("n_truth"), col("n_candidates"), col("n_found"),
-        expr("n_found * 1000000 div n_candidates").as("precision_ppm"),
-        expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+        // guarded like the mirror's `//` (NULL on a zero denominator,
+        // never an ANSI divide-by-zero)
+        expr("CASE WHEN n_candidates = 0 THEN NULL " +
+          "ELSE n_found * 1000000 div n_candidates END").as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN NULL " +
+          "ELSE n_found * 1000000 div n_truth END").as("recall_ppm"))
   }
 
   private def dedupEvalSql: String = {
