@@ -641,7 +641,8 @@ object MultimodalOps {
     * bit-for-bit; MultimodalSpec proves both boundary equalities
     * against independent recomputes. */
   case class MediaFeat(doc_id: Long, sig_ok: Boolean, sig: Long,
-                       vec: Array[Long], norm2: Long, bvs: Array[Long])
+                       vec: Array[Long], norm2: Long, bvs: Array[Long],
+                       sha: String)
 
   private[graft] def mediaFeatsFromDocs(docs: DataFrame): DataFrame = {
     val session = docs.sparkSession
@@ -651,7 +652,13 @@ object MultimodalOps {
         .map(_.map(v => if (v > 0) 1L else -1L))
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) =>
+      .mapPartitions { it =>
+        // one digest per partition, reset per payload (MessageDigest
+        // is stateful, not thread-safe to share across partitions)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, p) =>
+        md.reset()
+        val sha = md.digest(p).map("%02x".format(_)).mkString
         val vec = mediaVecOf(p)
         var norm2 = 0L
         var i = 0
@@ -673,8 +680,8 @@ object MultimodalOps {
           t += 1
         }
         MediaFeat(id, p.length >= 3, if (p.length >= 3) phashOf(p) else 0L,
-          vec, norm2, bvs)
-      })
+          vec, norm2, bvs, sha)
+      } }
       .toDF()
   }
 
@@ -693,9 +700,30 @@ object MultimodalOps {
 
   /** The verdict over a materialized [[mediaFeatsFromDocs]] relation
     * (banding already landed in the decode sweep — only (id, bucket)
-    * rows and the bounded pair stream move from here on). */
+    * rows and the bounded pair stream move from here on).
+    *
+    * ==Rep-collapse (round 12)==
+    * Byte-identical payloads (same SHA-256) have identical embedding,
+    * norm², LSH buckets — and identical dots against ANY third vector
+    * — so they are fully interchangeable in the verification. The
+    * candidate stream therefore runs over ONE canonical representative
+    * (min doc_id) per payload group; members inherit the rep's
+    * verdict, and a member beyond the rep is itself a dup of the rep
+    * (cosine exactly 1 when norm² > 0; a zero vector can never
+    * verify — dot > 0 is unsatisfiable — so zero-norm members stay
+    * kept, exactly as the un-collapsed stream kept them). At sf10 the
+    * GenScale replication collapses 500k media docs to 4,992 distinct
+    * payloads: within-bucket pair enumeration is quadratic in family
+    * size, and rep space bounds it by DISTINCT-payload families —
+    * the un-collapsed stream was 798.7M bucket-local pairs / 779 s,
+    * 98% of the whole sf10 fill (docs/PROFILE_MM_sf10_r11.txt). */
   private def mmSemanticFromFeats(feats: DataFrame): DataFrame = {
-    val banded = feats.select(col("doc_id"),
+    // sha → canonical rep (map-side partial min folds the replicas)
+    val grp = feats.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id"))
+    val repFeats = graft.Checkpoints.eager(
+      feats.join(grp.select(col("rep_id").as("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi"))
+    val banded = repFeats.select(col("doc_id"),
       posexplode(col("bvs")).as(Seq("tbl", "bv")))
     val cand = DedupOps.bucketCandidates(banded, Seq("tbl", "bv"), "doc_id",
       MmSemCap)
@@ -711,9 +739,9 @@ object MultimodalOps {
     // codegen'd, no per-pair array allocation (the builtin fold trio
     // here was the verdict's dominant term at 2.2M pairs / sf0.1).
     val attach = DedupOps.embAttacher(
-      feats.select(col("doc_id").as("vec_id"),
+      repFeats.select(col("doc_id").as("vec_id"),
         struct(col("vec"), col("norm2")).as("embedding")))
-    val dup = cand
+    val repDup = cand
       .join(attach("cand_a", "ea"), "cand_a")
       .join(attach("cand_b", "eb"), "cand_b")
       .withColumn("dot",
@@ -721,12 +749,20 @@ object MultimodalOps {
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(MmSemTauDen) >=
           col("ea.norm2") * col("eb.norm2") * lit(MmSemTauNum))
-      .groupBy(col("cand_b").as("doc_id"))
-      .agg(min(col("cand_a")).as("dup_raw"))
-    feats.select("doc_id").join(dup, Seq("doc_id"), "left")
+      .groupBy(col("cand_b").as("rep_id"))
+      .agg(min(col("cand_a")).as("rep_dup"))
+    // expand the rep verdict to every payload-group member, min-id
+    // attribution: the rep's own dup (strictly below the rep) beats
+    // the rep itself as the kept doc a member defers to
+    feats.select(col("doc_id"), col("sha"), col("norm2"))
+      .join(grp, "sha")
+      .join(repDup, Seq("rep_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("dup_raw"), lit(-1L)).as("dup_of"),
-        col("dup_raw").isNull.as("kept"))
+        when(col("norm2") === 0L, lit(-1L))
+          .when(col("doc_id") === col("rep_id"),
+            coalesce(col("rep_dup"), lit(-1L)))
+          .otherwise(coalesce(col("rep_dup"), col("rep_id"))).as("dup_of"))
+      .withColumn("kept", col("dup_of") === -1L)
   }
 
   /** Media semantic near-dup + keep/drop verdict — the pass AFTER
@@ -756,15 +792,33 @@ object MultimodalOps {
     graft.Memo.cached(s, "mm_semantic", d)(
       mmSemanticFromFeats(mediaFeatsMemo(s, d)))
 
-  /** Mirror: the shared hashEmbed vector CTEs over documents, the
-    * SAME ±1 plane literals as the Spark plan (both read
-    * `DedupOps.hyperplanes`), rep-cap QUALIFY, rational-exact cosine
-    * verification, min-id keeper. */
+  /** Mirror: the shared hashEmbed vector CTEs over the sha-collapsed
+    * REPRESENTATIVE docs, the SAME ±1 plane literals as the Spark
+    * plan (both read `DedupOps.hyperplanes`), rep-cap QUALIFY,
+    * rational-exact cosine verification, min-id keeper, then the
+    * group expansion — the Spark plan's rep-collapse restructured
+    * identically so the hash gate proves it. */
+
+  /** The payload-group CTEs: every doc's canonical representative
+    * (min doc_id of its byte-identical SHA-256 group) and the
+    * representative docs themselves — the relation the vector CTEs
+    * run over (so the mirror, like the engine, pays the per-token
+    * vector work once per DISTINCT payload). */
+  private[operators] def mmSemGroupCtes: String =
+    s"""gmem AS MATERIALIZED (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text))
+       |    AS rep_id
+       |  FROM documents),
+       |repdocs AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN gmem g ON g.doc_id = d.doc_id AND g.rep_id = d.doc_id)""".stripMargin
+
   /** The semantic verdict CTEs alone, names PREFIXED `$p` so the
     * chain composes next to the phash/hamming CTEs in one WITH
-    * (mm_dedup_cascade — the semanticDupCte precedent). Assumes the
-    * hashEmbedVecCtes `vecs` in scope; ends at ${p}ver(doc_id,
-    * dup_raw). */
+    * (mm_dedup_cascade — the semanticDupCte precedent). Assumes
+    * [[mmSemGroupCtes]]'s `gmem` and the rep-space `vecs` in scope;
+    * ends at ${p}sem(doc_id, dup_of) — the verdict already expanded
+    * to every payload-group member. */
   private[operators] def mmSemanticCtes(p: String): String = {
     // UNROLLED flat bigint sum — value-identical to the double fold
     // it replaces (integer-valued operands, same rational compare)
@@ -799,15 +853,23 @@ object MultimodalOps {
        |${p}ver AS MATERIALIZED (
        |  SELECT doc_id, min(a) AS dup_raw FROM ${p}scored
        |  WHERE dp > 0 AND dp * dp * $MmSemTauDen >= $MmSemTauNum * n2a * n2b
-       |  GROUP BY 1)""".stripMargin
+       |  GROUP BY 1),
+       |${p}sem AS MATERIALIZED (
+       |  SELECT g.doc_id,
+       |    cast(CASE WHEN e.norm2 = 0 THEN -1
+       |         WHEN g.doc_id = g.rep_id THEN coalesce(v.dup_raw, -1)
+       |         ELSE coalesce(v.dup_raw, g.rep_id) END as bigint) AS dup_of
+       |  FROM gmem g
+       |  JOIN ${p}memb e ON e.vec_id = g.rep_id
+       |  LEFT JOIN ${p}ver v ON v.doc_id = g.rep_id)""".stripMargin
   }
 
   private def mmSemanticSql: String =
-    s"""WITH ${TextOps.hashEmbedVecCtes},
+    s"""WITH $mmSemGroupCtes,
+       |${TextOps.hashEmbedVecCtesFor("repdocs")},
        |${mmSemanticCtes("m")}
-       |SELECT d.doc_id, coalesce(v.dup_raw, -1) AS dup_of,
-       |  v.dup_raw IS NULL AS kept
-       |FROM documents d LEFT JOIN mver v USING (doc_id)""".stripMargin
+       |SELECT doc_id, dup_of, dup_of = -1 AS kept
+       |FROM msem""".stripMargin
 
   /** Media dedup CASCADE with first-hit attribution — the media twin
     * of `dedup_cascade`: per payload, the CHEAPEST stage that
@@ -855,7 +917,8 @@ object MultimodalOps {
        |pairs AS MATERIALIZED (
        |  SELECT doc_a, doc_b FROM ham WHERE hamming <= ${DedupOps.HammingMax}),
        |${CorpusOps.ccFixpointCte},
-       |${TextOps.hashEmbedVecCtes},
+       |$mmSemGroupCtes,
+       |${TextOps.hashEmbedVecCtesFor("repdocs")},
        |${mmSemanticCtes("m")},
        |shad AS (SELECT doc_id, sha256(text) AS h FROM documents),
        |shakeep AS (SELECT h, min(doc_id) AS exact_keep FROM shad GROUP BY 1),
@@ -865,15 +928,15 @@ object MultimodalOps {
        |SELECT d.doc_id,
        |  CASE WHEN ex.exact_keep IS NOT NULL THEN 'exact'
        |       WHEN cc.cluster_id < d.doc_id THEN 'perceptual'
-       |       WHEN sv.dup_raw IS NOT NULL THEN 'semantic'
+       |       WHEN sv.dup_of <> -1 THEN 'semantic'
        |       ELSE 'unique' END AS stage,
        |  coalesce(ex.exact_keep,
        |    CASE WHEN cc.cluster_id < d.doc_id THEN cc.cluster_id END,
-       |    sv.dup_raw, -1) AS keep_id
+       |    nullif(sv.dup_of, -1), -1) AS keep_id
        |FROM documents d
        |LEFT JOIN ex ON ex.doc_id = d.doc_id
        |JOIN cc ON cc.doc_id = d.doc_id
-       |LEFT JOIN mver sv ON sv.doc_id = d.doc_id""".stripMargin
+       |JOIN msem sv ON sv.doc_id = d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_semantic" -> (mmSemantic _),

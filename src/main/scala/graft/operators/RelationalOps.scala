@@ -422,17 +422,21 @@ object RelationalOps {
 
   // ------------------------------------------------ q22 idle customers
 
-  /** TPC-H Q22 shape: well-funded customers who never ordered, by
-    * nation. The global positive-balance average is a 1-row broadcast
-    * (not a per-row scalar subquery); the "never ordered" test is a
-    * left-anti hash join on the customer key. */
+  /** TPC-H Q22 shape: well-funded customers with no COMPLETED ('F')
+    * order, by nation. The global positive-balance average is a 1-row
+    * broadcast (not a per-row scalar subquery); the idleness test is a
+    * left-anti hash join on the customer key over the status-restricted
+    * orders side ("never completed an order" — the unrestricted
+    * "never ordered" form was vacuously empty at every SF of this
+    * corpus, round-11 verdict item 4). */
   def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
     val avgBal = c.filter(col("c_acctbal") > 0.0)
       .agg(xavg(col("c_acctbal"), 2).as("avg_bal"))
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(Tables.orders(s, d).select("o_custkey"),
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_cust"), xsum(col("c_acctbal"), 2).as("total_bal"))
@@ -444,7 +448,8 @@ object RelationalOps {
        |FROM customer
        |WHERE c_acctbal > (SELECT ${oAvg("c_acctbal", 2)}
        |                   FROM customer WHERE c_acctbal > 0.0)
-       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
        |GROUP BY c_nationkey""".stripMargin
 
   // ------------------------------------------------ q2 min-cost supplier
@@ -863,15 +868,23 @@ object RelationalOps {
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
 
-  /** NOT EXISTS → left_anti: customers that never ordered. */
+  /** NOT EXISTS → left_anti: customers with no completed ('F') order —
+    * the exact complement of [[semiJoin]] (RelationalSpec proves the
+    * two partition `customer`). The anti side is status-restricted
+    * rather than all orders: on this corpus every customer has SOME
+    * order at every SF, so the unrestricted anti-join returned 0 rows
+    * at the driver's sf0.01 gate and its hash match proved nothing
+    * (round-11 verdict item 4). */
   def antiJoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
 
   private val antiJoinSql =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin
 
   // ----------------------------------------------------------- rollup
 

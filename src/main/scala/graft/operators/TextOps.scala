@@ -548,15 +548,19 @@ object TextOps {
   /** The tokenize → signed-hash-count → dense-vector CTE chain
     * (tok/hs/counts/grid/vecs, `vecs(doc_id, vec)` last) — shared by
     * the hashEmbed mirror and the media semantic-dedup mirror, whose
-    * stub encoder is exactly this pipeline over the decoded payload. */
-  private[operators] def hashEmbedVecCtes: String = {
+    * stub encoder is exactly this pipeline over the decoded payload.
+    * `src` is any in-scope (doc_id, text) relation: the media
+    * semantic mirror feeds the sha-collapsed REPRESENTATIVE docs
+    * here (round-12 rep-collapse), so the per-token vector work runs
+    * over distinct payloads, not every replica. */
+  private[operators] def hashEmbedVecCtesFor(src: String): String = {
     val toks = text.tokensSql
     val tokHash = "list_reduce(list_prepend(cast(0 as bigint), " +
       "list_transform(list_filter(string_split_regex(token, ''), c -> c <> ''), " +
       "c -> cast(ascii(c) as bigint))), (acc, x) -> (acc * 31 + x) % $M)"
         .replace("$M", HashMod.toString)
     s"""tok AS (
-       |  SELECT doc_id, unnest($toks) AS token FROM documents),
+       |  SELECT doc_id, unnest($toks) AS token FROM $src),
        |hs AS (
        |  SELECT doc_id, $tokHash AS h FROM tok),
        |counts AS (
@@ -566,12 +570,15 @@ object TextOps {
        |  FROM hs GROUP BY 1, 2),
        |grid AS (
        |  SELECT doc_id, cast(unnest(range(0, $HashDim)) as int) AS dim
-       |  FROM documents),
+       |  FROM $src),
        |vecs AS (
        |  SELECT g.doc_id, list(coalesce(c.cnt, 0) ORDER BY g.dim) AS vec
        |  FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.dim
        |  GROUP BY g.doc_id)""".stripMargin
   }
+
+  private[operators] def hashEmbedVecCtes: String =
+    hashEmbedVecCtesFor("documents")
 
   private val hashEmbedSql = {
     s"""WITH $hashEmbedVecCtes

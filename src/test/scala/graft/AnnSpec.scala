@@ -37,8 +37,17 @@ class AnnSpec extends AnyFunSuite {
   test("mips: rank contract holds and recall vs exact inner-product top-k") {
     val got = AnnOps.mips(spark, sf)
     assert(got.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // ranks are a dense prefix 1..n with n <= 10 — NOT exactly 1..10:
+    // a query whose LSH buckets are sparse at the test SF can
+    // legitimately draw fewer than 10 candidates (round-11 ADVICE);
+    // the recall assertion below remains the quality gate
     got.groupBy("query_id").agg(collect_list("rank")).collect()
-      .foreach(r => assert(r.getSeq[Int](1).sorted == (1 to 10)))
+      .foreach { r =>
+        val ranks = r.getSeq[Int](1).sorted
+        assert(ranks.nonEmpty && ranks.size <= 10 &&
+          ranks == (1 to ranks.size),
+          s"query ${r.get(0)}: ranks $ranks not a dense prefix of 1..10")
+      }
     // exact MIPS ground truth: brute-force inner product top-10
     val e = graft.Tables.embeddings(spark, sf)
     val qs = e.filter(col("vec_id") < 5)

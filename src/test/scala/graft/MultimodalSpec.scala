@@ -287,6 +287,44 @@ class MultimodalSpec extends AnyFunSuite {
     val sweepSig = feats.collect { case (id, (ok, sig, _, _, _)) if ok =>
       id -> sig }
     assert(sweepSig == leanSig, "sig + sig_ok match the lean phash seam")
+    // the sweep's payload sha (the rep-collapse grouping key) equals
+    // the expression-path sha2 — the boundary-equivalence discipline
+    // for the round-12 addition
+    val exprSha = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.encode(
+            org.apache.spark.sql.functions.col("text"), "UTF-8"), 256))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sweepSha = MultimodalOps.mediaFeatsFromDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(sweepSha == exprSha, "sweep sha matches sha2 expression path")
+  }
+
+  test("mm semantic rep-collapse: members inherit the rep verdict; zero vectors stay kept") {
+    import spark.implicits._
+    val base = Seq.tabulate(60)(i =>
+      s"frame $i tone ${(i * 7) % 13} sample block payload").mkString(" ")
+    val reencoded = base.toUpperCase.replace(" ", "  ")
+    val other = Seq.tabulate(60)(i =>
+      s"lorem ${i * 31} ipsum dolor sit amet consectetur").mkString(" ")
+    val blank = "   " // tokenless: zero embedding, norm² = 0
+    val docs = Seq(
+      (1L, base), (2L, base), (5L, base),  // byte-identical family, rep 1
+      (3L, reencoded),                     // distinct bytes, cosine 1.0 vs 1
+      (4L, other),                         // unrelated
+      (6L, blank), (7L, blank))            // zero-norm byte twins
+      .toDF("doc_id", "text")
+    val sem = MultimodalOps.mmSemanticFromDocs(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(sem(1L) == ((-1L, true)), "group rep (min id) kept")
+    assert(sem(2L) == ((1L, false)) && sem(5L) == ((1L, false)),
+      "byte twins inherit the rep as dup_of without entering the pair stream")
+    assert(sem(3L) == ((1L, false)),
+      "cross-group near-dup verified in rep space, attributed to the rep")
+    assert(sem(4L) == ((-1L, true)), "unrelated payload kept")
+    assert(sem(6L) == ((-1L, true)) && sem(7L) == ((-1L, true)),
+      "zero-norm byte twins can never verify (dot > 0 unsatisfiable) — kept")
   }
 
   test("mm cascade: verdicts recompose from the three stage operators") {

@@ -174,6 +174,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(q22.map(_.getLong(1)).sum <= Tables.customer(spark, sf).count())
   }
 
+  test("semi and anti join partition customer on the completed-order test") {
+    // q_semi_join = customers WITH a completed ('F') order,
+    // q_anti_join = customers WITHOUT one: disjoint, union = customer,
+    // and both sides nonempty at the test SF (the anti side being
+    // nonempty is the round-11 de-vacuation guarantee — an empty
+    // result would make the driver's hash gate prove nothing)
+    val semi = RelationalOps.semiJoin(spark, sf).select("c_custkey")
+    val anti = RelationalOps.antiJoin(spark, sf).select("c_custkey")
+    val nSemi = semi.count()
+    val nAnti = anti.count()
+    assert(nAnti > 0, "anti join must be non-vacuous at the test SF")
+    assert(nSemi > 0)
+    assert(nSemi + nAnti == Tables.customer(spark, sf).count())
+    assert(semi.intersect(anti).count() == 0)
+    // q22 restricts the same anti side to above-average balances, so
+    // its counted customers are a subset of the anti side
+    val q22 = RelationalOps.q22IdleCustomers(spark, sf).collect()
+    assert(q22.map(_.getLong(1)).sum <= nAnti)
+  }
+
   test("q2/q9/q11/q12/q16/q20/q21 semantic invariants (sf0.01)") {
     val d = "/root/testdata/sf0.01"
     // q2: every returned (part, supplier) price IS that part's min

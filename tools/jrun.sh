@@ -7,7 +7,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CLS=target/scala-2.13/classes
-CP="$CLS:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# paste -sd: joins without a trailing ':' (a trailing colon would
+# silently add the cwd to the classpath)
+CP="$CLS:$(ls /opt/spark/jars/*.jar | paste -sd:)"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent \

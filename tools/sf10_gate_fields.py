@@ -24,8 +24,14 @@ def main():
         m = re.match(r"OK\s+(\S+): .*\(oracle ([0-9.]+)s\)", line)
         if m:
             oracle[m.group(1)] = float(m.group(2))
-    shared = sorted(set(oracle) & set(bench.get("queries", bench.get("delta", {}))))
-    qsec = bench.get("queries") or {}
+    # one mapping for BOTH the intersection and the subtotal — binding
+    # them separately let a 'queries'-less bench file compute `shared`
+    # from 'delta' but an empty subtotal, silently emitting ratio 0.0
+    qsec = bench.get("queries") or bench.get("delta")
+    if not qsec:
+        sys.exit(f"{bench_path}: no 'queries' (or 'delta') map — refusing "
+                 "to emit a vacuous gate artifact")
+    shared = sorted(set(oracle) & set(qsec))
     engine_subtotal = sum(qsec.get(q, 0.0) for q in shared)
     oracle_subtotal = sum(oracle[q] for q in shared)
     bench["oracle_total"] = round(oracle_subtotal, 1)
