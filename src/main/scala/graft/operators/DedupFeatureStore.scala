@@ -217,20 +217,74 @@ final class DedupFeatureStore private[operators] (
     * per call: O(|batch| text work + candidates) — the base is
     * touched only through bucket-pruned scans of the store's columnar
     * integer relations. */
-  def fold(batch: DataFrame, gen: Long): DataFrame = {
-    val f = featurize(batch)
+  def fold(batch: DataFrame, gen: Long): DataFrame =
+    foldFeaturized(featurize(batch), gen)
+
+  /** [[fold]] from an already-featurized batch — the features are
+    * store-independent in value (the frozen blocklist is identical
+    * content in every copy of one seed) and eagerly checkpointed, so
+    * a harness folding the same batch into several stores featurizes
+    * once (the registered lifecycle queries share batch B's features
+    * this way). */
+  private[graft] def foldFeaturized(f: Features, gen: Long): DataFrame = {
     val (kn, kd, kb) = probeBuckets(f)
-    // the mask write and the feature appends touch disjoint paths and
-    // both read only already-checkpointed inputs / strictly-earlier
-    // generations — overlap them (the fold's fixed wall is a chain of
-    // small driver-committed writes; see append's rationale)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(supersede(f.ids, gen, kd)),
-      Future(append(f, gen)))),
-      scala.concurrent.duration.Duration.Inf)
+    // GENERATION FENCE: two concurrent folds of the same generation
+    // (two sessions ingesting the same batch id — the at-least-once
+    // replay taken concurrently instead of serially) would interleave
+    // their dynamic partition overwrites and could commit a MIX of
+    // the two attempts' files into one generation. The fence is an
+    // atomic lock-file create (create(p, false) fails if present)
+    // scoped to the writes; replay stays idempotent because a replay
+    // re-acquires AFTER the first attempt released. A lock whose
+    // owning LOCAL process is dead is stolen (crash recovery); on a
+    // multi-host deployment the liveness probe is a no-op in the
+    // conservative direction (never steals), where a storage-layer
+    // lease would replace it.
+    withGenLock(gen) {
+      // the mask write and the feature appends touch disjoint paths
+      // and both read only already-checkpointed inputs / strictly-
+      // earlier generations — overlap them (the fold's fixed wall is
+      // a chain of small driver-committed writes; see append's
+      // rationale)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(supersede(f.ids, gen, kd)),
+        Future(append(f, gen)))),
+        scala.concurrent.duration.Duration.Inf)
+    }
     verdictOf(f, gen, kn, kb)
+  }
+
+  /** Run `body` holding generation `gen`'s writer lock. Throws
+    * [[ConcurrentFoldException]] if another live writer holds it. */
+  private[graft] def withGenLock[T](gen: Long)(body: => T): T = {
+    val p = new Path(s"$path/locks/gen_$gen.lock")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.writeLong(ProcessHandle.current().pid()) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      // steal only if the recorded LOCAL owner is provably dead
+      val ownerAlive =
+        try {
+          val in = fs.open(p)
+          val pid = try in.readLong() finally in.close()
+          val h = ProcessHandle.of(pid)
+          h.isPresent && h.get().isAlive
+        } catch { case _: java.io.IOException => true } // unreadable → assume live
+      if (ownerAlive)
+        throw new ConcurrentFoldException(
+          s"generation $gen is being written by another live session ($p)")
+      fs.delete(p, false)
+      if (!tryAcquire())
+        throw new ConcurrentFoldException(
+          s"generation $gen lock lost to a concurrent writer ($p)")
+    }
+    try body finally fs.delete(p, false)
   }
 
   /** Record generation `gen`'s supersession masks: for each batch id
@@ -379,7 +433,14 @@ final class DedupFeatureStore private[operators] (
     // correctly retires its target's rows in the compacted range
     val resAll = spark.read.schema(resentSchema).parquet(s"$path/resent")
       .select("doc_id", "old_gen")
-    for (name <- Seq("norm", "shingles", "banded", "sizes")) {
+    // the four tables compact CONCURRENTLY (disjoint paths, and none
+    // touches `resent`, which is only rewritten after all four): the
+    // per-table stage→delete→rewrite chain is mostly driver-committed
+    // small writes, so the compaction wall drops from the sum of the
+    // tables to ~the slowest one — the same overlap [[append]] uses
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def compactTable(name: String): Unit = {
       val rows = spark.read.schema(genSchemas(name)).parquet(s"$path/$name")
         .filter(col("ingest_gen") <= upTo)
       val live = rows.join(broadcast(resAll),
@@ -399,6 +460,10 @@ final class DedupFeatureStore private[operators] (
         .parquet(s"$path/$name")
       fs.delete(new Path(staged), true)
     }
+    Await.result(Future.sequence(
+      Seq("norm", "shingles", "banded", "sizes")
+        .map(n => Future(compactTable(n)))),
+      scala.concurrent.duration.Duration.Inf)
     // masks over compacted generations are retired with their targets;
     // only masks pointing at still-live generations survive
     val keep = spark.read.schema(resentSchema).parquet(s"$path/resent")
@@ -452,12 +517,22 @@ final class DedupFeatureStore private[operators] (
     merged.write.mode("overwrite").parquet(s"$path/frequent")
   }
 
+}
+
+/** A second live session attempted to write a generation that is
+  * currently being folded — the caller must serialize (or route the
+  * batch to a different generation id). */
+final class ConcurrentFoldException(msg: String)
+  extends IllegalStateException(msg)
+
+object DedupFeatureStore {
+
+  /** A featurized batch (companion-level, not an inner class: the
+    * features are store-independent in value, and the lifecycle
+    * harness folds ONE featurized batch into several stores). */
   private[graft] case class Features(ids: DataFrame, norm: DataFrame,
                               shingles: DataFrame, banded: DataFrame,
                               sizes: DataFrame)
-}
-
-object DedupFeatureStore {
 
   /** Generation of the seed corpus — strictly below every real batch
     * id (streaming batchIds start at 0). */
@@ -549,12 +624,91 @@ object DedupFeatureStore {
     val spark = docs.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(seedPath).getFileSystem(conf)
-    seedCache.getOrElseUpdate(seedPath, { build(docs, seedPath); () })
+    // cross-JVM-safe seed build: build into a PROCESS-UNIQUE temp dir
+    // and atomically rename into place, skipping when the target
+    // already exists — two overlapping JVMs on the same dataset (the
+    // jrun.sh overlap pattern) previously raced build()'s
+    // delete+rewrite on the shared seed dir while the other process
+    // was mid-copy (round-11 ADVICE). The rename loser just discards
+    // its temp build; the seed is a pure deterministic function of
+    // the immutable data dir, so any completed build is current.
+    // (TrieMap.getOrElseUpdate may evaluate the thunk more than once
+    // under contention — harmless here for the same reason.)
+    seedCache.getOrElseUpdate(seedPath, {
+      if (!fs.exists(new Path(seedPath))) {
+        val tmp = new Path(
+          s"$seedPath.build_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+        build(docs, tmp.toString)
+        // FileContext.rename (not FileSystem.rename): fails with an
+        // exception when dst exists instead of silently moving src
+        // INTO the existing directory
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, conf)
+        try fc.rename(tmp, new Path(seedPath))
+        catch { case e: java.io.IOException =>
+          fs.delete(tmp, true) // lost the race — a completed seed won
+          if (!fs.exists(new Path(seedPath))) throw e
+        }
+      }
+      ()
+    })
     fs.delete(new Path(workPath), true)
     org.apache.hadoop.fs.FileUtil.copy(
       fs, new Path(seedPath), fs, new Path(workPath), false, true, conf)
     new DedupFeatureStore(spark, workPath)
   }
+
+  /** The lifecycle state both registered store queries share: the
+    * post-fold-A store (seed ∪ generation 1 on disk) and batch A's
+    * eagerly-checkpointed verdict, plus batch B's featurized form.
+    * Every piece is a DETERMINISTIC artifact of the immutable data
+    * dir (same seed, same slices, same frozen blocklist), so
+    * computing it once per session and COPYING the store into each
+    * query's private working path changes no observable value —
+    * each query still runs its distinguishing work (the uncompacted
+    * vs compacted fold of batch B) against a real on-disk store.
+    * This is the round-11 "memoize the store-lifecycle artifacts
+    * across a bench session" item: the harness previously rebuilt
+    * seed + fold A per query (the dominant toy-SF cost), proving the
+    * same deterministic prefix twice. */
+  private case class LifecycleBase(postAPath: String, v1: DataFrame,
+                                   featB: Features)
+
+  private val lifecycleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LifecycleBase]
+  locally {
+    graft.Memo.registerClearHook("dedup_store_lifecycle") { s =>
+      lifecycleCache.keys.filter(_._1 eq s).foreach(lifecycleCache.remove)
+    }
+  }
+
+  private def step(n: Int, v: DataFrame): DataFrame =
+    v.select(lit(n).as("ingest_step"), col("doc_id"), col("status"),
+      col("hit_id"), col("jaccard"))
+
+  private def lifecycleBase(s: SparkSession, d: String): LifecycleBase =
+    lifecycleCache.getOrElseUpdate((s, d), {
+      val docs = DedupOps.docsParallel(s, d).select("doc_id", "text")
+      val mx = docs.agg(max(col("doc_id")).as("mx_id"))
+      def slice(lo: Int, hi: Int): DataFrame =
+        docs.crossJoin(broadcast(mx))
+          .filter(col("doc_id") * 10 > col("mx_id") * lo &&
+            col("doc_id") * 10 <= col("mx_id") * hi)
+          .drop("mx_id")
+      val base0 = docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") * 10 <= col("mx_id") * 8).drop("mx_id")
+      val postAPath = storePathFor(d) + "_postA"
+      val store = buildCachedCopy(base0,
+        storePathFor(d) + "_seed", postAPath)
+      // fold A once; its verdict is checkpointed (the union consumers
+      // must not re-read generation dirs later copies/compactions own)
+      val v1 = graft.Checkpoints.eager(
+        step(1, store.fold(slice(8, 9), 1L)))
+      // batch B featurized once: store-independent in value (frozen
+      // blocklist content identical in every copy), checkpointed
+      val featB = store.featurize(slice(9, 10))
+      LifecycleBase(postAPath, v1, featB)
+    })
 
   /** `dedup_store_fold`: the two-step crawl-ingest fold of
     * `dedup_ingest_fold`, run THROUGH a real on-disk store — build
@@ -564,56 +718,55 @@ object DedupFeatureStore {
     * cross-batch attribution case). Unlike `dedup_ingest_fold` the
     * base features here come off PARQUET written by earlier folds,
     * not a session memo — the oracle applies the identical frozen
-    * seed-df cap. */
+    * seed-df cap. Seed + fold A come from the session's shared
+    * [[lifecycleBase]] artifact, copied into this query's own
+    * working path. */
   def storeFold(s: SparkSession, d: String): DataFrame = {
-    val docs = DedupOps.docsParallel(s, d).select("doc_id", "text")
-    val mx = docs.agg(max(col("doc_id")).as("mx_id"))
-    def slice(lo: Int, hi: Int): DataFrame =
-      docs.crossJoin(broadcast(mx))
-        .filter(col("doc_id") * 10 > col("mx_id") * lo &&
-          col("doc_id") * 10 <= col("mx_id") * hi)
-        .drop("mx_id")
-    val base0 = docs.crossJoin(broadcast(mx))
-      .filter(col("doc_id") * 10 <= col("mx_id") * 8).drop("mx_id")
-    val store = buildCachedCopy(base0,
-      storePathFor(d) + "_seed", storePathFor(d))
-    def step(n: Int, v: DataFrame): DataFrame =
-      v.select(lit(n).as("ingest_step"), col("doc_id"), col("status"),
-        col("hit_id"), col("jaccard"))
-    step(1, store.fold(slice(8, 9), 1L))
-      .unionAll(step(2, store.fold(slice(9, 10), 2L)))
+    val base = lifecycleBase(s, d)
+    val store = copyStore(s, base.postAPath, storePathFor(d))
+    base.v1.unionAll(step(2, store.foldFeaturized(base.featB, 2L)))
   }
 
   /** `dedup_store_compact`: the [[storeFold]] lifecycle WITH a
-    * [[compactGenerations]] between the folds — build the seed
-    * store, fold batch A as generation 1, compact (seed ∪ A
-    * rewritten as ONE generation, supersession masks retired,
-    * superseded rows physically dropped), then fold batch B as
+    * [[compactGenerations]] between the folds — seed store, batch A
+    * as generation 1 (the shared [[lifecycleBase]] artifact), compact
+    * (seed ∪ A rewritten as ONE generation, supersession masks
+    * retired, superseded rows physically dropped), then batch B as
     * generation 2 against the COMPACTED base. The oracle is
     * byte-for-byte [[storeFoldSql]]: compaction must be
     * verdict-invariant, and registering the compacted run against
     * the uncompacted mirror proves that invariance in the driver's
-    * hash gate at every SF — not just in DedupStoreSpec. Step 1's
-    * verdict is eagerly checkpointed BEFORE compaction (its lazy
-    * plan reads generation dirs the compaction rewrites). */
+    * hash gate at every SF — not just in DedupStoreSpec. */
   def storeCompactFold(s: SparkSession, d: String): DataFrame = {
-    val docs = DedupOps.docsParallel(s, d).select("doc_id", "text")
-    val mx = docs.agg(max(col("doc_id")).as("mx_id"))
-    def slice(lo: Int, hi: Int): DataFrame =
-      docs.crossJoin(broadcast(mx))
-        .filter(col("doc_id") * 10 > col("mx_id") * lo &&
-          col("doc_id") * 10 <= col("mx_id") * hi)
-        .drop("mx_id")
-    val base0 = docs.crossJoin(broadcast(mx))
-      .filter(col("doc_id") * 10 <= col("mx_id") * 8).drop("mx_id")
-    val store = buildCachedCopy(base0,
-      storePathFor(d) + "_seed", storePathFor(d + "#compact"))
-    def step(n: Int, v: DataFrame): DataFrame =
-      v.select(lit(n).as("ingest_step"), col("doc_id"), col("status"),
-        col("hit_id"), col("jaccard"))
-    val v1 = graft.Checkpoints.eager(step(1, store.fold(slice(8, 9), 1L)))
+    val base = lifecycleBase(s, d)
+    val store = copyStore(s, base.postAPath, storePathFor(d + "#compact"))
     store.compactGenerations(1L)
-    v1.unionAll(step(2, store.fold(slice(9, 10), 2L)))
+    base.v1.unionAll(step(2, store.foldFeaturized(base.featB, 2L)))
+  }
+
+  /** Private working copy of a store: hardlinks where the filesystem
+    * allows (parquet files are immutable once committed — generations
+    * are only ever ADDED or their directory entries removed, so a
+    * link-copy can never see in-place mutation), byte copy as the
+    * fallback. */
+  private def copyStore(s: SparkSession, from: String,
+                        to: String): DedupFeatureStore = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(from).getFileSystem(conf)
+    fs.delete(new Path(to), true)
+    def linkWalk(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c =>
+          linkWalk(c, new java.io.File(dst, c.getName)))
+      } else java.nio.file.Files.createLink(dst.toPath, src.toPath)
+    try linkWalk(new java.io.File(from), new java.io.File(to))
+    catch { case _: Exception =>
+      fs.delete(new Path(to), true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(from), fs, new Path(to), false, true, conf)
+    }
+    new DedupFeatureStore(s, to)
   }
 
   /** Mirror: identical to the `dedup_ingest_fold` mirror except the

@@ -58,11 +58,22 @@ object MultimodalOps {
     * layout. Only this path pays the Tungsten deserialization; use it
     * when the codec genuinely reads bytes. */
   def decodeWithCodec(s: SparkSession, d: String)
-                     (codec: MediaIn => MediaFeatures): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-        col("lang"), col("n_chars"))
+                     (codec: MediaIn => MediaFeatures): DataFrame =
+    decodeMedia(
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          col("lang"), col("n_chars")))(codec)
+
+  /** The codec boundary over an arbitrary media frame (doc_id,
+    * payload: binary, lang, n_chars) — the path a REAL binary corpus
+    * takes (an image/audio payload is not valid UTF-8, so it cannot
+    * round-trip through a text column; it arrives as a binary column
+    * and crosses here untouched). */
+  private[graft] def decodeMedia(media: DataFrame)
+                                (codec: MediaIn => MediaFeatures): DataFrame = {
+    val session = media.sparkSession
+    import session.implicits._
+    media.select(col("doc_id"), col("payload"), col("lang"), col("n_chars"))
       .repartition(col("doc_id"))
       .as[MediaIn]
       .mapPartitions(_.map(codec))
@@ -71,6 +82,33 @@ object MultimodalOps {
 
   /** The stub codec exposed for the boundary-equivalence spec. */
   private[graft] def fakeCodec: MediaIn => MediaFeatures = fakeDecode
+
+  /** A REAL image codec at the same seam: javax.imageio (JDK-native —
+    * PNG/JPEG/GIF/BMP) sniffs the container from the actual payload
+    * bytes and reads true pixel dimensions and frame count from the
+    * image header (no full pixel decode — the header is all this
+    * feature table needs, and it is what a 100 TB manifest pass can
+    * afford per payload). An unrecognized container degrades to
+    * (0, 0, 0, "unknown") rather than failing the batch — the
+    * quarantine row a production pipeline routes to re-crawl.
+    * MultimodalSpec drives genuine PNG/GIF bytes through it; this
+    * retires the "would a real codec fit the seam" question — the
+    * stub and this codec are interchangeable at [[decodeMedia]]. */
+  private[graft] def imageioCodec: MediaIn => MediaFeatures = { m =>
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers.hasNext) {
+        val r = readers.next()
+        r.setInput(in)
+        try MediaFeatures(m.doc_id, m.payload.length,
+          r.getWidth(0), r.getHeight(0),
+          math.max(r.getNumImages(true), 1), r.getFormatName.toLowerCase)
+        finally r.dispose()
+      } else MediaFeatures(m.doc_id, m.payload.length, 0, 0, 0, "unknown")
+    } finally in.close()
+  }
 
   private val binaryMetaSql =
     """SELECT doc_id,

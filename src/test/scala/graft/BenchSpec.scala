@@ -23,6 +23,29 @@ class BenchSpec extends AnyFunSuite {
     assert(line.endsWith(""""sf":0.1}"""))
   }
 
+  test("stdout line with per-query results keeps only the top-20 and " +
+    "stays inside the driver's 2000-char tail window") {
+    val cal = Bench.Calib(0.12345678, 3.87654321, 31.72, 32,
+      "Some Vendor(R) Model CPU @ 9.99GHz")
+    // 300 queries, worst-case long names — more than the real 238
+    val wide = (1 to 300).map(i =>
+      f"a_rather_long_query_name_number_$i%03d" -> (1000.0 - i) / 7.0)
+    val line = Bench.compactLine(159.2, "/x/sf0.1", Some(cal),
+      Some(98.5), wide)
+    val n = """"a_rather_long_query_name_number_""".r
+      .findAllIn(line).length
+    assert(n == 20, s"expected exactly the 20 slowest, got $n")
+    // slowest first: entry 001 (largest value) must lead the map
+    assert(line.contains(""""queries":{"a_rather_long_query_name_number_001":"""))
+    assert(!line.contains("number_021"), "21st slowest must not ride")
+    assert(line.endsWith(""""sf":0.1}"""), "sf must stay the final field")
+    // hard bound: comfortably below the 2000-char window even with
+    // calib + oracle + the sbt [success] trailer sharing the tail
+    assert(line.getBytes("UTF-8").length < 1500, s"line too long: $line")
+    // no results → field absent entirely (back-compat shape)
+    assert(!Bench.compactLine(1.0, "/x/sf0.1").contains("queries"))
+  }
+
   test("calibrated stdout line carries calib fields and stays bounded") {
     val cal = Bench.Calib(0.12345678, 3.87654321, 31.72, 32,
       "Some Vendor(R) Model CPU @ 9.99GHz with an absurdly long suffix")

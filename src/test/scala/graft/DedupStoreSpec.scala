@@ -61,6 +61,43 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(v(202L) == ("exact_dup", 1L), "exact-dup of a seed doc")
   }
 
+  test("generation fence: a concurrent fold of the same generation is " +
+    "refused; the first fold's data survives intact") {
+    val path = "/tmp/graft_spec_store_fence"
+    val seed = Seq((1L, words(1, 30)), (2L, words(2, 30))).toDF("doc_id", "text")
+    val store = DedupFeatureStore.build(seed, path)
+    val batch = Seq((301L, words(9, 30))).toDF("doc_id", "text")
+    // writer 1 holds generation 3's lock mid-fold…
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => store.withGenLock(3L) {
+      holding.countDown(); release.await()
+    })
+    t.start(); holding.await()
+    // …so writer 2's fold of the SAME generation must refuse rather
+    // than interleave partition overwrites into gen 3
+    intercept[graft.operators.ConcurrentFoldException] {
+      store.fold(batch, 3L).collect()
+    }
+    release.countDown(); t.join()
+    // serialized retry succeeds and the generation is whole: a later
+    // fold sees doc 301 through the store
+    store.fold(batch, 3L).collect()
+    val v = store.fold(Seq((401L, words(9, 30))).toDF("doc_id", "text"), 4L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(v(401L) == ("exact_dup", 301L),
+      "gen 3's fold committed exactly once despite the refused concurrent attempt")
+    // a lock left by a DEAD process is stolen, not honored forever:
+    val dead = new ProcessBuilder("true").start()
+    dead.waitFor()
+    val lockPath = new org.apache.hadoop.fs.Path(s"$path/locks/gen_9.lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lockPath, false)
+    try out.writeLong(dead.pid()) finally out.close()
+    store.fold(Seq((501L, words(11, 30))).toDF("doc_id", "text"), 9L).collect()
+    assert(!fs.exists(lockPath), "stale lock stolen and released")
+  }
+
   test("replay idempotence: re-folding a generation neither changes " +
       "the verdict nor duplicates features") {
     val path = "/tmp/graft_spec_store_replay"
