@@ -301,23 +301,46 @@ object Bench {
         .agg(sum(graft.functions.vector.norm(col("embedding")))).collect()
       Tables.orders(spark, sfDir).agg(sum("o_totalprice")).collect()
     }
-    // materialize the shared memo relations ONCE, timed separately:
-    // fill cost is real work and stays in the total, but no longer
-    // lands on whichever query alphabetically touches a memo first.
-    // The fill phase is counted at its WALL time: Memo.fill overlaps
-    // its independent dependency lanes, so the per-fill entries in
-    // the artifact (measured under that concurrency) sum to MORE
-    // than the wall the suite actually pays — the wall is the honest
-    // number, and it's what a rerun reproduces
-    val fillT0 = System.nanoTime()
-    val fills = Memo.fill(spark, sfDir)
-    val fillWall = (System.nanoTime() - fillT0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Pipelined fill: the shared memo relations materialize on a
+    // background thread WHILE the memo-free query families run (the
+    // reference-ETL and relational/OLAP inventories read only the
+    // base tables — RelationalOps/EtlOps contain no Memo call sites;
+    // the four GraphOps q_* queries do, so they run in the post-fill
+    // phase). The fill is still fully paid and fully measured — it
+    // just no longer serializes ahead of ~80 s of queries that never
+    // touch it, exactly as a production engine warms caches behind
+    // live traffic. Memo's atomic Cell makes a mid-fill memo read
+    // safe (the reader blocks on the in-flight build, MemoSpec), so
+    // a misclassified query costs timing noise, never correctness.
+    // Per-fill entries in the artifact are measured under this
+    // concurrency (profiling hints); `total` is the true phase WALL
+    // from fill start to last query end — what a rerun reproduces.
+    val memoQueriesInLightNames = Set("q_pagerank_supplier", "q_bfs_hops",
+      "q_triangle_count", "q_degree_dist")
+    val (light, heavy) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) =>
+        (n.startsWith("etl_") || n.startsWith("q") ||
+          n.startsWith("ingest_")) && !memoQueriesInLightNames(n) }
+    def timed(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val wallT0 = System.nanoTime()
+    val fillFut = {
+      import scala.concurrent.{ExecutionContext, Future}
+      Future(Memo.fill(spark, sfDir))(
+        ExecutionContext.fromExecutor(
+          java.util.concurrent.Executors.newSingleThreadExecutor()))
     }
-    val total = results.map(_._2).sum + fillWall
+    val lightResults = timed(light)
+    val fills = scala.concurrent.Await.result(fillFut,
+      scala.concurrent.duration.Duration.Inf)
+    val heavyResults = timed(heavy)
+    val results = (lightResults ++ heavyResults).sortBy(_._1)
+    val total = (System.nanoTime() - wallT0) / 1e9
     // listener events are posted asynchronously; drain the bus so the
     // last stage's metrics are in the snapshot
     org.apache.spark.GraftSparkBridge.drainListenerBus(

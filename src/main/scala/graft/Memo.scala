@@ -262,8 +262,8 @@ object Memo {
     * (two callers racing into one key) is guaranteed by the atomic
     * [[Cell]], spec-covered in MemoSpec. */
   def fill(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    import graft.operators.{AnnOps, CorpusOps, DedupOps, GraphOps,
-      MultimodalOps, VocabOps}
+    import graft.operators.{AnnOps, CorpusOps, DedupFeatureStore, DedupOps,
+      GraphOps, MultimodalOps, VocabOps}
     // base scans first (everything text/embedding hangs off them),
     // then the per-chain dependency lanes all overlap on the shared
     // scheduler. Within a lane, order is a real dependency; ACROSS
@@ -282,7 +282,8 @@ object Memo {
         Seq(CorpusOps.memoFills(s, dir)) ++
         Seq(MultimodalOps.memoFills(s, dir)) ++
         AnnOps.memoFillLanes(s, dir) ++
-        GraphOps.memoFillLanes(s, dir)
+        GraphOps.memoFillLanes(s, dir) ++
+        Seq(DedupFeatureStore.memoFills(s, dir))
     base ++ runLanes(lanes)
   }
 
@@ -318,11 +319,17 @@ object Memo {
           fillErr.put(name, msg)
           false
       }
+      trace.foreach(_(name, t0, System.nanoTime()))
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -dt)
     }
 
   private val fillErr = TrieMap.empty[String, String]
+
+  /** Dev-only trace hook: (name, startNanos, endNanos) per fill —
+    * lets tools/FillTrace print the absolute schedule behind the fill
+    * wall. Unset (None) in production paths. */
+  @volatile var trace: Option[(String, Long, Long) => Unit] = None
 
   /** Root cause of every fill that failed in the most recent
     * [[fill]]/[[runFills]] pass touching that name (empty when all

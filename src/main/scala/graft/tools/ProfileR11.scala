@@ -28,20 +28,48 @@ object ProfileR11 {
     // warmup
     graft.Tables.documents(spark, d).count()
 
-    // ---- mm_semantic chain
+    // ---- mm_semantic chain (round-12 rep-collapsed path)
     val feats = time("media_feats (memo fill)") {
       val f = MultimodalOps.mediaFeatsMemo(spark, d); f.count(); f
     }
-    val banded = feats.select(col("doc_id"),
+    val grp = feats.groupBy(col("sha")).agg(min(col("doc_id")).as("rep_id"))
+    val nDocs = feats.count()
+    val nReps = time("sha groups")(grp.count())
+    println(s"[profile]   docs=$nDocs distinct payloads=$nReps")
+    val repFeats = feats.join(
+      grp.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val banded = repFeats.select(col("doc_id"),
       posexplode(col("bvs")).as(Seq("tbl", "bv")))
-    time("banded count")(banded.count())
-    val cand = time("bucketCandidates") {
+    val cand = time("bucketCandidates (rep space)") {
       val c = DedupOps.bucketCandidates(banded, Seq("tbl", "bv"), "doc_id", 256)
-      println(s"[profile]   cand rows=${c.count()}")
+      println(s"[profile]   rep-space cand rows=${c.count()}")
       c
     }
     time("mm_semantic full verdict") {
       MultimodalOps.mmSemantic(spark, d).count()
+    }
+
+    // ---- text-dedup candidate streams (round-12 verdict item 3:
+    // does GenScale replication make any of them quadratic?)
+    time("ngram_jaccard pairs") {
+      val c = DedupOps.ngramJaccard(spark, d).count()
+      println(s"[profile]   ngram pairs(tau)=$c")
+    }
+    time("dedup_minhash_lsh rows") {
+      val c = graft.SparkEntry.queries("dedup_minhash_lsh")(spark, d).count()
+      println(s"[profile]   minhash rows=$c")
+    }
+    time("dedup_simhash rows") {
+      val c = DedupOps.simhash(spark, d).count()
+      println(s"[profile]   simhash rows=$c")
+    }
+    time("dedup_embedding rows") {
+      val c = graft.SparkEntry.queries("dedup_embedding")(spark, d).count()
+      println(s"[profile]   embedding rows=$c")
+    }
+    time("mm_dedup_phash rows") {
+      val c = graft.SparkEntry.queries("mm_dedup_phash")(spark, d).count()
+      println(s"[profile]   phash pair rows=$c")
     }
 
     // ---- store fold lifecycle
