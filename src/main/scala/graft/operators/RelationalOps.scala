@@ -1563,35 +1563,46 @@ object RelationalOps {
     * bounds the raw estimates directly. At 100 TB the exact side of
     * this query is the expensive certification harness you run on a
     * sample; the sketch side is what production pipelines ship. */
-  def approxStats(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4)
-          .as("exact_median_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4)
-          .as("exact_p95_price"),
-        approx_count_distinct(col("l_orderkey")).as("ao"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"),
-        expr("percentile(l_extendedprice, 0.49)").as("mlo"),
-        expr("percentile(l_extendedprice, 0.51)").as("mhi"),
-        expr("percentile(l_extendedprice, 0.94)").as("plo"),
-        expr("percentile(l_extendedprice, 0.96)").as("phi"))
+  def approxStats(s: SparkSession, d: String): DataFrame = {
+    // Three SEPARATE aggregations joined on the 3-row group key, not
+    // one wide agg. The single-Aggregate form was a 90 GB time bomb
+    // at scale (it ENOSPC'd the sf10 run): Catalyst plans "distinct
+    // + non-distinct aggregates together" by first partial-grouping
+    // on (group key ∪ distinct keys) — which drags every NON-distinct
+    // aggregate's partial buffer to per-(flag, orderkey) granularity.
+    // approx_count_distinct's HLL++ buffer is ~1.5 KB dense, so 60M
+    // order keys × 1.5 KB of hash-agg state hit the shuffle. The fix
+    // is structural: sketches and exact percentiles live in their own
+    // all-non-distinct aggregate (3 small buffers), the two exact
+    // distinct counts share one narrow Expand (rows carry only ids),
+    // and the six exact quantiles come from ONE percentile(array)
+    // buffer instead of six. 3-row sides broadcast-join back.
+    val li = Tables.lineitem(s, d)
+    val exacts = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+    val pcts = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))")
+        .as("pct"),
+      approx_count_distinct(col("l_orderkey")).as("ao"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+      percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("a95"))
+    pcts
+      .join(broadcast(exacts), "l_returnflag")
       .select(col("l_returnflag"),
         col("exact_orders"), col("exact_parts"),
-        col("exact_median_price"), col("exact_p95_price"),
+        round(element_at(col("pct"), 2), 4).as("exact_median_price"),
+        round(element_at(col("pct"), 5), 4).as("exact_p95_price"),
         (abs(col("ao") - col("exact_orders"))
           <= col("exact_orders") * 0.15).cast("bigint").as("orders_in_bound"),
         (abs(col("ap") - col("exact_parts"))
           <= col("exact_parts") * 0.15).cast("bigint").as("parts_in_bound"),
-        (col("am").between(col("mlo"), col("mhi"))).cast("bigint")
-          .as("median_in_bound"),
-        (col("a95").between(col("plo"), col("phi"))).cast("bigint")
-          .as("p95_in_bound"))
+        (col("am").between(element_at(col("pct"), 1), element_at(col("pct"), 3)))
+          .cast("bigint").as("median_in_bound"),
+        (col("a95").between(element_at(col("pct"), 4), element_at(col("pct"), 6)))
+          .cast("bigint").as("p95_in_bound"))
+  }
 
   private val approxStatsSql =
     s"""SELECT l_returnflag,
