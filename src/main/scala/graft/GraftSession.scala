@@ -12,6 +12,39 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** FAIR-scheduler allocation file, written once per JVM: queries
+    * (the `default` pool) hold a 1000:1 weight plus a full minShare
+    * over background work (the `fill` pool — Memo.fill's lanes tag
+    * themselves into it via a thread-local, see [[Memo.fill]]). On a
+    * shared cluster this is the standard interactive-vs-batch pool
+    * split; locally it keeps cache warmup from inflating live query
+    * latency — warmup soaks idle task slots (toy-SF queries are
+    * latency-bound, far from saturating local[N]) instead of racing
+    * the foreground for them. Scheduling only — every job still runs
+    * identical plans, and the fill is still fully executed and timed.
+    */
+  private lazy val fairPoolsFile: String = {
+    val xml =
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1000</weight>
+        |    <minShare>2147483647</minShare>
+        |  </pool>
+        |  <pool name="fill">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin
+    val p = java.nio.file.Files.createTempFile("graft_fair_pools", ".xml")
+    java.nio.file.Files.writeString(p, xml)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
   def builder(master: String = "local[*]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
@@ -21,6 +54,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // interactive queries preempt background cache warmup for task
+      // slots (see fairPoolsFile) — cluster-standard pool split
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairPoolsFile)
       // local mode: shuffle files hit page cache, so compression only
       // burns CPU; on a network-shuffling cluster leave these on
       .config("spark.shuffle.compress", "false")

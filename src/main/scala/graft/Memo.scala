@@ -275,16 +275,25 @@ object Memo {
     // entries are profiling hints, the fill WALL is the real cost).
     // Small fill jobs nowhere near saturate local[N], so the wall
     // drops to roughly the longest chain (the IVF/IVFPQ model).
-    val base = runLanes(DedupOps.memoFillsBase(s, dir).map(Seq(_)))
-    val lanes: Seq[Seq[(String, () => Unit)]] =
-      Seq(VocabOps.memoFills(s, dir)) ++
-        DedupOps.memoFillLanes(s, dir) ++
-        Seq(CorpusOps.memoFills(s, dir)) ++
-        Seq(MultimodalOps.memoFills(s, dir)) ++
-        AnnOps.memoFillLanes(s, dir) ++
-        GraphOps.memoFillLanes(s, dir) ++
-        Seq(DedupFeatureStore.memoFills(s, dir))
-    base ++ runLanes(lanes)
+    // background-pool tag: lane threads inherit this thread's local
+    // properties at creation (InheritableThreadLocal), so every fill
+    // job lands in the low-weight `fill` pool and yields task slots
+    // to live queries (GraftSession.fairPoolsFile). Restored after —
+    // Verify runs its queries on this same thread post-fill.
+    val prevPool = s.sparkContext.getLocalProperty("spark.scheduler.pool")
+    s.sparkContext.setLocalProperty("spark.scheduler.pool", "fill")
+    try {
+      val base = runLanes(DedupOps.memoFillsBase(s, dir).map(Seq(_)))
+      val lanes: Seq[Seq[(String, () => Unit)]] =
+        Seq(VocabOps.memoFills(s, dir)) ++
+          DedupOps.memoFillLanes(s, dir) ++
+          Seq(CorpusOps.memoFills(s, dir)) ++
+          Seq(MultimodalOps.memoFills(s, dir)) ++
+          AnnOps.memoFillLanes(s, dir) ++
+          GraphOps.memoFillLanes(s, dir) ++
+          Seq(DedupFeatureStore.memoFills(s, dir))
+      base ++ runLanes(lanes)
+    } finally s.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }
 
   /** Run each lane's fills in order, all lanes concurrently; returns

@@ -2689,22 +2689,22 @@ object RelationalOps {
     * enumeration is sampled. */
   private val LiftBasketCap = 64
 
-  /** The capped pair-generation input: each basket's `LiftBasketCap`
-    * lowest-ihash parts, through the library's two-phase size-gated
-    * [[graft.functions.topk.capPerKey]] (the gate — count oversized
-    * baskets first, heap only for them, identity when none exceed
-    * the cap — lives there since round 10; the blanket per-key heap
-    * OOM'd the first sf10 run with ~15M basket keys). Spec seam:
-    * RelationalSpec drives a pathological 500-part basket through
-    * capPerKey directly. */
-  private[graft] def cappedBasket(op: DataFrame): DataFrame =
-    graft.functions.topk.capPerKey(
-        op.withColumn("_h", graft.functions.ihash.quad(col("pk"))),
-        keys = Seq("okey"),
-        order = Seq(graft.functions.topk.Order("_h"),
-          graft.functions.topk.Order("pk")),
-        k = LiftBasketCap)
-      .select("okey", "pk")
+  /** The capped per-basket part arrays: each basket's `LiftBasketCap`
+    * lowest-ihash parts as ONE array row, selected by the bounded
+    * bottom-k sketch aggregate ([[graft.plans.BottomKSketchAgg]] —
+    * O(cap) mergeable state per basket). This picks the SAME set the
+    * old two-phase `capPerKey` heap picked (bottom-cap of the total
+    * order (quad(pk), pk) over the distinct basket), but forms it in
+    * the shuffle that BUILDS the basket — no second per-key exchange
+    * and no self-join afterwards: pair enumeration becomes a
+    * within-row array expression, bounded O(cap²) by construction.
+    * Spec seam: RelationalSpec drives a pathological 500-part basket
+    * through this aggregate directly. */
+  private[graft] def cappedBaskets(op: DataFrame): DataFrame =
+    op.groupBy(col("okey"))
+      .agg(graft.functions.sketch.bottomK(
+        graft.functions.ihash.quad(col("pk")), col("pk"), LiftBasketCap)
+        .as("ps"))
 
   /** Market-basket association: top part pairs by LIFT
     * (n_ab·N / (n_a·n_b) — how much more often the pair co-occurs
@@ -2717,20 +2717,24 @@ object RelationalOps {
     * cross-engine. The retail twin of vocab_pmi's token
     * collocations. */
   def basketLift(s: SparkSession, d: String): DataFrame = {
-    // materialized once: op feeds BOTH self-join sides (through the
-    // capped view), the marginals and the order count — consumers
-    // that would otherwise each redo the distinct's shuffle (DuckDB
-    // materializes the CTE for the same reason)
+    // op's distinct exchange is consumed by BOTH the basket build and
+    // the marginals — identical subplans, so exchange reuse computes
+    // it once (DuckDB materializes the CTE for the same reason)
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-      .transform(graft.Checkpoints.eager)
-    val nOrders = op.select("okey").distinct().agg(count(lit(1)).as("n_orders"))
     val marg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    val cap = cappedBasket(op)
-    val pairs = cap.as("a").join(cap.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    val baskets = cappedBaskets(op)
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    // ordered in-basket pairs (pa < pb) as a within-row array
+    // expression over the capped basket — O(cap²) bounded, zero
+    // self-join shuffle; the pair AGGREGATION below is the only
+    // post-basket exchange
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y > x),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= LiftMinSupport)
     pairs

@@ -28,7 +28,8 @@ object VocabOps {
     "doc_toks" -> (() => { docToks(s, d).count(); () }),
     "token_freq" -> (() => { tokenFreq(s, d).count(); () }),
     "doc_tf" -> (() => { docTf(s, d).count(); () }),
-    "lm_scores" -> (() => { lmScore(s, d).count(); () }))
+    "lm_scores" -> (() => { lmScore(s, d).count(); () }),
+    "bpe_chain" -> (() => { bpeChain(s, d); () }))
 
   /** The tokenized corpus — (doc_id, lang, source, toks) with the
     * family's single pinned tokenizer (functions.text.tokens), run
@@ -1030,7 +1031,52 @@ object VocabOps {
         "concat(' ', a, b, ' '))"), col("enc")).as("enc"), col("freq"))
 
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    bpeMergesFromWords(bpeWords0(s, d))
+    bpeChain(s, d)._1
+
+  /** The trained [[BpeSteps]]-round BPE chain, ONCE per dataset per
+    * session: (merge table (step, left_sym, right_sym, pair_n,
+    * merged), keyed per-step words (step, token, enc, freq) for
+    * steps 0..[[BpeSteps]]). All three registered BPE consumers
+    * (vocab_bpe_merges / vocab_bpe_segment / vocab_fertility)
+    * previously re-ran the identical fold — steps × (one
+    * vocab-bounded pair aggregation + one merge map) each — so the
+    * training cost was paid three times per session; one shared
+    * training pass is also the production shape (you train a
+    * tokenizer once, then read its artifacts). Each step's words and
+    * best-pair row are eagerly checkpointed (vocab-bounded, a few
+    * MB), the cache entry drops on [[graft.Memo.clear]] exactly like
+    * the memoized relations. A query racing the fill rebuilds
+    * harmlessly (pure derivation, deterministic values) — post-fill
+    * consumers always hit. */
+  private[graft] def bpeChain(s: SparkSession,
+                              d: String): (DataFrame, DataFrame) =
+    bpeChainCache.getOrElseUpdate((s, d), {
+      val w0 = tokenFreq(s, d).select(col("token"),
+        regexp_replace(col("token"), "(.)", " $1 ").as("enc"), col("freq"))
+      val (stepRows, wordRows, _) = (1 to BpeSteps).foldLeft(
+        (Seq.empty[DataFrame],
+          Seq(w0.select(lit(0).as("step"), col("token"), col("enc"),
+            col("freq"))), w0)) { case ((acc, ws, words), step) =>
+        val b = graft.Checkpoints.eager(bpeBest(bpePairs(words)))
+        val row = b.where(col("a").isNotNull)
+          .select(lit(step).as("step"), col("a").as("left_sym"),
+            col("b").as("right_sym"), col("n").as("pair_n"),
+            concat(col("a"), col("b")).as("merged"))
+        val merged = graft.Checkpoints.eager(bpeMergeKeyed(words, b))
+        (acc :+ row,
+          ws :+ merged.select(lit(step).as("step"), col("token"),
+            col("enc"), col("freq")), merged)
+      }
+      (stepRows.reduce(_ unionAll _), wordRows.reduce(_ unionAll _))
+    })
+
+  private val bpeChainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  locally {
+    graft.Memo.registerClearHook("bpe_chain") { s =>
+      bpeChainCache.keys.filter(_._1 eq s).foreach(bpeChainCache.remove)
+    }
+  }
 
   /** Production entry: learn `steps` merges over the corpus token
     * frequencies. Identical chain to the registered probe, just a
@@ -1156,11 +1202,9 @@ object VocabOps {
     * map-side-combined agg over the memoized tokenize pass; the
     * final join is vocab × langs. Nothing corpus-sized shuffles. */
   def fertility(s: SparkSession, d: String): DataFrame = {
-    val w0 = tokenFreq(s, d).select(col("token"),
-      regexp_replace(col("token"), "(.)", " $1 ").as("enc"), col("freq"))
-    val finalEnc = (1 to BpeSteps).foldLeft(w0) { (w, _) =>
-      graft.Checkpoints.eager(bpeMergeKeyed(w, bpeBest(bpePairs(w))))
-    }
+    // final-step encodings off the session-trained chain (the same
+    // keyed fold this query previously re-ran privately)
+    val finalEnc = bpeChain(s, d)._2.filter(col("step") === BpeSteps)
     val nSyms = finalEnc.select(col("token"),
       size(split(trim(col("enc")), "  ")).cast("long").as("n_syms"))
     val byLang = docToks(s, d)
@@ -1204,23 +1248,17 @@ object VocabOps {
     * symbol-count aggregation per step, token totals broadcast as a
     * 1-row relation. */
   def bpeSegment(s: SparkSession, d: String): DataFrame = {
-    val statsOf = (words: DataFrame, step: Int) =>
-      words.select(col("freq"),
+    // one aggregation over the session-trained chain's per-step words
+    // (9 × vocab rows) instead of re-running the whole training fold
+    val st = bpeChain(s, d)._2
+      .select(col("step"), col("freq"),
         size(split(trim(col("enc")), "  ")).cast("long").as("ns"))
-        .agg(sum(col("freq")).as("n_tokens"),
-          sum(col("freq") * col("ns")).as("n_syms"))
-        .select(lit(step).as("step"), col("n_tokens"), col("n_syms"))
-    val (rows, _) = (1 to BpeSteps).foldLeft(
-      (Seq(statsOf(bpeWords0(s, d), 0)), bpeWords0(s, d))) {
-      case ((acc, words), step) =>
-        // eager per-step materialization, as in bpeMergesFromWords
-        val merged =
-          graft.Checkpoints.eager(bpeMerge(words, bpeBest(bpePairs(words))))
-        (acc :+ statsOf(merged, step), merged)
-    }
-    val base = rows.head.select(col("n_syms").as("base_syms"))
-    rows.reduce(_ unionAll _)
-      .crossJoin(broadcast(base))
+      .groupBy(col("step"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * col("ns")).as("n_syms"))
+    val base = st.filter(col("step") === 0)
+      .select(col("n_syms").as("base_syms"))
+    st.crossJoin(broadcast(base))
       .select(col("step"), col("n_tokens"), col("n_syms"),
         expr("n_syms * 1000000 div n_tokens").as("syms_per_token_ppm"),
         expr("(base_syms - n_syms) * 1000000 div base_syms")

@@ -840,22 +840,20 @@ class RelationalSpec extends AnyFunSuite {
     val mega = (1L to 500L).map(pk => (1L, pk)) ++
       Seq((2L, 7L), (2L, 9L), (3L, 7L), (3L, 9L), (3L, 11L))
     val op = mega.toDF("okey", "pk")
-    val capped = RelationalOps.cappedBasket(op)
-    val perBasket = capped.groupBy("okey").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(perBasket(1L) == 64L, "mega-basket sampled to the cap")
-    assert(perBasket(2L) == 2L && perBasket(3L) == 3L,
+    val capped = RelationalOps.cappedBaskets(op)
+    val rows = capped.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1L).size == 64, "mega-basket sampled to the cap")
+    assert(rows(2L).size == 2 && rows(3L).size == 3,
       "baskets under the cap keep every part")
-    // small baskets are pair-complete: the capped relation restricted
-    // to them is exactly the input (hash order is a reorder, not a
-    // filter, below the cap)
-    val small = capped.filter(col("okey") > 1L)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(small == mega.filter(_._1 > 1L).toSet)
+    // small baskets are pair-complete: the capped basket array is
+    // exactly the input set (hash order is a reorder, not a filter,
+    // below the cap)
+    assert(rows(2L).toSet == Set(7L, 9L) && rows(3L).toSet == Set(7L, 9L, 11L))
     // and the pair fan-out is the capped bound, not the quadratic one
-    val nPairs = capped.as("a").join(capped.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
-      .count()
+    val nPairs = capped.select(explode(flatten(transform(col("ps"), x =>
+        transform(filter(col("ps"), y => y > x),
+          y => struct(x.as("pa"), y.as("pb"))))))).count()
     assert(nPairs == 64L * 63 / 2 + 1 + 3,
       s"pair count O(B·cap): got $nPairs")
   }
