@@ -2717,12 +2717,17 @@ object RelationalOps {
     * cross-engine. The retail twin of vocab_pmi's token
     * collocations. */
   def basketLift(s: SparkSession, d: String): DataFrame = {
-    // op's distinct exchange is consumed by BOTH the basket build and
-    // the marginals — identical subplans, so exchange reuse computes
-    // it once (DuckDB materializes the CTE for the same reason)
+    // op is materialized ONCE: its four consumers (baskets, both
+    // marginal joins, the order count) are NOT subplan-identical
+    // after optimization (join-key IsNotNull pushdown and column
+    // pruning rewrite each branch differently), so exchange reuse
+    // misses and an un-materialized op re-scans + re-distincts
+    // lineitem per consumer — the checkpoint is the CTE
+    // materialization DuckDB applies to the same mirror
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
+      .transform(graft.Checkpoints.eager)
     val marg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
     val baskets = cappedBaskets(op)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))

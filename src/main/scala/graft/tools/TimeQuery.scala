@@ -39,6 +39,8 @@ object TimeQuery {
           val smj = "SortMergeJoin".r.findAllIn(p).length
           val bhj = "BroadcastHashJoin".r.findAllIn(p).length
           println(s"[timequery] $q final-plan smj=$smj bhj=$bhj")
+          // full post-AQE tree on demand (plan-shape debugging)
+          if (sys.env.contains("SPARK_GRAFT_FULL_PLAN")) println(p)
         }
       }
     } else {
