@@ -119,7 +119,8 @@ object Bench {
   def compactLine(total: Double, sfDir: String,
                   calib: Option[Calib] = None,
                   oracle: Option[Double] = None,
-                  results: Seq[(String, Double)] = Nil): String = {
+                  results: Seq[(String, Double)] = Nil,
+                  lanes: Int = 1): String = {
     // "sf0.1" → 0.1; anything unparseable becomes an ESCAPED string
     val base = sfDir.split('/').last
     val sf = base.stripPrefix("sf")
@@ -132,8 +133,15 @@ object Bench {
           jsonStr(k) + ":" + BigDecimal(v)
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble }
         .mkString(""""queries":{""", ",", "},")
-    s"""{"metric":"total","value":$total,"unit":"sec",$cal${oracleJson(total, oracle)}$qs"sf":$sfJson}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal${oracleJson(total, oracle)}$qs${lanesJson(lanes)}"sf":$sfJson}"""
   }
+
+  /** Concurrency disclosure: when the suite ran in >1 lane (engine
+    * AND oracle — both sides get the same knob), the artifact says
+    * so. Omitted at lanes=1, where the walk is the old sequential
+    * one. */
+  private def lanesJson(lanes: Int): String =
+    if (lanes > 1) s""""lanes":$lanes,""" else ""
 
   /** The 2× gate as ONE field pair: the DuckDB oracle's same-boot
     * wall over the identical inventory, and total/oracle. Round after
@@ -192,7 +200,8 @@ object Bench {
                  fillErrors: Map[String, String] = Map.empty,
                  deltas: Seq[(String, Double)] = Nil,
                  spill: Option[(Long, Long)] = None,
-                 oracle: Option[Double] = None): String = {
+                 oracle: Option[Double] = None,
+                 lanes: Int = 1): String = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fl = fills.map { case (k, v) => jsonStr(k) + ":" + v }
@@ -205,7 +214,7 @@ object Bench {
     val sp = spill.map { case (m2, d2) =>
       s""""spill":{"mem":$m2,"disk":$d2},""" }.getOrElse("")
     val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp${oracleJson(total, oracle)}"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"sf":${jsonStr(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp${oracleJson(total, oracle)}${lanesJson(lanes)}"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"sf":${jsonStr(sfDir)}}"""
   }
 
   /** Run the DuckDB oracle suite (tools/time_oracle.py, the driver-
@@ -218,7 +227,7 @@ object Bench {
     * SPARK_GRAFT_BENCH_ORACLE=0 (e.g. at sf10, where the oracle
     * needs a capacity-tuned staged run — see tools/selfcheck.py). */
   def timeOracle(sfDir: String, threads: Int,
-                 boundSec: Long = 7200): Option[Double] = {
+                 boundSec: Long = 7200, lanes: Int = 1): Option[Double] = {
     val tool = new java.io.File("tools/time_oracle.py")
     if (!tool.isFile) return None
     try {
@@ -229,6 +238,11 @@ object Bench {
       java.nio.file.Files.writeString(dir.resolve("oracle_sql.json"), json)
       val pb = new ProcessBuilder("python3", tool.getAbsolutePath,
         sfDir, dir.toString, threads.toString)
+      // same concurrency model on both sides of the ratio: the oracle
+      // overlaps queries in the same number of lanes as the engine
+      // (DuckDB cursors share one database + thread pool, exactly as
+      // the lanes share one Spark scheduler)
+      pb.environment().put("ORACLE_LANES", lanes.toString)
       pb.redirectErrorStream(true)
       val p = pb.start()
       val buf = new java.lang.StringBuilder
@@ -321,13 +335,54 @@ object Bench {
       .partition { case (n, _) =>
         (n.startsWith("etl_") || n.startsWith("q") ||
           n.startsWith("ingest_")) && !memoQueriesInLightNames(n) }
+    // Concurrent query lanes (opt-in diagnostic, DEFAULT 1): N worker
+    // threads drain one work queue, each timing its own queries (wall
+    // under concurrency). At toy SF a single tiny query leaves ~31 of
+    // local[32]'s slots idle, so overlapping queries is how a
+    // production deployment would serve this inventory — but the
+    // published ratio must compare EQUAL methodologies, and the r12
+    // measurement (SURVEY §7l) shows the DuckDB oracle gains MORE
+    // from the same lanes than Spark does (sf0.1: engine 170.8→77.3 s
+    // at 1→4 lanes; oracle 92.6→36.8 s, degrading again past 4), so
+    // every symmetric lane count worsens the ratio (1.83 sequential →
+    // 2.10 at 4 lanes). The knob therefore stays at 1 for the gate
+    // and exists for operations/diagnostics; when raised, the oracle
+    // timer AUTOMATICALLY gets the same lane count (time_oracle.py
+    // ORACLE_LANES, cursors on one DuckDB database) and both lines
+    // disclose it (`"lanes":N`). Lanes=1 reproduces the sequential
+    // walk exactly (per-query attribution uncontended).
+    val lanes = math.max(1, sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_LANES", "1").toInt)
     def timed(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
-      qs.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] = {
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)]
+      // longest-processing-time-first off the prior round's timings
+      // (classic LPT): a 6 s store fold queued last would otherwise
+      // straggle the whole phase behind one lane. Unknown queries
+      // (no baseline) keep their alphabetical position via 0.0.
+      qs.sortBy { case (n, _) => -prev.getOrElse(n, 0.0) }
+        .foreach(queue.add)
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+      def drain(): Unit = {
+        var q = queue.poll()
+        while (q != null) {
+          val t0 = System.nanoTime()
+          try { q._2(spark, sfDir).count() } catch { case _: Throwable => }
+          out.add(q._1 -> (System.nanoTime() - t0) / 1e9)
+          q = queue.poll()
+        }
       }
+      if (lanes == 1) drain()
+      else {
+        val threads = (1 to lanes).map(i => new Thread(() => drain(),
+          s"bench-lane-$i"))
+        threads.foreach(_.start()); threads.foreach(_.join())
+      }
+      import scala.jdk.CollectionConverters._
+      out.asScala.toSeq
+    }
     val wallT0 = System.nanoTime()
     val fillFut = {
       import scala.concurrent.{ExecutionContext, Future}
@@ -349,17 +404,17 @@ object Bench {
     // fork then contends with an idle session, not the timed queries)
     val oracle =
       if (sys.env.get("SPARK_GRAFT_BENCH_ORACLE").contains("0")) None
-      else timeOracle(sfDir, cpus)
+      else timeOracle(sfDir, cpus, lanes = lanes)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       detailLine(total, results, sfDir, fills, calib, Memo.fillErrors,
-        deltaMap(results, prev), Some(spill.snapshot), oracle) + "\n")
+        deltaMap(results, prev), Some(spill.snapshot), oracle, lanes) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     Memo.clear(spark)
     // the compact line is the LAST thing on stdout (after Spark's
     // shutdown chatter goes to stderr via log4j) so even a short tail
     // window catches an intact parseable line
-    println(compactLine(total, sfDir, calib, oracle, results))
+    println(compactLine(total, sfDir, calib, oracle, results, lanes))
     spark.stop()
   }
 }

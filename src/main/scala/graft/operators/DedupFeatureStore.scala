@@ -674,11 +674,21 @@ object DedupFeatureStore {
   private case class LifecycleBase(postAPath: String, v1: DataFrame,
                                    featB: Features)
 
-  private val lifecycleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LifecycleBase]
+  // At-most-once future cell, NOT TrieMap.getOrElseUpdate: a double
+  // evaluation here is not the harmless wasted recompute of the other
+  // session caches — both thunks would fold into the SAME postA
+  // working directory (delete + copy + generation-locked fold), so a
+  // concurrent second builder corrupts the store or trips the
+  // generation lock. Concurrent bench lanes make the two registered
+  // lifecycle queries genuinely concurrent callers.
+  private val lifecycleCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.CompletableFuture[LifecycleBase]]
   locally {
     graft.Memo.registerClearHook("dedup_store_lifecycle") { s =>
-      lifecycleCache.keys.filter(_._1 eq s).foreach(lifecycleCache.remove)
+      import scala.jdk.CollectionConverters._
+      lifecycleCache.keySet.asScala.filter(_._1 eq s)
+        .toList.foreach(lifecycleCache.remove)
     }
   }
 
@@ -686,8 +696,24 @@ object DedupFeatureStore {
     v.select(lit(n).as("ingest_step"), col("doc_id"), col("status"),
       col("hit_id"), col("jaccard"))
 
-  private def lifecycleBase(s: SparkSession, d: String): LifecycleBase =
-    lifecycleCache.getOrElseUpdate((s, d), {
+  private def lifecycleBase(s: SparkSession, d: String): LifecycleBase = {
+    val fresh = new java.util.concurrent.CompletableFuture[LifecycleBase]
+    val prev = lifecycleCache.putIfAbsent((s, d), fresh)
+    if (prev != null) return prev.join() // loser waits on the one build
+    try {
+      val built = buildLifecycleBase(s, d)
+      fresh.complete(built)
+      built
+    } catch { case e: Throwable =>
+      // a failed build must not poison the session: drop the cell so a
+      // later caller retries, and propagate to every current waiter
+      fresh.completeExceptionally(e)
+      lifecycleCache.remove((s, d), fresh)
+      throw e
+    }
+  }
+
+  private def buildLifecycleBase(s: SparkSession, d: String): LifecycleBase = {
       val docs = DedupOps.docsParallel(s, d).select("doc_id", "text")
       val mx = docs.agg(max(col("doc_id")).as("mx_id"))
       def slice(lo: Int, hi: Int): DataFrame =
@@ -708,7 +734,7 @@ object DedupFeatureStore {
       // blocklist content identical in every copy), checkpointed
       val featB = store.featurize(slice(9, 10))
       LifecycleBase(postAPath, v1, featB)
-    })
+  }
 
   /** Bench fill hook: the deterministic lifecycle prefix (seed build,
     * fold A, batch-B features) is a shared session artifact exactly

@@ -6,7 +6,10 @@
 # Requires `sbt compile` to have produced target/scala-2.13/classes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CLS=target/scala-2.13/classes
+# GRAFT_CLASSES lets a long-running background job pin a snapshot of
+# the compiled classes so concurrent recompiles can't swap class files
+# under its lazy classloading.
+CLS=${GRAFT_CLASSES:-target/scala-2.13/classes}
 # paste -sd: joins without a trailing ':' (a trailing colon would
 # silently add the cwd to the classpath)
 CP="$CLS:$(ls /opt/spark/jars/*.jar | paste -sd:)"
