@@ -226,7 +226,19 @@ final class DedupFeatureStore private[operators] (
     * a harness folding the same batch into several stores featurizes
     * once (the registered lifecycle queries share batch B's features
     * this way). */
-  private[graft] def foldFeaturized(f: Features, gen: Long): DataFrame = {
+  private[graft] def foldFeaturized(f: Features, gen: Long): DataFrame =
+    foldFeaturized(f, gen, eagerVerdict = false)
+
+  /** `eagerVerdict = true` additionally computes AND materializes the
+    * verdict CONCURRENTLY with the writes (see the isolation argument
+    * below) — the fold wall drops from writes + verdict to
+    * max(writes, verdict). Used by the lifecycle harness, whose
+    * consumers checkpoint the verdict anyway; the public [[fold]]
+    * keeps the lazy verdict so downstream consumers (the streaming
+    * ingest path, StreamingSpec's per-batch plan assertions) still
+    * see the bucket-pruned store scans in the verdict's own plan. */
+  private[graft] def foldFeaturized(f: Features, gen: Long,
+                                    eagerVerdict: Boolean): DataFrame = {
     val (kn, kd, kb) = probeBuckets(f)
     // GENERATION FENCE: two concurrent folds of the same generation
     // (two sessions ingesting the same batch id — the at-least-once
@@ -241,19 +253,33 @@ final class DedupFeatureStore private[operators] (
     // conservative direction (never steals), where a storage-layer
     // lease would replace it.
     withGenLock(gen) {
-      // the mask write and the feature appends touch disjoint paths
-      // and both read only already-checkpointed inputs / strictly-
-      // earlier generations — overlap them (the fold's fixed wall is
-      // a chain of small driver-committed writes; see append's
-      // rationale)
+      // the mask write, the feature appends AND the verdict are
+      // mutually independent: the writes touch only generation `gen`'s
+      // partitions (disjoint paths between themselves), while the
+      // verdict reads only already-checkpointed batch inputs and
+      // strictly-EARLIER generations (its base excludes `gen` by
+      // partition filter, its masks by the `< gen` resent filter — the
+      // same isolation that keeps the verdict valid AFTER the append
+      // makes it valid DURING it: `gen`'s dirs are pruned before file
+      // listing, and Spark ignores in-flight _temporary staging).
+      // Overlap all three; the fold wall drops from writes + verdict
+      // to max(writes, verdict). The verdict lands materialized
+      // (eager local checkpoint — O(|batch|) rows), which its
+      // consumers want anyway: the lifecycle harness checkpoints it,
+      // and the streaming fold unions it across batches.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val verdict =
+        if (eagerVerdict)
+          Some(Future(graft.Checkpoints.eager(verdictOf(f, gen, kn, kb))))
+        else None
       Await.result(Future.sequence(Seq(
         Future(supersede(f.ids, gen, kd)),
-        Future(append(f, gen)))),
-        scala.concurrent.duration.Duration.Inf)
+        Future(append(f, gen)))), Duration.Inf)
+      verdict.map(Await.result(_, Duration.Inf))
+        .getOrElse(verdictOf(f, gen, kn, kb))
     }
-    verdictOf(f, gen, kn, kb)
   }
 
   /** Run `body` holding generation `gen`'s writer lock. Throws
@@ -729,7 +755,8 @@ object DedupFeatureStore {
       // fold A once; its verdict is checkpointed (the union consumers
       // must not re-read generation dirs later copies/compactions own)
       val v1 = graft.Checkpoints.eager(
-        step(1, store.fold(slice(8, 9), 1L)))
+        step(1, store.foldFeaturized(
+          store.featurize(slice(8, 9)), 1L, eagerVerdict = true)))
       // batch B featurized once: store-independent in value (frozen
       // blocklist content identical in every copy), checkpointed
       val featB = store.featurize(slice(9, 10))
@@ -758,7 +785,7 @@ object DedupFeatureStore {
   def storeFold(s: SparkSession, d: String): DataFrame = {
     val base = lifecycleBase(s, d)
     val store = copyStore(s, base.postAPath, storePathFor(d))
-    base.v1.unionAll(step(2, store.foldFeaturized(base.featB, 2L)))
+    base.v1.unionAll(step(2, store.foldFeaturized(base.featB, 2L, eagerVerdict = true)))
   }
 
   /** `dedup_store_compact`: the [[storeFold]] lifecycle WITH a
@@ -775,7 +802,7 @@ object DedupFeatureStore {
     val base = lifecycleBase(s, d)
     val store = copyStore(s, base.postAPath, storePathFor(d + "#compact"))
     store.compactGenerations(1L)
-    base.v1.unionAll(step(2, store.foldFeaturized(base.featB, 2L)))
+    base.v1.unionAll(step(2, store.foldFeaturized(base.featB, 2L, eagerVerdict = true)))
   }
 
   /** Private working copy of a store: hardlinks where the filesystem

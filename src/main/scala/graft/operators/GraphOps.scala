@@ -167,25 +167,37 @@ object GraphOps {
     // re-join an O(V) reached-set every time.
     var frontier = dist.filter(col("dist").isNotNull)
     (1 to BfsRounds).foreach { _ =>
-      val next = edges
+      // one shuffle per round: the candidate stream (edges ⋈ frontier,
+      // frontier broadcasts — it is ≤|V| rows) UNIONS with the current
+      // dist vector and ONE keyed aggregation merges them — the
+      // classic Pregel message+state combine. The former shape (agg
+      // candidates, then left-join dist) paid a second barrier per
+      // round for the same merge; the union adds only |V| rows to a
+      // shuffle that already carries the O(E_layer) candidates, so at
+      // 100× it is the same asymptotics with half the round latency.
+      val cand = edges
         .join(frontier, edges("src") === frontier("node"))
-        .select(col("dst"), (col("dist") + 1L).as("cand"))
-        .groupBy("dst").agg(min(col("cand")).as("nd"))
-      // materialize each round: dist feeds BOTH sides of the merge, so
-      // an unrolled lazy chain duplicates the whole prefix plan per
-      // round (2^rounds subplans for Catalyst to plan/execute when
-      // exchange reuse misses). The frontier is one row per node —
-      // checkpointing it is O(V), the same state a Pregel round holds
-      dist = dist.join(next, dist("node") === next("dst"), "left")
-        .select(dist("node"),
-          when(col("dist").isNull, col("nd"))
-            .when(col("nd").isNull, col("dist"))
-            .when(col("nd") < col("dist"), col("nd"))
-            .otherwise(col("dist")).as("dist"),
-          // newly discovered ⇔ was unreached and a candidate arrived;
-          // a smaller `nd` for an already-reached node cannot happen
-          // in unit-weight BFS (min-layer discovery is final)
-          (col("dist").isNull && col("nd").isNotNull).as("fresh"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("d"),
+          lit(false).as("old"))
+      // materialize each round: dist feeds BOTH the union and (via
+      // the filter below) the next frontier, so an unrolled lazy
+      // chain duplicates the whole prefix plan per round (2^rounds
+      // subplans for Catalyst when exchange reuse misses). The state
+      // is one row per node — checkpointing it is O(V), the same
+      // state a Pregel round holds
+      dist = dist
+        .select(col("node"), col("dist").as("d"), lit(true).as("old"))
+        .union(cand)
+        .groupBy("node")
+        .agg(min(when(col("old"), col("d"))).as("od"),
+          min(when(!col("old"), col("d"))).as("nd"))
+        .select(col("node"),
+          // a reached node's dist is final in unit-weight BFS (min-
+          // layer discovery); an unreached node adopts the min
+          // candidate if one arrived
+          when(col("od").isNull, col("nd")).otherwise(col("od")).as("dist"),
+          // newly discovered ⇔ was unreached and a candidate arrived
+          (col("od").isNull && col("nd").isNotNull).as("fresh"))
         .transform(graft.Checkpoints.eager)
       // frontier reads back from the checkpoint just taken — a filter
       // over materialized rows, no second materialization needed
