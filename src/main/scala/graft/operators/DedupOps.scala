@@ -95,27 +95,78 @@ object DedupOps {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, "ngram_jaccard", d) { ngramJaccardBuild(s, d) }
 
-  private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // the candidate self-join moves (doc_id, 8-byte hash) instead of
-    // (doc_id, shingle STRING): distinct shingles hash 1:1 under
-    // xxhash64 (a collision would need two distinct shingles shared
-    // by one doc pair — ~2^-64), so intersection counts are identical
-    // and the pair shuffle halves its bytes
-    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("hs"))
-    val a = hashed.select(col("doc_id").as("doc_a"), col("hs"))
-    val b = hashed.select(col("doc_id").as("doc_b"), col("hs"))
-    val inter = a.join(b, "hs").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  /** Shared-shingle pair statistics, UNFILTERED: every ordered doc
+    * pair sharing ≥ 1 df-capped shingle, with the exact intersection
+    * count and both set sizes. Memoized once per session —
+    * `dedup_ngram_jaccard` (symmetric Jaccard ≥ τ) and
+    * `dedup_containment` (asymmetric containment — a pair can be
+    * 95% contained yet Jaccard-invisible when one side is much
+    * larger) are both pure filters/projections over this relation,
+    * so the candidate self-join runs ONCE for both operators. Pair
+    * fan-out stays bounded by the df cap exactly as before: a
+    * shingle contributes ≤ C(MaxDf, 2) pairs. */
+  private[graft] def ngramInter(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "ngram_inter", d) {
+      val sh = shingleSets(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // the candidate self-join moves (doc_id, 8-byte hash) instead of
+      // (doc_id, shingle STRING): distinct shingles hash 1:1 under
+      // xxhash64 (a collision would need two distinct shingles shared
+      // by one doc pair — ~2^-64), so intersection counts are identical
+      // and the pair shuffle halves its bytes
+      val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("hs"))
+      val a = hashed.select(col("doc_id").as("doc_a"), col("hs"))
+      val b = hashed.select(col("doc_id").as("doc_b"), col("hs"))
+      val inter = a.join(b, "hs").filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    }
+
+  private def ngramJaccardBuild(s: SparkSession, d: String): DataFrame =
+    ngramInter(s, d)
       .withColumn("jaccard",
         col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= JaccardTau)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
-  }
+
+  /** Containment threshold for `dedup_containment`, in exact ppm of
+    * the SMALLER side's shingle set (0.8 = the Lee et al. dedup
+    * papers' usual near-dup cut for sub-document duplication). */
+  private[operators] val ContainTauPpm = 800000L
+
+  /** `dedup_containment`: asymmetric near-dup — pairs where the
+    * smaller doc's df-capped shingle set is ≥ 80% contained in the
+    * larger's (quote extraction, boilerplate embedding, article +
+    * digest). The symmetric Jaccard filter is structurally blind to
+    * these: at na ≪ nb a fully-contained doc has
+    * J = na/(nb) → 0 < τ. Reference semantics: the same shingle
+    * universe, candidate stream and df discipline as
+    * `dedup_ngram_jaccard` (both project the shared [[ngramInter]]
+    * relation); the score is ONE integer division (exact ppm), so
+    * the verdict is bit-identical cross-engine. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    ngramInter(s, d)
+      .withColumn("containment_ppm",
+        expr("(1000000 * n_shared) div least(na, nb)"))
+      .filter(col("containment_ppm") >= ContainTauPpm)
+      .select("doc_a", "doc_b", "n_shared", "na", "nb", "containment_ppm")
+
+  private[operators] val containmentSql =
+    s"""WITH $shingleSetsSqlCte,
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $oCountAlias AS n_shared
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  sa.n AS na, sb.n AS nb,
+       |  (1000000 * n_shared) // least(sa.n, sb.n) AS containment_ppm
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE (1000000 * n_shared) // least(sa.n, sb.n) >= $ContainTauPpm""".stripMargin
 
   /** ORACLE ASYMMETRY, deliberate: this mirror joins raw shingle
     * STRINGS where the Spark side joins xxhash64(sh) — DuckDB has no
@@ -1125,6 +1176,7 @@ object DedupOps {
   private[graft] def memoFillLanes(s: SparkSession, d: String)
       : Seq[Seq[(String, () => Unit)]] = Seq(
     Seq("shingle_sets" -> (() => { shingleSets(s, d).count(); () }),
+        "ngram_inter" -> (() => { ngramInter(s, d).count(); () }),
         "ngram_jaccard" -> (() => { ngramJaccard(s, d).count(); () })),
     Seq("minhash_banded" -> (() => { minhashBanded(s, d).count(); () }),
         "minhash_cand" -> (() => { minhashCandidates(s, d).count(); () })),
@@ -1483,6 +1535,7 @@ object DedupOps {
     "dedup_lsh_curve" -> (lshCurve _),
     "dedup_exact" -> (exact _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingNearDup _),
@@ -1499,6 +1552,7 @@ object DedupOps {
     "dedup_lsh_curve" -> lshCurveSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding" -> embeddingNearDupSql,

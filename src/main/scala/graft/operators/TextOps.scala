@@ -778,7 +778,48 @@ object TextOps {
        |FROM j""".stripMargin
   }
 
+  /** `text_ngram_novelty`: per-doc first-occurrence share of its
+    * df-capped bigrams — the fraction of a doc's (rare) shingles
+    * whose FIRST appearance in the corpus (min doc_id — the corpus's
+    * stable ingest order) is this doc. The standard freshness /
+    * memorization-risk panel for training-data curation: a doc whose
+    * shingles all debuted earlier adds no new n-gram mass (near-dup,
+    * boilerplate remix, quote collage) even when no single pair
+    * crosses a dedup threshold. Shares [[DedupOps.shingleSets]]'s
+    * memoized universe and df discipline (a >MaxDf shingle is
+    * "novel" for no one); docs with zero qualifying shingles have no
+    * novelty to report and are absent, same as the dedup family.
+    * Score is ONE integer division (exact ppm) — bit-identical
+    * cross-engine. At 100 TB: one aggregation to the first-seen
+    * relation (|distinct shingles| rows), one shingle-keyed shuffle
+    * join back, one per-doc aggregation — no self-join, no window. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = DedupOps.shingleSets(s, d)
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_sh"))
+  }
+
+  private val ngramNoveltySql =
+    s"""WITH ${DedupOps.shingleSetsSqlCte},
+       |first AS MATERIALIZED (
+       |  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+       |SELECT s.doc_id,
+       |  cast(count(*) as bigint) AS n_sh,
+       |  cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    as bigint) AS n_novel,
+       |  (1000000 * cast(sum(CASE WHEN f.first_doc = s.doc_id
+       |                           THEN 1 ELSE 0 END) as bigint))
+       |    // cast(count(*) as bigint) AS novelty_ppm
+       |FROM sh s JOIN first f USING (sh)
+       |GROUP BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (ngramNovelty _),
     "text_lexical_diversity" -> (lexicalDiversity _),
     "text_char_stats" -> (charStats _),
     "text_boilerplate" -> (boilerplate _),
@@ -795,6 +836,7 @@ object TextOps {
     "text_fingerprint" -> (fingerprint _))
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_novelty" -> ngramNoveltySql,
     "text_lexical_diversity" -> lexicalDiversitySql,
     "text_char_stats" -> charStatsSql,
     "text_boilerplate" -> boilerplateSql,

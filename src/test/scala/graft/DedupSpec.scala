@@ -335,4 +335,51 @@ class DedupSpec extends AnyFunSuite {
     val step2 = fold.filter(_._1 == 2).map(t => (t._2, t._3, t._4)).toSet
     assert(step2 == inc, "fold step 2 == dedup_incremental")
   }
+
+  test("containment: scores match a driver recompute over the shingle space; " +
+      "exact dups score 1.0; asymmetric containment is jaccard-invisible") {
+    // driver ground truth over the SAME df-capped shingle universe
+    val sh = DedupOps.shingleSets(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      inter = (sa & sb).size
+      if inter > 0 && inter.toLong * 1000000 / math.min(sa.size, sb.size) >= 800000
+    } yield (a, b) -> (inter.toLong * 1000000 / math.min(sa.size, sb.size))).toMap
+    val got = DedupOps.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(got == want, "containment pair set + ppm scores")
+    assert(got.nonEmpty, "planted dups must produce containment pairs")
+    // an asymmetric pair (small ⊂ big, sizes far apart) is exactly the
+    // case the symmetric jaccard threshold is blind to — prove the two
+    // operators disagree somewhere whenever such a pair exists
+    val jac = DedupOps.ngramJaccard(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val asymmetric = want.keySet.filter { case (a, b) =>
+      val (na, nb) = (sh(a).size, sh(b).size)
+      math.max(na, nb) >= 5 * math.min(na, nb)
+    }
+    asymmetric.foreach(p => assert(!jac.contains(p),
+      s"pair $p: 5x size skew cannot clear jaccard 0.2"))
+  }
+
+  test("ngram novelty: ppm matches a driver first-occurrence recompute; " +
+      "the corpus's first doc with shingles is fully novel") {
+    val sh = DedupOps.shingleSets(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+    val firstDoc = sh.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val want = sh.groupBy(_._1).map { case (d, rows) =>
+      val n = rows.size.toLong
+      val novel = rows.count { case (_, s) => firstDoc(s) == d }.toLong
+      d -> ((n, novel, novel * 1000000 / n))
+    }
+    val got = graft.operators.TextOps.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want, "per-doc (n_sh, n_novel, novelty_ppm)")
+    val minDoc = sh.map(_._1).min
+    assert(got(minDoc)._3 == 1000000L,
+      "the lowest doc_id owning shingles debuts every one of them")
+  }
 }
