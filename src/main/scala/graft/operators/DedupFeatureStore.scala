@@ -478,13 +478,16 @@ final class DedupFeatureStore private[operators] (
       // hidden-filtered by the file index and depend on listing
       // internals
       val staged = s"$path/tmp_compact/$name"
-      live.write.mode("overwrite").parquet(staged)
+      // stage ALREADY in the table's final layout (bucket-repartitioned
+      // + generation/bucket partition dirs): the promote step is then a
+      // single directory RENAME instead of a second full write of every
+      // compacted row — compaction writes each row once, and the swap
+      // is more atomic than the old delete+rewrite, not less
+      live.repartition(col(kCol(name)))
+        .write.mode("overwrite").partitionBy("ingest_gen", kCol(name))
+        .parquet(staged)
       deleteGens(fs, s"$path/$name", upTo)
-      spark.read.schema(genSchemas(name)).parquet(staged)
-        .repartition(col(kCol(name)))
-        .write.mode("append").partitionBy("ingest_gen", kCol(name))
-        .parquet(s"$path/$name")
-      fs.delete(new Path(staged), true)
+      promoteStaged(fs, staged, s"$path/$name")
     }
     Await.result(Future.sequence(
       Seq("norm", "shingles", "banded", "sizes")
@@ -495,14 +498,26 @@ final class DedupFeatureStore private[operators] (
     val keep = spark.read.schema(resentSchema).parquet(s"$path/resent")
       .filter(col("old_gen") > upTo)
     val stagedR = s"$path/tmp_compact/resent"
-    keep.write.mode("overwrite").parquet(stagedR)
+    keep.write.mode("overwrite").partitionBy("ingest_gen").parquet(stagedR)
     fs.delete(new Path(s"$path/resent"), true)
-    spark.read.schema(resentSchema).parquet(stagedR)
-      .write.mode("overwrite").partitionBy("ingest_gen")
-      .parquet(s"$path/resent")
+    fs.mkdirs(new Path(s"$path/resent"))
+    promoteStaged(fs, stagedR, s"$path/resent")
     fs.delete(new Path(s"$path/tmp_compact"), true)
     ()
   }
+
+  /** Move every `ingest_gen=*` partition dir from a staged write into
+    * the live table dir (the targets were deleted beforehand) — the
+    * promote half of the stage→delete→promote compaction swap. */
+  private def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
+                            staged: String, table: String): Unit =
+    fs.listStatus(new Path(staged)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("ingest_gen="))
+        if (!fs.rename(st.getPath, new Path(s"$table/$n")))
+          throw new java.io.IOException(
+            s"compaction promote failed: ${st.getPath} -> $table/$n")
+    }
 
   private def deleteGens(fs: org.apache.hadoop.fs.FileSystem,
                          table: String, upTo: Long): Unit =
