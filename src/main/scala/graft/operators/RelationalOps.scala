@@ -2449,14 +2449,23 @@ object RelationalOps {
         col("freq"), col("spend_c"),
         (-col("freq")).as("neg_freq"), (-col("spend_c")).as("neg_spend"))
       .transform(graft.Checkpoints.eager)
-    def quintile(df: DataFrame, v: String, out: String): DataFrame =
-      rangedRank(df, v, "o_custkey")
-        .withColumn(out,
-          expr(s"($RfmQuantiles * pos) div _n + 1").cast("int"))
-        .drop("pos", "_n")
-        .transform(graft.Checkpoints.eager)
-    val scored = quintile(quintile(quintile(
-      cust, "recency", "r_q"), "neg_freq", "f_q"), "neg_spend", "m_q")
+    // the three quintile passes are VALUE-INDEPENDENT (each ranks the
+    // checkpointed cust frame on its own metric — added columns never
+    // change another pass's order), so they run as three independent
+    // subplans over the one materialized input and join back on the
+    // customer key, instead of the former chained form whose each
+    // step had to eager-checkpoint (rangedRank references its input
+    // three times; an unchecked chain duplicates the prefix 3^3
+    // ways). Two fewer materializations of the |customers| frame at
+    // every scale; the rejoins co-partition on the customer key.
+    def quintile(v: String, out: String): DataFrame =
+      rangedRank(cust, v, "o_custkey")
+        .select(col("o_custkey"),
+          expr(s"($RfmQuantiles * pos) div _n + 1").cast("int").as(out))
+    val scored = cust
+      .join(quintile("recency", "r_q"), "o_custkey")
+      .join(quintile("neg_freq", "f_q"), "o_custkey")
+      .join(quintile("neg_spend", "m_q"), "o_custkey")
     scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend_c")).as("segment_spend_c"),
