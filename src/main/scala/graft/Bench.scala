@@ -358,12 +358,16 @@ object Bench {
       val queue = new java.util.concurrent.ConcurrentLinkedQueue[
         (String, (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame)]
-      // longest-processing-time-first off the prior round's timings
-      // (classic LPT): a 6 s store fold queued last would otherwise
-      // straggle the whole phase behind one lane. Unknown queries
-      // (no baseline) keep their alphabetical position via 0.0.
-      qs.sortBy { case (n, _) => -prev.getOrElse(n, 0.0) }
-        .foreach(queue.add)
+      // lanes > 1: longest-processing-time-first off the prior round's
+      // timings (classic LPT) — a 6 s store fold queued last would
+      // otherwise straggle the whole phase behind one lane. Unknown
+      // queries (no baseline) keep their alphabetical position via
+      // 0.0. The sequential walk keeps its stable alphabetical order
+      // (LPT would also reshuffle which queries overlap the fill).
+      val ordered =
+        if (lanes == 1) qs
+        else qs.sortBy { case (n, _) => -prev.getOrElse(n, 0.0) }
+      ordered.foreach(queue.add)
       val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
       def drain(): Unit = {
         var q = queue.poll()
