@@ -274,9 +274,20 @@ final class DedupFeatureStore private[operators] (
         if (eagerVerdict)
           Some(Future(graft.Checkpoints.eager(verdictOf(f, gen, kn, kb))))
         else None
-      Await.result(Future.sequence(Seq(
+      try Await.result(Future.sequence(Seq(
         Future(supersede(f.ids, gen, kd)),
         Future(append(f, gen)))), Duration.Inf)
+      catch { case t: Throwable =>
+        // a failed write must not release the generation lock while
+        // the eager verdict's Spark jobs still run detached — a retry
+        // fold of the same generation would overlap the orphaned
+        // computation (round-12 ADVICE). Drain it (its own failure is
+        // secondary to the write failure being propagated).
+        verdict.foreach(v =>
+          try { Await.result(v, Duration.Inf); () }
+          catch { case _: Throwable => () })
+        throw t
+      }
       verdict.map(Await.result(_, Duration.Inf))
         .getOrElse(verdictOf(f, gen, kn, kb))
     }
@@ -638,14 +649,35 @@ object DedupFeatureStore {
     * suffixed with a hash of the FULL dir string: the lossy character
     * sanitization alone could collide two distinct data dirs on one
     * store path, and a fixed world-readable /tmp prefix is
-    * pre-creatable by other local users (round-10 ADVICE). */
-  private def storePathFor(d: String): String = {
+    * pre-creatable by other local users (round-10 ADVICE).
+    *
+    * PROCESS-scoped (pid in the path, tree deleted on JVM exit): the
+    * pre-r13 path was stable across JVMs and [[buildCachedCopy]]
+    * skips the seed build when the dir already exists, so a SECOND
+    * bench invocation on one boot would silently reuse the previous
+    * process's featurized seed — a persisted intermediate keyed on
+    * the data dir, i.e. cross-run precomputation, which the bench
+    * methodology forbids. Every invocation now featurizes its own
+    * seed from the parquet inputs; within-process sharing (the
+    * lifecycle prefix the two registered queries split) is untouched. */
+  private lazy val storeRoot: String = {
     val user = Option(System.getProperty("user.name")).getOrElse("anon")
     val tmp = System.getProperty("java.io.tmpdir", "/tmp")
       .stripSuffix("/")
-    s"$tmp/graft_store_$user/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + sha8(d)
+    val root = s"$tmp/graft_store_$user/pid_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+      } catch { case _: Throwable => () }))
+    root
   }
+
+  private def storePathFor(d: String): String =
+    s"$storeRoot/" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + sha8(d)
 
   /** Session cache of seed stores already built this JVM (keyed by
     * the immutable seed path). The two registered lifecycle queries
@@ -740,7 +772,13 @@ object DedupFeatureStore {
   private def lifecycleBase(s: SparkSession, d: String): LifecycleBase = {
     val fresh = new java.util.concurrent.CompletableFuture[LifecycleBase]
     val prev = lifecycleCache.putIfAbsent((s, d), fresh)
-    if (prev != null) return prev.join() // loser waits on the one build
+    if (prev != null)
+      // loser waits on the one build; unwrap join()'s
+      // CompletionException so waiters observe the builder's ORIGINAL
+      // exception type, same as the builder thread (round-12 ADVICE)
+      try return prev.join()
+      catch { case e: java.util.concurrent.CompletionException
+          if e.getCause != null => throw e.getCause }
     try {
       val built = buildLifecycleBase(s, d)
       fresh.complete(built)

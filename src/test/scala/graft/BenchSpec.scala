@@ -137,6 +137,49 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.detailLine(1.0, manyQueries, "/x/sf0.1").contains("spill"))
   }
 
+  test("fill-overlapped queries are named on both lines and bounded") {
+    val cal = Bench.Calib(0.12345678, 3.87654321, 31.72, 32,
+      "Some Vendor(R) Model CPU @ 9.99GHz")
+    val wide = (1 to 300).map(i =>
+      f"a_rather_long_query_name_number_$i%03d" -> (1000.0 - i) / 7.0)
+    // worst case: EVERY query overlapped the fill phase
+    val all = wide.map(_._1).toSet
+    val line = Bench.compactLine(159.2, "/x/sf0.1", Some(cal),
+      Some(98.5), wide, fillOverlap = all)
+    // restricted to top-20 names, capped at 10, slowest first
+    val ov = """"fill_overlap":\[([^\]]*)\]""".r
+      .findFirstMatchIn(line).map(_.group(1)).getOrElse("")
+    val names = ov.split(",").filter(_.nonEmpty)
+    assert(names.length == 10, s"expected 10 capped names: $ov")
+    assert(names.head.contains("number_001"), "slowest overlapped first")
+    assert(line.getBytes("UTF-8").length < 1900,
+      s"line too long (${line.length}): $line")
+    // no overlap -> field absent (back-compat shape)
+    assert(!Bench.compactLine(1.0, "/x/sf0.1", results = wide)
+      .contains("fill_overlap"))
+    // detail line carries the FULL list plus per-query oracle walls
+    val detail = Bench.detailLine(159.2, manyQueries, "/x/sf0.1",
+      fillOverlap = Seq("q_a", "q_b"),
+      oracleQueries = Seq("q_a" -> 0.25, "q_b" -> 1.5))
+    assert(detail.contains(""""fill_overlap":["q_a","q_b"]"""))
+    assert(detail.contains(""""oracle_queries":{"q_a":0.25,"q_b":1.5}"""))
+    // defaults: empty but present, still parseable JSON
+    val bare = Bench.detailLine(1.0, manyQueries, "/x/sf0.1")
+    assert(bare.contains(""""fill_overlap":[]"""))
+    assert(bare.contains(""""oracle_queries":{}"""))
+  }
+
+  test("per-query oracle walls parse from the tool's progress lines") {
+    val text =
+      """     0.03  ann_binary
+        |    12.50  dedup_embedding
+        |garbled 0.5 line with extra tokens
+        |ORACLE_TOTAL=115.3 N=240 sf=/x lanes=1
+        |""".stripMargin
+    val parsed = Bench.parseOraclePerQuery(text)
+    assert(parsed == Seq("ann_binary" -> 0.03, "dedup_embedding" -> 12.5))
+  }
+
   test("strings with quotes/backslashes/control chars stay valid JSON") {
     val nasty = "a\"b\\c\nd\te"
     assert(Bench.jsonStr(nasty) == "\"a\\\"b\\\\c\\nd\\te\"")

@@ -56,8 +56,13 @@ def main():
         else:
             cur.sql(oracle[name]).fetchall()
         times[name] = time.time() - t0
-        # stream per-query lines so a long big-sf run shows progress
-        print(f"{times[name]:9.2f}  {name}", flush=True)
+        # stream per-query lines so a long big-sf run shows progress;
+        # ONE atomic write (line + newline together): lanes>1 prints
+        # from several threads, and print()'s separate newline write
+        # can interleave mid-line, garbling the captured log that
+        # Bench now parses for per-query oracle walls
+        sys.stdout.write(f"{times[name]:9.2f}  {name}\n")
+        sys.stdout.flush()
 
     names = sorted(oracle)
     t_wall = time.time()
