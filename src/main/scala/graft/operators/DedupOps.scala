@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{text, vector}
@@ -1088,12 +1089,71 @@ object DedupOps {
     * sparser buckets — DedupSpec verifies that regime on planted
     * duplicates with explicit parameters. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
-    embeddingNearDupImpl(embParallel(s, d), CosTau, EmbTables, EmbBitsPerTable,
+    embeddingNearDupCollapsed(embParallel(s, d), CosTau, EmbTables,
+      EmbBitsPerTable)
+
+  /** REP-COLLAPSED embedding near-dup (round-12 verdict item 1 — the
+    * mm_dedup_semantic recipe applied to the embedding family):
+    * byte-identical vectors have identical LSH buckets, norms and
+    * dots against any third vector, so the LSH/candidate/cosine
+    * machinery runs over ONE canonical rep (min vec_id) per DISTINCT
+    * embedding and the verdict expands to members afterwards — a
+    * duplicate-heavy corpus (the case dedup exists for) pays
+    * O(distinct²·recall) in the scoring joins instead of
+    * O(N²·recall). Expansion:
+    *   - a scored rep pair (ra, rb, cos ≥ τ) yields every member
+    *     cross pair at the SAME cosine (identical bytes → identical
+    *     arithmetic);
+    *   - byte twins within one nonzero-norm group are cosine-1.0
+    *     pairs (the literal 1.0 — the 6-dp rounding both engines
+    *     apply maps the computed ~1±2⁻⁵² there anyway); zero-norm
+    *     twins stay unpaired (cosine is 0/0 there; no zero-norm
+    *     vector exists at ANY graded SF, and GenScale replication
+    *     preserves values, so the branch is unreachable on graded
+    *     data — the exclusion just keeps the corner deterministic
+    *     and identical in both engines).
+    * On an all-distinct corpus (every base testdata SF) each group
+    * is a singleton: reps ≡ corpus, the expansion joins are the
+    * identity, `within` is empty — output rows are byte-identical
+    * to the pre-collapse plan. When no bucket exceeds the rep cap,
+    * the collapsed output equals the pre-collapse output on ANY
+    * corpus (twins share every bucket with their rep) — DedupSpec
+    * proves both equivalences on planted duplicates. */
+  private[graft] def embeddingNearDupCollapsed(e0: DataFrame, tau: Double,
+                                               tables: Int,
+                                               bits: Int): DataFrame = {
+    val w = Window.partitionBy(col("embedding"))
+    val mem = graft.Checkpoints.eager(
+      e0.select(col("vec_id"), col("embedding"))
+        .withColumn("rep_id", min(col("vec_id")).over(w))
+        .withColumn("n_members", count(lit(1)).over(w)))
+    val reps = mem.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
+    // reps is a filter over the materialized checkpoint above —
+    // already spread across the session's parallelism, no re-cache
+    val scored = embeddingNearDupImpl(reps, tau, tables, bits,
       inputPrepared = true)
-      // 6-dp rounding on the OUTPUT only (the τ filter ran on the raw
-      // fold, same as the oracle's WHERE) — the cross-engine parity
-      // convention every cosine-emitting oracle query uses
-      .withColumn("cosine", round(col("cosine"), 6))
+    val cross = scored
+      .join(mem.select(col("rep_id").as("vec_a"), col("vec_id").as("ma")),
+        "vec_a")
+      .join(mem.select(col("rep_id").as("vec_b"), col("vec_id").as("mb")),
+        "vec_b")
+      .select(least(col("ma"), col("mb")).as("vec_a"),
+        greatest(col("ma"), col("mb")).as("vec_b"),
+        // 6-dp rounding on the OUTPUT only (the τ filter ran on the
+        // raw fold, same as the oracle's WHERE) — the cross-engine
+        // parity convention every cosine-emitting oracle query uses
+        round(col("cosine"), 6).as("cosine"))
+    val multi = mem.filter(col("n_members") >= 2)
+      .filter(vector.dot(col("embedding"), col("embedding")) > 0.0)
+      .select(col("rep_id"), col("vec_id"))
+    val within = multi.as("x")
+      .join(multi.as("y"), col("x.rep_id") === col("y.rep_id") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        lit(1.0).as("cosine"))
+    cross.unionAll(within)
+  }
 
   /** SQL mirror of `lshBuckets` over `src` (any relation exposing
     * `$idSql` and an `embedding` column): one SELECT per table,
@@ -1137,11 +1197,26 @@ object DedupOps {
     // is bit-identical to the naive form; this is the denominator-
     // honesty discipline (the naive mirror was 213 s of the 546 s
     // sf1 oracle suite, pure lambda-interpretation overhead)
-    s"""WITH e AS MATERIALIZED (
+    // mirror of the Spark rep-collapse (round-12 verdict item 1):
+    // window-group byte-identical vectors, band/score REPS only,
+    // expand scored rep pairs to member cross pairs at the same
+    // cosine, and emit within-group twin pairs as the literal 1.0
+    // (zero-norm groups excluded — sum of squares is 0 iff every
+    // component is 0, identically in both engines). On an
+    // all-distinct corpus every CTE below degenerates to the
+    // pre-collapse relation and the output is byte-identical.
+    s"""WITH mem AS MATERIALIZED (
        |  SELECT vec_id, embedding,
-       |    ${vector.sql.norm("embedding")} AS nrm FROM embeddings),
+       |    min(vec_id) OVER (PARTITION BY embedding) AS rep_id,
+       |    count(*) OVER (PARTITION BY embedding) AS n_members
+       |  FROM embeddings),
+       |reps_src AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM mem WHERE vec_id = rep_id),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    ${vector.sql.norm("embedding")} AS nrm FROM reps_src),
        |banded AS (
-       |${bandedSql("embeddings", "vec_id", EmbTables, EmbBitsPerTable)}),
+       |${bandedSql("reps_src", "vec_id", EmbTables, EmbBitsPerTable)}),
        |reps AS (
        |  SELECT tbl, bv, vec_id FROM banded
        |  QUALIFY row_number() OVER (PARTITION BY tbl, bv ORDER BY vec_id) <= $CandBucketCap),
@@ -1155,9 +1230,24 @@ object DedupOps {
        |      / (ea.nrm * eb.nrm) AS cos
        |  FROM cand c
        |  JOIN e ea ON c.vec_a = ea.vec_id
-       |  JOIN e eb ON c.vec_b = eb.vec_id)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cosine
-       |FROM scored WHERE cos >= $CosTau""".stripMargin
+       |  JOIN e eb ON c.vec_b = eb.vec_id),
+       |rp AS MATERIALIZED (
+       |  SELECT vec_a, vec_b, cos FROM scored WHERE cos >= $CosTau),
+       |multi AS MATERIALIZED (
+       |  SELECT rep_id, vec_id FROM mem
+       |  WHERE n_members >= 2
+       |    AND ${vector.sql.dot("embedding", "embedding")} > 0.0)
+       |SELECT least(ma.vec_id, mb.vec_id) AS vec_a,
+       |  greatest(ma.vec_id, mb.vec_id) AS vec_b,
+       |  round(p.cos, 6) AS cosine
+       |FROM rp p
+       |JOIN mem ma ON ma.rep_id = p.vec_a
+       |JOIN mem mb ON mb.rep_id = p.vec_b
+       |UNION ALL
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  cast(1.0 as double) AS cosine
+       |FROM multi a JOIN multi b
+       |  ON a.rep_id = b.rep_id AND a.vec_id < b.vec_id""".stripMargin
   }
 
   /** The cross-family base scans — filled FIRST (VocabOps' tokenize

@@ -185,6 +185,49 @@ class DedupSpec extends AnyFunSuite {
       s"unexpected pairs: ${found.filterNot { case (a, b) => b - a == 100 }}")
   }
 
+  test("embedding rep-collapse: byte-twin corpus matches the uncollapsed " +
+      "pipeline pair-for-pair; zero-norm twins stay unpaired") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 30).map(_ => vec())
+    // byte-identical replicas with interleaved ids (the GenScale
+    // shape): vec i gets copies at i+100 and i+200; 20 independents
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v.toSeq), (100L + i, v.toSeq), (200L + i, v.toSeq)) } ++
+      (300 until 320).map(i => (i.toLong, vec().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .cache()
+    def pairs(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // buckets stay far below the 256 rep cap (110 vectors), so the
+    // uncollapsed pipeline is pair-complete over shared buckets and
+    // the collapsed output must reproduce it EXACTLY — including the
+    // twin pairs at rounded cosine 1.0
+    val old = pairs(DedupOps.embeddingNearDupImpl(df, tau = 0.4,
+      tables = 8, bits = 6).withColumn("cosine", round(col("cosine"), 6)))
+    val neu = pairs(DedupOps.embeddingNearDupCollapsed(df, tau = 0.4,
+      tables = 8, bits = 6))
+    assert(neu.keySet == old.keySet,
+      s"pair sets differ: only-old=${old.keySet -- neu.keySet} " +
+        s"only-new=${neu.keySet -- old.keySet}")
+    neu.foreach { case (k, c) => assert(c == old(k), s"cosine differs at $k") }
+    // twins must be present at exactly 1.0 (rounding fixes the
+    // ~1±2^-52 the uncollapsed fold computes)
+    assert(neu((0L, 100L)) == 1.0 && neu((100L, 200L)) == 1.0)
+    // zero-norm twins: cosine undefined -> no within pair emitted
+    val withZero = (rows ++ Seq((400L, Seq.fill(64)(0.0f).map(_.toFloat)),
+      (401L, Seq.fill(64)(0.0f).map(_.toFloat))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val z = DedupOps.embeddingNearDupCollapsed(withZero, tau = 0.4,
+      tables = 8, bits = 6)
+      .filter(col("vec_a") === 400L && col("vec_b") === 401L).count()
+    assert(z == 0, "zero-norm twins must not pair")
+    df.unpersist()
+  }
+
   test("passage dedup: every reported passage spans >1 doc; exact dup docs share all chunks") {
     val out = DedupOps.passageDedup(spark, sf).collect()
     assert(out.nonEmpty, "corpus has exact dups, so shared passages must exist")
