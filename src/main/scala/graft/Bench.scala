@@ -220,7 +220,8 @@ object Bench {
                  oracle: Option[Double] = None,
                  lanes: Int = 1,
                  fillOverlap: Seq[String] = Nil,
-                 oracleQueries: Seq[(String, Double)] = Nil): String = {
+                 oracleQueries: Seq[(String, Double)] = Nil,
+                 spillBy: Seq[(String, (Long, Long))] = Nil): String = {
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val fl = fills.map { case (k, v) => jsonStr(k) + ":" + v }
@@ -232,6 +233,13 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spill.map { case (m2, d2) =>
       s""""spill":{"mem":$m2,"disk":$d2},""" }.getOrElse("")
+    // per-label spill decomposition (top spillers, mem+disk bytes):
+    // which queries/fills the suite-wide spill actually came from
+    val spb =
+      if (spillBy.isEmpty) ""
+      else spillBy.map { case (k, (m2, d2)) =>
+        jsonStr(k) + s""":{"mem":$m2,"disk":$d2}""" }
+        .mkString(""""spill_by":{""", ",", "},")
     val cal = calib.map(c => s""""calib":${c.json},""").getOrElse("")
     // fill_overlap: every query whose wall ran (partly) concurrent
     // with the memo-fill phase — their per-query walls absorb fill
@@ -241,7 +249,7 @@ object Bench {
     // 2x gate into a per-query diagnostic for the cost distribution
     val oq = oracleQueries.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp${oracleJson(total, oracle)}${lanesJson(lanes)}"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"fill_overlap":$ov,"oracle_queries":$oq,"sf":${jsonStr(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec",$cal$sp$spb${oracleJson(total, oracle)}${lanesJson(lanes)}"queries":$qs,"fills":$fl,"fill_errors":$fe,"delta":$dl,"fill_overlap":$ov,"oracle_queries":$oq,"sf":${jsonStr(sfDir)}}"""
   }
 
   /** Run the DuckDB oracle suite (tools/time_oracle.py, the driver-
@@ -318,18 +326,47 @@ object Bench {
 
   /** Suite-wide spill accounting from completed-stage task metrics —
     * the signal a memory-pressure probe reads (MEMORY_AND_DISK memo
-    * eviction and shuffle spill both land here). */
+    * eviction and shuffle spill both land here). Per-label
+    * attribution (round-12 verdict item 4): stages map to the job
+    * description each query/fill sets ([[main]] labels queries `q:*`
+    * and Memo.runFills labels fills `fill:*`), so the suite-wide
+    * total decomposes into the stages that actually spilled. */
   final class SpillListener extends org.apache.spark.scheduler.SparkListener {
     private val mem = new java.util.concurrent.atomic.AtomicLong
     private val disk = new java.util.concurrent.atomic.AtomicLong
+    private val stageLabel =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]
+    private val byLabel =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val desc = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      if (desc.nonEmpty)
+        j.stageIds.foreach(sid => stageLabel.put(sid, desc))
+    }
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       Option(sc.stageInfo.taskMetrics).foreach { tm =>
         mem.addAndGet(tm.memoryBytesSpilled)
         disk.addAndGet(tm.diskBytesSpilled)
+        if (tm.memoryBytesSpilled > 0 || tm.diskBytesSpilled > 0) {
+          val label = Option(stageLabel.get(sc.stageInfo.stageId))
+            .getOrElse("(unlabeled)")
+          byLabel.merge(label,
+            (tm.memoryBytesSpilled, tm.diskBytesSpilled),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+        stageLabel.remove(sc.stageInfo.stageId)
       }
     }
     def snapshot: (Long, Long) = (mem.get, disk.get)
+    /** Top `k` spilling labels by mem+disk bytes, descending. */
+    def topSpillers(k: Int): Seq[(String, (Long, Long))] = {
+      import scala.jdk.CollectionConverters._
+      byLabel.asScala.toSeq.sortBy { case (_, (m, dd)) => -(m + dd) }.take(k)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -423,11 +460,15 @@ object Bench {
       def drain(): Unit = {
         var q = queue.poll()
         while (q != null) {
+          // thread-local label (guide §1.5): the UI and the spill
+          // listener attribute this query's stages to it
+          spark.sparkContext.setJobDescription(s"q:${q._1}")
           val t0 = System.nanoTime()
           try { q._2(spark, sfDir).count() } catch { case _: Throwable => }
           out.add((q._1, t0, (System.nanoTime() - t0) / 1e9))
           q = queue.poll()
         }
+        spark.sparkContext.setJobDescription(null)
       }
       if (lanes == 1) drain()
       else {
@@ -475,7 +516,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       detailLine(total, results, sfDir, fills, calib, Memo.fillErrors,
         deltaMap(results, prev), Some(spill.snapshot), oracle, lanes,
-        overlapped, oracleQueries) + "\n")
+        overlapped, oracleQueries, spill.topSpillers(16)) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     Memo.clear(spark)

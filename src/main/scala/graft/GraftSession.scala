@@ -53,6 +53,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // SCALE-ADAPTIVE shuffle sizing (r13, guide §2.2/§2.5): a flat
+      // `shuffle.partitions = cores` is a local-mode constant — at
+      // 100× the bench SF a 60M-row distinct lands ~2M rows in each
+      // of 32 reducers, the per-task hash state outgrows its
+      // execution-memory share and the stage spills (the unattributed
+      // 122 GB sf10 disk spill of round 12). Let every exchange START
+      // wide — 32× the core count — and AQE's size-based coalescing
+      // shrink small shuffles back to the core count, so the FINAL
+      // reducer count tracks data volume instead of either constant.
+      // parallelismFirst stays default-true: toy-SF shuffles coalesce
+      // toward cores, not toward one giant advisory-sized partition.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 32).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // interactive queries preempt background cache warmup for task
       // slots (see fairPoolsFile) — cluster-standard pool split

@@ -282,16 +282,25 @@ object Memo {
     // Verify runs its queries on this same thread post-fill.
     val prevPool = s.sparkContext.getLocalProperty("spark.scheduler.pool")
     s.sparkContext.setLocalProperty("spark.scheduler.pool", "fill")
+    // label each fill's jobs (guide §1.5): the UI and Bench's spill
+    // listener attribute a fill's stages to `fill:<name>`. Lane
+    // threads own their local-property copies (inherited at thread
+    // creation), so per-fill relabeling never crosses lanes.
+    def labeled(lane: Seq[(String, () => Unit)]): Seq[(String, () => Unit)] =
+      lane.map { case (n, f) => n -> (() => {
+        s.sparkContext.setJobDescription(s"fill:$n")
+        try f() finally s.sparkContext.setJobDescription(null)
+      }) }
     try {
-      val base = runLanes(DedupOps.memoFillsBase(s, dir).map(Seq(_)))
+      val base = runLanes(DedupOps.memoFillsBase(s, dir).map(f => labeled(Seq(f))))
       val lanes: Seq[Seq[(String, () => Unit)]] =
-        Seq(VocabOps.memoFills(s, dir)) ++
+        (Seq(VocabOps.memoFills(s, dir)) ++
           DedupOps.memoFillLanes(s, dir) ++
           Seq(CorpusOps.memoFills(s, dir)) ++
           Seq(MultimodalOps.memoFills(s, dir)) ++
           AnnOps.memoFillLanes(s, dir) ++
           GraphOps.memoFillLanes(s, dir) ++
-          Seq(DedupFeatureStore.memoFills(s, dir))
+          Seq(DedupFeatureStore.memoFills(s, dir))).map(labeled)
       base ++ runLanes(lanes)
     } finally s.sparkContext.setLocalProperty("spark.scheduler.pool", prevPool)
   }

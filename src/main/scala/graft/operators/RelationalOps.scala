@@ -2698,22 +2698,48 @@ object RelationalOps {
     * enumeration is sampled. */
   private val LiftBasketCap = 64
 
-  /** The capped per-basket part arrays: each basket's `LiftBasketCap`
-    * lowest-ihash parts as ONE array row, selected by the bounded
-    * bottom-k sketch aggregate ([[graft.plans.BottomKSketchAgg]] —
-    * O(cap) mergeable state per basket). This picks the SAME set the
-    * old two-phase `capPerKey` heap picked (bottom-cap of the total
-    * order (quad(pk), pk) over the distinct basket), but forms it in
-    * the shuffle that BUILDS the basket — no second per-key exchange
-    * and no self-join afterwards: pair enumeration becomes a
-    * within-row array expression, bounded O(cap²) by construction.
-    * Spec seam: RelationalSpec drives a pathological 500-part basket
-    * through this aggregate directly. */
-  private[graft] def cappedBaskets(op: DataFrame): DataFrame =
-    op.groupBy(col("okey"))
-      .agg(graft.functions.sketch.bottomK(
-        graft.functions.ihash.quad(col("pk")), col("pk"), LiftBasketCap)
-        .as("ps"))
+  /** The capped per-basket ROWS: each basket keeps its
+    * [[LiftBasketCap]] lowest-(quad(pk), pk) parts — the same set the
+    * r12 bottom-k sketch array picked, as plain (okey, pk) rows
+    * through the size-gated [[graft.functions.topk.capPerKey]]
+    * (identity when no basket exceeds the cap, which this corpus
+    * never does at any SF).
+    *
+    * r13: this REPLACES the bottom-k sketch aggregation. The sketch
+    * is a TypedImperativeAggregate, and at sf10 (15M baskets, 60M
+    * rows) ObjectHashAggregate has no good regime for it: the hash
+    * path holds millions of live per-key JVM objects (measured 2,100 s
+    * of GC in one stage), and the sort-based fallback (threshold 128
+    * keys) re-sorts the whole relation while its serialized partial
+    * states shuffle FATTER than the raw rows (2.99 GB vs 1.68 GB).
+    * The gated cap is all Tungsten codegen: one map-side-combined
+    * count probe, and — only when some basket is oversized — a
+    * bounded heap over just those baskets' rows. Pair enumeration
+    * moves back to a self-join on the capped rows (the mirror's
+    * QUALIFY + self-join shape verbatim), which sorts/spills
+    * gracefully instead of aggregating objects. */
+  private[graft] def cappedBasketRows(op: DataFrame,
+                                      sizes: Option[DataFrame] = None)
+      : DataFrame = {
+    import graft.functions.topk
+    // the capPerKey size gate, inlined so a caller-provided basket-
+    // size relation (shared with n_orders) replaces the gate's own
+    // full-relation count probe
+    val sz = sizes.getOrElse(
+      op.groupBy(col("okey")).agg(count(lit(1)).as("_n")))
+    val big = sz.filter(col("_n") > LiftBasketCap).select(col("okey"))
+    if (big.limit(1).collect().isEmpty) op
+    else {
+      val h = op.withColumn("_h", graft.functions.ihash.quad(col("pk")))
+      val cappedBig = topk.perKey(h.join(big, Seq("okey")), Seq("okey"),
+        Seq(topk.Order("_h"), topk.Order("pk")), LiftBasketCap)
+        .select(op.columns.map(col).toSeq: _*)
+      graft.Checkpoints.eager(
+        h.join(big, Seq("okey"), "left_anti")
+          .select(op.columns.map(col).toSeq: _*)
+          .unionByName(cappedBig))
+    }
+  }
 
   /** Market-basket association: top part pairs by LIFT
     * (n_ab·N / (n_a·n_b) — how much more often the pair co-occurs
@@ -2737,18 +2763,29 @@ object RelationalOps {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
       .transform(graft.Checkpoints.eager)
+    // marg is joined TWICE (n_a and n_b sides) and exchange reuse
+    // misses between the differently-pruned branches — materialized,
+    // the 60M-row groupBy(pk) runs once instead of twice (measured:
+    // two full map stages + ~10 GB of spill at sf10)
     val marg = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-    val baskets = cappedBaskets(op)
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    // ordered in-basket pairs (pa < pb) as a within-row array
-    // expression over the capped basket — O(cap²) bounded, zero
-    // self-join shuffle; the pair AGGREGATION below is the only
-    // post-basket exchange
-    val pairs = baskets
-      .select(explode(flatten(transform(col("ps"), x =>
-        transform(filter(col("ps"), y => y > x),
-          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
-      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .transform(graft.Checkpoints.eager)
+    // ONE basket-size aggregation feeds both the cap gate (any basket
+    // over the cap?) and n_orders (count of baskets) — the generic
+    // capPerKey gate and a separate countDistinct would each run
+    // their own 60M-row okey aggregation (measured ~450 task-s and
+    // several GB of spill apiece at sf10)
+    val sizes = op.groupBy(col("okey")).agg(count(lit(1)).as("_n"))
+      .transform(graft.Checkpoints.eager)
+    val nOrders = sizes.agg(count(lit(1)).as("n_orders"))
+    val capped = cappedBasketRows(op, Some(sizes))
+    // ordered in-basket pairs (pa < pb) by self-join on the capped
+    // rows — the mirror's shape; O(cap²) bounded per basket, and the
+    // a<b predicate rides in the join so the rejected half never
+    // materializes
+    val pairs = capped.select(col("okey"), col("pk").as("pa"))
+      .join(capped.select(col("okey"), col("pk").as("pb")), Seq("okey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= LiftMinSupport)
     pairs

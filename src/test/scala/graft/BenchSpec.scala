@@ -169,6 +169,17 @@ class BenchSpec extends AnyFunSuite {
     assert(bare.contains(""""oracle_queries":{}"""))
   }
 
+  test("detail line decomposes spill by job label when provided") {
+    val line = Bench.detailLine(1.0, manyQueries, "/x/sf0.1",
+      spillBy = Seq("fill:minhash_banded" -> (1024L, 2048L),
+        "q:q_basket_lift" -> (10L, 0L)))
+    assert(line.contains(
+      """"spill_by":{"fill:minhash_banded":{"mem":1024,"disk":2048},""" +
+        """"q:q_basket_lift":{"mem":10,"disk":0}}"""))
+    assert(!Bench.detailLine(1.0, manyQueries, "/x/sf0.1")
+      .contains("spill_by"))
+  }
+
   test("per-query oracle walls parse from the tool's progress lines") {
     val text =
       """     0.03  ann_binary

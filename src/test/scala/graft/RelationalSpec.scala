@@ -840,20 +840,24 @@ class RelationalSpec extends AnyFunSuite {
     val mega = (1L to 500L).map(pk => (1L, pk)) ++
       Seq((2L, 7L), (2L, 9L), (3L, 7L), (3L, 9L), (3L, 11L))
     val op = mega.toDF("okey", "pk")
-    val capped = RelationalOps.cappedBaskets(op)
+    val capped = RelationalOps.cappedBasketRows(op)
     val rows = capped.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(rows(1L).size == 64, "mega-basket sampled to the cap")
     assert(rows(2L).size == 2 && rows(3L).size == 3,
       "baskets under the cap keep every part")
-    // small baskets are pair-complete: the capped basket array is
-    // exactly the input set (hash order is a reorder, not a filter,
-    // below the cap)
-    assert(rows(2L).toSet == Set(7L, 9L) && rows(3L).toSet == Set(7L, 9L, 11L))
+    // small baskets are pair-complete (the cap is the identity there)
+    assert(rows(2L) == Set(7L, 9L) && rows(3L) == Set(7L, 9L, 11L))
+    // the sampled set is the bottom-64 of the (quad(pk), pk) total
+    // order — the same set the r12 sketch array picked
+    val want = (1L to 500L)
+      .sortBy(pk => (graft.functions.ihash.quadLong(pk), pk)).take(64).toSet
+    assert(rows(1L) == want, "mega-basket keeps the bottom-64 by hash order")
     // and the pair fan-out is the capped bound, not the quadratic one
-    val nPairs = capped.select(explode(flatten(transform(col("ps"), x =>
-        transform(filter(col("ps"), y => y > x),
-          y => struct(x.as("pa"), y.as("pb"))))))).count()
+    val nPairs = capped.select(col("okey"), col("pk").as("pa"))
+      .join(capped.select(col("okey"), col("pk").as("pb")), Seq("okey"))
+      .filter(col("pa") < col("pb")).count()
     assert(nPairs == 64L * 63 / 2 + 1 + 3,
       s"pair count O(B·cap): got $nPairs")
   }
