@@ -524,7 +524,8 @@ object MultimodalOps {
     * the semantic verdict built over it). */
   private[graft] def memoFills(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "media_feats" -> (() => { mediaFeatsMemo(s, d); () }),
-    "mm_semantic" -> (() => { mmSemantic(s, d).count(); () }))
+    "mm_semantic" -> (() => { mmSemantic(s, d).count(); () }),
+    "phash_clusters" -> (() => { phashClusters(s, d).count(); () }))
 
   /** Perceptual media CLUSTERS — the keep/drop verdict over the
     * phash pair graph (connected components, smallest id kept):
@@ -535,9 +536,43 @@ object MultimodalOps {
     * under 1M edges, distributed pointer-doubling min-label above —
     * the same spec-proven path switch). */
   def phashClusters(s: SparkSession, d: String): DataFrame =
-    CorpusOps.clustersFromPairs(
-      Tables.documents(s, d).select("doc_id"),
-      dedupPhash(s, d).select("doc_a", "doc_b"))
+    // memoized (r13): mm_dedup_cascade composes this exact relation —
+    // un-memoized, the whole cluster resolution ran twice per session
+    // (measured ~24 s each at sf10)
+    graft.Memo.cached(s, "phash_clusters", d) {
+      CorpusOps.clustersFromPairs(
+        Tables.documents(s, d).select("doc_id"),
+        phashRepEdges(phashSigsMemo(s, d), PhashBucketCap))
+    }
+
+  /** Component-equivalent REP-COLLAPSED edge set over a (doc_id, sig)
+    * relation (r13, the dedup_embedding recipe at the signature
+    * level): docs with EQUAL 64-bit signatures share every chunk
+    * bucket at hamming 0, so the hamming pair machinery runs over one
+    * canonical rep (min doc_id) per distinct signature and each
+    * member attaches to its rep by a direct twin edge. Connected
+    * components are provably unchanged: twin edges are themselves
+    * (hamming-0) pairs of the uncapped graph, a rep pair exists iff
+    * the corresponding member pairs exist (identical signatures →
+    * identical buckets and distances), and the rep-cap discipline
+    * preserves components on either space — so cluster labels match
+    * the full-member pair graph's labels exactly (MultimodalSpec
+    * proves it on a planted twin corpus; the phash_clusters mirror is
+    * unchanged). At sf10 the 100× replication collapses 500k
+    * signature rows to the base corpus's distinct signatures and the
+    * component resolution drops back to the driver union-find path. */
+  private[graft] def phashRepEdges(sigs: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))
+    val mem = graft.Checkpoints.eager(
+      sigs.withColumn("rep_id", min(col("doc_id")).over(w)))
+    val reps = mem.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("sig"))
+    val repPairs = DedupOps.hammingPairs(reps, cap)
+      .select(col("doc_a"), col("doc_b"))
+    val twins = mem.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+    repPairs.unionAll(twins)
+  }
 
   private def phashClustersSql: String =
     s"""WITH RECURSIVE $phashChunksCtes,

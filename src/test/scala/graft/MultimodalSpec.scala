@@ -261,6 +261,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, true)), "unrelated payload is its own keeper")
   }
 
+  test("phash rep-collapsed edges reproduce the full pair graph's clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq.tabulate(60)(i =>
+      s"frame $i tone ${(i * 7) % 13} sample block payload").mkString(" ")
+    // equal-signature twins (byte copies), a near twin, an unrelated
+    // doc — with interleaved ids so twin edges point min->max
+    val docs = Seq(
+      (1L, base), (9L, base), (4L, base),           // sig-equal family
+      (2L, base.replace("frame 30", "FRAME-30x")),  // near twin of 1
+      (7L, Seq.tabulate(60)(i =>
+        s"lorem ${i * 31} ipsum dolor sit amet consectetur").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sigs = graft.Checkpoints.eager(
+      MultimodalOps.phashSigsFromDocs(docs))
+    def labels(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.CorpusOps.clustersFromPairs(docs.select("doc_id"), pairs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+    val full = labels(MultimodalOps.phashPairsFromDocs(docs, cap = 64)
+      .select("doc_a", "doc_b"))
+    val collapsed = labels(MultimodalOps.phashRepEdges(sigs, 64))
+    assert(collapsed == full,
+      s"rep-collapsed components must equal the full pair graph's: " +
+        s"full=$full collapsed=$collapsed")
+    // and the family did collapse onto one keeper
+    assert(collapsed(9L)._1 == 1L && !collapsed(9L)._2 && collapsed(1L)._2)
+  }
+
   test("mm semantic: an aggressive re-encode that phash MISSES is caught") {
     import spark.implicits._
     val base = Seq.tabulate(60)(i =>
