@@ -381,7 +381,7 @@ object Bench {
     // overwrite (i.e. the previous round's) — read BEFORE the write
     val prev = prevQueries(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", outFile))
-    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    val spark = GraftSession.forData(s"local[$cpus]", cpus, sfDir)
     val spill = new SpillListener
     spark.sparkContext.addSparkListener(spill)
     // warmup: force real column reads on every fact table (count()

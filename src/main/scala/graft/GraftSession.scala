@@ -45,27 +45,49 @@ object GraftSession {
     p.toString
   }
 
+  /** SCALE-ADAPTIVE initial shuffle width (r13, guide §2.2/§2.5): a
+    * flat `shuffle.partitions = cores` is a local-mode constant — at
+    * 100× the bench SF a 60M-row distinct lands ~2M rows in each of
+    * 32 reducers, the per-task hash state outgrows its
+    * execution-memory share and the stage spills (the unattributed
+    * 122 GB sf10 disk spill of round 12). Exchanges therefore START
+    * at a width DERIVED FROM THE INPUT BYTES (~8 MB of source data
+    * per initial partition, floored at the core count) and AQE's
+    * size-based coalescing picks the final reducer count per
+    * exchange. A flat "always wide" constant is NOT used: measured at
+    * sf0.1, a 1024-wide start added ~30 s of pure task-launch / AQE
+    * bookkeeping across the 240-query suite for shuffles that
+    * coalesce to a handful of partitions anyway — the width must
+    * track data volume in BOTH directions. */
+  def initialPartitionsFor(dir: String, cores: Int): Int = {
+    val bytes =
+      try {
+        val root = java.nio.file.Paths.get(dir)
+        if (!java.nio.file.Files.isDirectory(root)) 0L
+        else {
+          val s = java.nio.file.Files.walk(root)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      } catch { case _: Throwable => 0L }
+    math.min(8192L, math.max(cores.toLong, bytes / (8L << 20))).toInt
+  }
+
   def builder(master: String = "local[*]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = 32,
+              initialPartitions: Int = 0): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // SCALE-ADAPTIVE shuffle sizing (r13, guide §2.2/§2.5): a flat
-      // `shuffle.partitions = cores` is a local-mode constant — at
-      // 100× the bench SF a 60M-row distinct lands ~2M rows in each
-      // of 32 reducers, the per-task hash state outgrows its
-      // execution-memory share and the stage spills (the unattributed
-      // 122 GB sf10 disk spill of round 12). Let every exchange START
-      // wide — 32× the core count — and AQE's size-based coalescing
-      // shrink small shuffles back to the core count, so the FINAL
-      // reducer count tracks data volume instead of either constant.
-      // parallelismFirst stays default-true: toy-SF shuffles coalesce
-      // toward cores, not toward one giant advisory-sized partition.
+      // see [[initialPartitionsFor]]; parallelismFirst stays
+      // default-true so toy-SF shuffles coalesce toward cores, not
+      // toward one giant advisory-sized partition
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions * 32).toString)
+        math.max(shufflePartitions, initialPartitions).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // interactive queries preempt background cache warmup for task
       // slots (see fairPoolsFile) — cluster-standard pool split
@@ -100,8 +122,18 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
-  def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
-    val s = builder(master, shufflePartitions).getOrCreate()
+  /** Session tuned for a concrete data dir: the initial shuffle
+    * width derives from the dir's byte size (the runtime mains'
+    * entry point — Bench/Verify/tools). */
+  def forData(master: String, shufflePartitions: Int,
+              dir: String): SparkSession = {
+    val cores = math.max(1, shufflePartitions)
+    get(master, shufflePartitions, initialPartitionsFor(dir, cores))
+  }
+
+  def get(master: String = "local[*]", shufflePartitions: Int = 32,
+          initialPartitions: Int = 0): SparkSession = {
+    val s = builder(master, shufflePartitions, initialPartitions).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // Every partition-less window in this engine is bounded by
     // construction (post-limit(√N) ANN seed ranking, ≤32-row block

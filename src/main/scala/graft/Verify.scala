@@ -12,7 +12,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    val spark = GraftSession.forData(s"local[$cpus]", cpus, sfDir)
     new java.io.File(outDir).mkdirs()
     // full runs warm the shared memo relations up front (same path
     // Bench takes); filtered builder-iteration runs skip the fill

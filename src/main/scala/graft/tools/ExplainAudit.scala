@@ -64,7 +64,7 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    val spark = GraftSession.forData(s"local[$cpus]", cpus, d)
     val outDir = Paths.get("target/plans")
     Files.createDirectories(outDir)
     val summary = new StringBuilder

@@ -8,7 +8,7 @@ object FillTrace {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = graft.GraftSession.get(s"local[$cpus]", cpus)
+    val spark = graft.GraftSession.forData(s"local[$cpus]", cpus, sfDir)
     spark.sparkContext.setLogLevel("WARN")
     // same warmup as Bench so fills see warmed scans
     locally {

@@ -11,7 +11,7 @@ object ProfileR13 {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf10")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val qname = args.headOption.getOrElse("q_basket_lift")
-    val spark = GraftSession.get(s"local[$cpus]", cpus)
+    val spark = GraftSession.forData(s"local[$cpus]", cpus, d)
     case class St(id: Int, name: String, tasks: Int, wall: Double,
                   taskS: Double, gcS: Double, spM: Double, spD: Double,
                   shRead: Double, shWrite: Double, recIn: Long)

@@ -15,7 +15,7 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.get(s"local[$cpus]", shufflePartitions = cpus)
+    val spark = GraftSession.forData(s"local[$cpus]", cpus, sfDir)
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
