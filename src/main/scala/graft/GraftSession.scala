@@ -33,7 +33,16 @@ object GraftSession {
         |    <minShare>2147483647</minShare>
         |  </pool>
         |  <pool name="fill">
-        |    <schedulingMode>FIFO</schedulingMode>
+        |    <!-- FAIR WITHIN the pool (r13): the fill phase runs ~14
+        |         independent lanes, each a chain of small-stage jobs.
+        |         Under FIFO, every lane's next job queued behind the
+        |         whole pool's backlog, serializing the phase — the
+        |         sf10 fill wall measured ≈ the SUM of the lanes
+        |         (387 s) with the store-lifecycle chain stretched
+        |         11x its solo wall. Round-robin sharing lets every
+        |         lane progress concurrently; queries still preempt
+        |         the whole pool 1000:1. -->
+        |    <schedulingMode>FAIR</schedulingMode>
         |    <weight>1</weight>
         |    <minShare>0</minShare>
         |  </pool>
