@@ -166,17 +166,31 @@ object GraphOps {
     // a plan that survives 100× scale-up and one whose later rounds
     // re-join an O(V) reached-set every time.
     var frontier = dist.filter(col("dist").isNotNull)
+    // frontier-attach strategy (r13, the embAttacher discipline): the
+    // frontier is ≤|V| rows, but the planner only sees ESTIMATES — at
+    // sf10 it picked a sort-merge join that re-shuffled the full 100M-
+    // row edge list EVERY round (3.3 GB/round of exchange for a merge
+    // that touches ≤|V| keys). Broadcast the frontier explicitly while
+    // |V| fits the budget (round 1's frontier is one row; later rounds
+    // read |V| off the round-1 checkpoint — a cached count); above the
+    // budget fall back to a sort-free shuffled-hash attach, the
+    // 1000-executor Pregel shape.
+    val BcastBudgetRows = 16L * 1024 * 1024 // ~256 MB of (node, dist)
+    var vCount = 1L // round 1: the seed node only
     (1 to BfsRounds).foreach { _ =>
-      // one shuffle per round: the candidate stream (edges ⋈ frontier,
-      // frontier broadcasts — it is ≤|V| rows) UNIONS with the current
-      // dist vector and ONE keyed aggregation merges them — the
-      // classic Pregel message+state combine. The former shape (agg
-      // candidates, then left-join dist) paid a second barrier per
-      // round for the same merge; the union adds only |V| rows to a
-      // shuffle that already carries the O(E_layer) candidates, so at
-      // 100× it is the same asymptotics with half the round latency.
+      // one shuffle per round: the candidate stream (edges ⋈ frontier)
+      // UNIONS with the current dist vector and ONE keyed aggregation
+      // merges them — the classic Pregel message+state combine. The
+      // former shape (agg candidates, then left-join dist) paid a
+      // second barrier per round for the same merge; the union adds
+      // only |V| rows to a shuffle that already carries the
+      // O(E_layer) candidates, so at 100× it is the same asymptotics
+      // with half the round latency.
+      val fr =
+        if (vCount <= BcastBudgetRows) broadcast(frontier)
+        else frontier.hint("shuffle_hash")
       val cand = edges
-        .join(frontier, edges("src") === frontier("node"))
+        .join(fr, edges("src") === fr("node"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("d"),
           lit(false).as("old"))
       // materialize each round: dist feeds BOTH the union and (via
@@ -203,6 +217,9 @@ object GraphOps {
       // over materialized rows, no second materialization needed
       frontier = dist.filter(col("fresh")).select(col("node"), col("dist"))
       dist = dist.select(col("node"), col("dist"))
+      // |V| off the just-materialized checkpoint (cached scan, no
+      // recompute) — drives the next round's attach strategy
+      vCount = dist.count()
     }
     dist.groupBy(coalesce(col("dist"), lit(-1L)).as("hops"))
       .agg(count(lit(1)).as("n_nodes"))
