@@ -385,8 +385,12 @@ final class DedupFeatureStore private[operators] (
 
   /** [[featurize]] from an already-derived hashed raw-shingle
     * relation — [[DedupFeatureStore.build]] reuses the checkpoint its
-    * df count was computed from instead of re-tokenizing the seed. */
-  private def featurizeHashed(docs: DataFrame, rawHs: DataFrame): Features = {
+    * df count was computed from instead of re-tokenizing the seed.
+    * `normOpt` likewise supplies a precomputed (doc_id, nt_h)
+    * relation (the lifecycle harness reads the session-memoized one);
+    * absent, the normalization runs over the batch text as before. */
+  private def featurizeHashed(docs: DataFrame, rawHs: DataFrame,
+                              normOpt: Option[DataFrame] = None): Features = {
     val capped = graft.Checkpoints.eager(
       rawHs.join(broadcast(frequent), Seq("hs"), "left_anti"))
     // banding is the batch's most expensive derivation and has THREE
@@ -402,8 +406,9 @@ final class DedupFeatureStore private[operators] (
         shingles.groupBy("doc_id").agg(count(lit(1)).as("cnt")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("n"))
-    val norm = graft.Checkpoints.eager(DedupOps.normText(docs)
-      .select(col("doc_id"), xxhash64(col("nt")).as("nt_h")))
+    val norm = graft.Checkpoints.eager(normOpt.getOrElse(
+      DedupOps.normText(docs)
+        .select(col("doc_id"), xxhash64(col("nt")).as("nt_h"))))
     Features(ids, norm, shingles, banded, sizes)
   }
 
@@ -605,7 +610,17 @@ object DedupFeatureStore {
     * frequent blocklist from the seed's document frequencies, then
     * the seed's own features as generation [[SeedGen]]. Overwrites
     * any store at `path`. */
-  def build(docs: DataFrame, path: String): DedupFeatureStore = {
+  def build(docs: DataFrame, path: String): DedupFeatureStore =
+    build(docs, path, None, None)
+
+  /** [[build]] with caller-supplied hashed-raw-shingle / norm-hash
+    * relations for the seed (the lifecycle harness passes slices of
+    * the session memos so the seed build re-runs neither the regex
+    * tokenizer nor the normalizer over raw text — value-identical
+    * inputs by construction). */
+  private[operators] def build(docs: DataFrame, path: String,
+                               rawHsOpt: Option[DataFrame],
+                               normOpt: Option[DataFrame]): DedupFeatureStore = {
     val spark = docs.sparkSession
     // a NEW store: wipe the whole path first — overwriting only the
     // seed generation would leave any stale/partial generations from
@@ -616,8 +631,8 @@ object DedupFeatureStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
     val seed = docs.select("doc_id", "text")
-    val raw = graft.Checkpoints.eager(
-      DedupOps.rawShingles(seed).withColumn("hs", xxhash64(col("sh"))))
+    val raw = graft.Checkpoints.eager(rawHsOpt.getOrElse(
+      DedupOps.rawShingles(seed).withColumn("hs", xxhash64(col("sh")))))
     raw.groupBy("hs").agg(count(lit(1)).as("df"))
       .filter(col("df") > DedupOps.MaxDf)
       .select("hs")
@@ -632,7 +647,8 @@ object DedupFeatureStore {
       .write.mode("overwrite").partitionBy("ingest_gen")
       .parquet(s"$path/resent")
     store.append(
-      store.featurizeHashed(seed.select("doc_id", "text"), raw), SeedGen)
+      store.featurizeHashed(seed.select("doc_id", "text"), raw, normOpt),
+      SeedGen)
     store
   }
 
@@ -693,7 +709,10 @@ object DedupFeatureStore {
     scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   private def buildCachedCopy(docs: DataFrame, seedPath: String,
-                              workPath: String): DedupFeatureStore = {
+                              workPath: String,
+                              rawHsOpt: Option[DataFrame] = None,
+                              normOpt: Option[DataFrame] = None)
+      : DedupFeatureStore = {
     val spark = docs.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(seedPath).getFileSystem(conf)
@@ -711,7 +730,7 @@ object DedupFeatureStore {
       if (!fs.exists(new Path(seedPath))) {
         val tmp = new Path(
           s"$seedPath.build_${ProcessHandle.current().pid()}_${System.nanoTime()}")
-        build(docs, tmp.toString)
+        build(docs, tmp.toString, rawHsOpt, normOpt)
         // FileContext.rename (not FileSystem.rename): fails with an
         // exception when dst exists instead of silently moving src
         // INTO the existing directory
@@ -794,25 +813,43 @@ object DedupFeatureStore {
 
   private def buildLifecycleBase(s: SparkSession, d: String): LifecycleBase = {
       val docs = DedupOps.docsParallel(s, d).select("doc_id", "text")
-      val mx = docs.agg(max(col("doc_id")).as("mx_id"))
-      def slice(lo: Int, hi: Int): DataFrame =
-        docs.crossJoin(broadcast(mx))
-          .filter(col("doc_id") * 10 > col("mx_id") * lo &&
-            col("doc_id") * 10 <= col("mx_id") * hi)
-          .drop("mx_id")
-      val base0 = docs.crossJoin(broadcast(mx))
-        .filter(col("doc_id") * 10 <= col("mx_id") * 8).drop("mx_id")
+      // the corpus max id as a LITERAL (1-row gate probe, the
+      // bounded-driver-read convention): the old crossJoin(mx) form
+      // put the slice predicate ABOVE the broadcast join, where it
+      // cannot push below the shingle explode — every slice then paid
+      // the FULL corpus explode+hash before filtering (measured: the
+      // two 10% slices cost the same ~220 task-s as the 80% one). A
+      // literal predicate on doc_id pushes into the cached scans.
+      val mxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      // id-slice predicate applied to ANY per-doc relation — the
+      // corpus-resident featurize inputs below come from the session
+      // memos (tokenize pass, norm hashes) instead of re-running the
+      // two regex passes over every slice's raw text (r13: jointly
+      // one more full-corpus tokenize + one more normalize per
+      // lifecycle build; value-identical inputs by construction)
+      def sliced(df: DataFrame, lo: Int, hi: Int): DataFrame =
+        df.filter(col("doc_id") * 10 > lit(mxId) * lo &&
+          col("doc_id") * 10 <= lit(mxId) * hi)
+      def slice(lo: Int, hi: Int): DataFrame = sliced(docs, lo, hi)
+      val rawHsAll = DedupOps.rawShingleHashesFromToks(s, d)
+      val normAll = DedupOps.normHashes(s, d)
+      val base0 = docs.filter(col("doc_id") * 10 <= lit(mxId) * 8)
+      val rawHs0 = rawHsAll.filter(col("doc_id") * 10 <= lit(mxId) * 8)
+      val norm0 = normAll.filter(col("doc_id") * 10 <= lit(mxId) * 8)
       val postAPath = storePathFor(d) + "_postA"
       val store = buildCachedCopy(base0,
-        storePathFor(d) + "_seed", postAPath)
+        storePathFor(d) + "_seed", postAPath, Some(rawHs0), Some(norm0))
+      def featurizeSlice(lo: Int, hi: Int): Features =
+        store.featurizeHashed(slice(lo, hi), sliced(rawHsAll, lo, hi),
+          Some(sliced(normAll, lo, hi)))
       // fold A once; its verdict is checkpointed (the union consumers
       // must not re-read generation dirs later copies/compactions own)
       val v1 = graft.Checkpoints.eager(
         step(1, store.foldFeaturized(
-          store.featurize(slice(8, 9)), 1L, eagerVerdict = true)))
+          featurizeSlice(8, 9), 1L, eagerVerdict = true)))
       // batch B featurized once: store-independent in value (frozen
       // blocklist content identical in every copy), checkpointed
-      val featB = store.featurize(slice(9, 10))
+      val featB = featurizeSlice(9, 10)
       LifecycleBase(postAPath, v1, featB)
   }
 

@@ -338,33 +338,39 @@ object DedupOps {
       bandedFromShingles(shingleSets(s, d)))
 
   /** The banding pipeline from any (doc_id, sh) relation — shared by
-    * the memoized corpus path and the streaming ingest twin. */
+    * the memoized corpus path and the streaming ingest twin.
+    *
+    * r13 shape: signature[i] = min over shingles of (fp·A_i + B_i)
+    * mod M, computed as ONE 64-column codegen hash aggregate over the
+    * un-exploded fingerprint rows. The previous shape exploded every
+    * shingle row 64× into (doc, perm, h) rows before a (doc, perm)
+    * min — the row machinery around each modmul (struct alloc, row
+    * copy, per-row agg probe) cost ~200 ns × 64 × |shingle instances|
+    * and was 85% of the store-lifecycle lane's CPU at sf10 (980
+    * task-seconds for the seed slice alone; the 2.5 G modmuls
+    * themselves are ~5 s of raw ALU on 32 cores). The wide aggregate
+    * stays inside whole-stage codegen by the same
+    * `spark.sql.codegen.maxFields = 200` setting the 64-lane simhash
+    * bit votes already rely on, its per-group state is 64 fixed-width
+    * longs (Tungsten, spillable), and band keys fold from the
+    * aggregated columns in perm order — value-identical to the old
+    * (perm-sorted collect_list) fold, so every (doc_id, band, bh) row
+    * is unchanged (DedupSpec/StreamingSpec + the sf0.01 oracle gate
+    * prove it). */
   private[graft] def bandedFromShingles(sh: DataFrame): DataFrame = {
-    // signature[i] = min over shingles of (fp·A_i + B_i) mod M: the
-    // string hashes ONCE per shingle row, then fans out to 64 modmul
-    // permutations, then a (doc, perm) min aggregate — all narrow
-    // expressions (a 64-column aggregate would spend seconds in
-    // codegen compilation), map-side combined before the shuffle
     val r = MinHashK / Bands
-    val aLit = array((0 until MinHashK).map(i => lit(permA(i))): _*)
-    val bLit = array((0 until MinHashK).map(i => lit(permB(i))): _*)
-    val perms = sh
-      .select(col("doc_id"), text.rollingHash(col("sh")).as("fp"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(MinHashK - 1)),
-          i => struct(i.as("perm"),
-            ((col("fp") * element_at(aLit, i + 1) + element_at(bLit, i + 1))
-              % lit(1000000007L)).as("h")))).as("x"))
-      .select(col("doc_id"), col("x.perm").as("perm"), col("x.h").as("h"))
-    val sigs = perms.groupBy("doc_id", "perm").agg(min(col("h")).as("mh"))
-    // band j's key = ordered modular fold of its r signature rows,
-    // built by a second keyed aggregate on (doc, band)
-    sigs
-      .withColumn("band", (col("perm") / r).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(aggregate(array_sort(collect_list(struct(col("perm"), col("mh")))),
-        lit(0L),
-        (acc, x) => (acc * 31 + x.getField("mh")) % lit(1000000007L)).as("bh"))
+    val M = lit(1000000007L)
+    val fps = sh.select(col("doc_id"), text.rollingHash(col("sh")).as("fp"))
+    val sigCols = (0 until MinHashK).map { i =>
+      min((col("fp") * lit(permA(i)) + lit(permB(i))) % M).as(s"_mh$i") }
+    val sigs = fps.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until Bands).map { j =>
+      val bh = (0 until r).foldLeft(lit(0L): Column)((acc, k) =>
+        (acc * 31 + col(s"_mh${j * r + k}")) % M)
+      struct(lit(j).as("band"), bh.as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
   /** MinHash-LSH candidate pair set (pre-verification), memoized:
@@ -610,6 +616,30 @@ object DedupOps {
   private[operators] def rawShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(text.shingles(text.tokens(col("text")), NGram)).as("sh"))
+
+  /** [[rawShingles]] + xxhash64, derived from the MEMOIZED tokenize
+    * pass instead of re-running the regex tokenizer over raw text —
+    * value-identical by construction (docToks IS text.tokens over the
+    * same scan). For corpus-resident consumers only (the store
+    * lifecycle harness); arbitrary batches keep the text path. Not
+    * itself memoized: the explode is narrow over the cached arrays. */
+  private[graft] def rawShingleHashesFromToks(s: SparkSession,
+                                              d: String): DataFrame =
+    VocabOps.docToks(s, d)
+      .select(col("doc_id"),
+        explode(text.shingles(col("toks"), NGram)).as("sh"))
+      .withColumn("hs", xxhash64(col("sh")))
+
+  /** Memoized (doc_id, nt_h) — xxhash64 of normalized text for the
+    * whole corpus. The store lifecycle's three featurize slices each
+    * re-ran the normalization regex over their share of the raw text
+    * (jointly one more full-corpus regex pass); the exact layer only
+    * ever consumes the HASH, which is two longs per doc — cheap to
+    * keep for the session. */
+  private[graft] def normHashes(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, "norm_hashes", d)(
+      normText(docsParallel(s, d))
+        .select(col("doc_id"), xxhash64(col("nt")).as("nt_h")))
 
   /** Batch-vs-base ingest verdict over ARBITRARY doc frames — what a
     * crawl-ingest pipeline calls once per arriving batch (the
