@@ -579,18 +579,24 @@ object AnnOps {
     * reads it at zero extra cost); train/residual inputs without one
     * are unchanged. */
   private def coarseAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val lblAgg =
-      if (e.columns.contains("label")) Seq(first(col("label")).as("label"))
-      else Nil
-    val lblOut =
-      if (e.columns.contains("label")) Seq(col("label")) else Nil
-    e.crossJoin(broadcast(cents))
+    // argmin over SMALL rows, payload re-attached after (guide §8 /
+    // §2.3): the former shape dragged the 64-float embedding (and
+    // label) THROUGH the min-struct aggregation via first(...), so
+    // the partial-agg state held |corpus| wide rows per task — the
+    // sf10 spill attribution charged 49 GB (mem+disk) to this one
+    // fill. Aggregating (vec_id, best) alone keeps the agg state at
+    // two longs per key; the embedding joins back from the cached
+    // corpus relation by id. Output rows identical.
+    val best = e.crossJoin(broadcast(cents))
       .withColumn("dist", -vector.cosine(col("embedding"), col("c_emb")))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cell_id"))).as("best"),
-        (first(col("embedding")).as("embedding") +: lblAgg): _*)
-      .select((Seq(col("vec_id"), col("embedding"),
-        col("best.cell_id").as("cell_id")) ++ lblOut): _*)
+      .agg(min(struct(col("dist"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"))
+    val lblOut =
+      if (e.columns.contains("label")) Seq(col("label")) else Nil
+    e.join(best, "vec_id")
+      .select((Seq(col("vec_id"), col("embedding"), col("cell_id")) ++
+        lblOut): _*)
   }
 
   /** nProbe nearest cells per query (bounded-heap top-k over the
