@@ -2785,6 +2785,14 @@ object RelationalOps {
     val pairs = capped.select(col("okey"), col("pk").as("pa"))
       .join(capped.select(col("okey"), col("pk").as("pb")), Seq("okey"))
       .filter(col("pa") < col("pb"))
+      // repartition BEFORE the count: in-basket pairs barely collapse
+      // within a map task (GenScale part keys shift per replica), so
+      // the map-side partial agg built a ~full-cardinality hash state
+      // per task and spilled while its partial output shuffled MORE
+      // bytes than the raw (pa, pb) rows. With the exchange first,
+      // the partial+final passes fuse post-shuffle over AQE-sized
+      // partitions and the join stage streams pairs straight out.
+      .repartition(col("pa"), col("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= LiftMinSupport)
